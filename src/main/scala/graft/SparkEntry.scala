@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` aggregates every operator catalog module; each entry has
+  * DuckDB-oracle SQL in `oracleSql` unless the operator is approximate /
+  * engine-hash-dependent (driver then records a rows-only check).
+  */
 object SparkEntry {
+
+  private def catalogs: Seq[Map[String, Q]] = Seq(
+    RefQueries.all
+  )
+
+  private lazy val catalog: Map[String, Q] =
+    catalogs.reduce(_ ++ _)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    RefQueries.flagship(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    catalog.map { case (name, q) => name -> q.fn }
+
+  /** DuckDB-equivalent SQL for each oracle-checkable query. */
+  def oracleSql: Map[String, String] =
+    catalog.collect { case (name, Q(_, Some(sql))) => name -> sql }
 }
