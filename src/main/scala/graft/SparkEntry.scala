@@ -12,7 +12,12 @@ import graft.ops._
 object SparkEntry {
 
   private def catalogs: Seq[Map[String, Q]] = Seq(
-    RefQueries.all
+    RefQueries.all,
+    TextOps.all,
+    DedupOps.all,
+    SimilarityOps.all,
+    AnalyticsOps.all,
+    MultimodalOps.all
   )
 
   private lazy val catalog: Map[String, Q] =

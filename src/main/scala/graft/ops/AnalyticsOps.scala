@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import TestData._
+
+/** Relational analytics over the star schema: grouped aggregation,
+  * multi-way broadcast joins, window top-k, time-bucketed event rollups,
+  * ROLLUP grouping sets, and a distributed as-of join.
+  *
+  * Scale notes:
+  *  - money aggregates run in DECIMAL (exact, overflow-safe at 100 TB,
+  *    and bit-comparable with the DuckDB oracle — double sums are
+  *    order-dependent and would not hash-match);
+  *  - dimension tables (nation/region) are broadcast explicitly; the
+  *    orders-customer join is a shuffle join that AQE converts to
+  *    broadcast at small SF;
+  *  - the as-of join is the union-window formulation: one shuffle by key,
+  *    no range-explosion, streaming-friendly — the pattern that survives
+  *    1000x data (a naive range join would be quadratic per key).
+  */
+object AnalyticsOps {
+
+  private val d18_2 = DecimalType(18, 2)
+
+  def all: Map[String, Q] = Map(
+
+    // TPC-H Q1-style pricing summary (partial agg + single shuffle).
+    "q31_pricing_summary" -> Q(
+      (s, dir) => table(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast(d18_2)).cast(d18_2).cast("double")
+            .as("sum_qty"),
+          sum(col("l_extendedprice").cast(d18_2)).cast(d18_2).cast("double")
+            .as("sum_base_price"),
+          // no intermediate scale-2 cast: Spark rounds HALF_UP, DuckDB
+          // half-to-even — keep the exact scale-4 sum, then to double
+          sum(col("l_extendedprice").cast(d18_2) *
+            (lit(1) - col("l_discount").cast(d18_2)))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some(
+        """SELECT l_returnflag, l_linestatus,
+          | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+          | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+          | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+          | count(*) AS count_order,
+          | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) / count(*) AS avg_qty
+          | FROM lineitem GROUP BY l_returnflag, l_linestatus
+          | ORDER BY l_returnflag, l_linestatus""".stripMargin
+          .replace("\n", ""))),
+
+    // Revenue by region/nation: 3-way join with broadcast dimensions.
+    "q32_regional_revenue" -> Q(
+      (s, dir) => table(s, dir, "orders")
+        .join(table(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(table(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(table(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(d18_2)).cast(d18_2).cast("double")
+            .as("revenue"))
+        .orderBy("r_name", "n_name"),
+      Some(
+        """SELECT r_name, n_name, count(*) AS n_orders,
+          | CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+          | FROM orders
+          | JOIN customer ON o_custkey = c_custkey
+          | JOIN nation ON c_nationkey = n_nationkey
+          | JOIN region ON n_regionkey = r_regionkey
+          | GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+          .replace("\n", ""))),
+
+    // Window top-k: 3 highest-value orders per customer.
+    "q33_top_orders_per_cust" -> Q(
+      (s, dir) => table(s, dir, "orders")
+        .withColumn("rnk", row_number().over(Window.partitionBy("o_custkey")
+          .orderBy(desc("o_totalprice"), col("o_orderkey"))))
+        .where(col("rnk") <= 3)
+        .select("o_custkey", "rnk", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rnk"),
+      Some(
+        """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+          | CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
+          | FROM orders)
+          | SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM r
+          | WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin
+          .replace("\n", ""))),
+
+    // Tumbling-window event rollup (the batch twin of the streaming
+    // hourly aggregation in graft.streaming).
+    "q34_events_hourly" -> Q(
+      (s, dir) => table(s, dir, "events")
+        .groupBy(
+          unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 4)))
+            .cast(DecimalType(18, 4)).cast("double").as("value_sum"))
+        .orderBy("hour_epoch", "event_type"),
+      Some(
+        """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+          | event_type, count(*) AS n,
+          | CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS value_sum
+          | FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type"""
+          .stripMargin.replace("\n", ""))),
+
+    // ROLLUP grouping sets over order status/priority.
+    "q35_rollup_orders" -> Q(
+      (s, dir) => table(s, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(d18_2)).cast(d18_2).cast("double")
+            .as("revenue"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+      Some(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+          | CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+          | FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+          | ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""
+          .stripMargin.replace("\n", ""))),
+
+    // As-of join: for each purchase, the user's latest click at-or-before
+    // it. Union-window formulation (single shuffle by user, no range
+    // explosion); oracle is DuckDB's native ASOF LEFT JOIN.
+    "q36_asof_join" -> Q(
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+        val clicks = ev.where(col("event_type") === "click").select(
+          col("user_id"), col("ts"), lit(0).as("tag"),
+          col("event_id").as("cid"),
+          lit(null).cast("bigint").as("event_id"))
+        val purchases = ev.where(col("event_type") === "purchase").select(
+          col("user_id"), col("ts"), lit(1).as("tag"),
+          lit(null).cast("bigint").as("cid"), col("event_id"))
+        // At equal ts the click sorts first (tag 0 < 1) => inclusive <=.
+        val w = Window.partitionBy("user_id").orderBy("ts", "tag")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        clicks.unionByName(purchases)
+          .withColumn("click_id", last("cid", ignoreNulls = true).over(w))
+          .where(col("tag") === 1)
+          .select("event_id", "user_id", "click_id")
+          .orderBy("event_id")
+      },
+      Some(
+        """SELECT p.event_id, p.user_id, c.event_id AS click_id
+          | FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          | ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          | ON p.user_id = c.user_id AND c.ts <= p.ts
+          | ORDER BY p.event_id""".stripMargin.replace("\n", "")))
+  )
+}

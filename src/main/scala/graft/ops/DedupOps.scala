@@ -1,0 +1,184 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import TestData._
+
+/** Deduplication operators for a training-data pipeline: exact (hash
+  * groupBy), n-gram Jaccard (shingle self-join), MinHash+LSH banding,
+  * SimHash, and embedding-cosine near-dup.
+  *
+  * Scale notes (100 TB posture):
+  *  - exact dedup is a single hash aggregation on the dedup key — Spark's
+  *    partial aggregation makes the map side collapse duplicates before
+  *    the shuffle;
+  *  - Jaccard/MinHash candidate generation only ever joins on shingle /
+  *    band-bucket keys, never all-pairs; skewed hub shingles would be the
+  *    bottleneck at scale and are handled by AQE skew-join splitting;
+  *  - signatures are fixed-width (16 hashes / 32 bits), so the shuffle
+  *    payload per doc is O(1), not O(len).
+  */
+object DedupOps {
+
+  /** Distinct word 3-gram shingles per document. */
+  private[graft] def shingles(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 2), " +
+          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)))"))
+        .as("s"))
+      .distinct()
+
+  private val NumHashes = 16
+  private val BandSize = 4 // 4 bands x 4 rows
+
+  /** MinHash signature columns h0..h15 per doc (xxhash64 seeded by index). */
+  private[graft] def minhashSignatures(sh: DataFrame): DataFrame =
+    sh.groupBy("doc_id").agg(
+      min(xxhash64(concat_ws(":", lit(0), col("s")))).as("h0"),
+      (1 until NumHashes).map(j =>
+        min(xxhash64(concat_ws(":", lit(j), col("s")))).as(s"h$j")): _*)
+
+  def all: Map[String, Q] = Map(
+
+    // Exact dedup on full text: canonical id + multiplicity per group.
+    "q22_dedup_exact" -> Q(
+      (s, dir) => table(s, dir, "documents")
+        .groupBy("text")
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id"),
+      Some(
+        """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+          | FROM documents GROUP BY text ORDER BY doc_id""".stripMargin
+          .replace("\n", ""))),
+
+    // Exact dedup on a composite key with first-occurrence selection
+    // (deterministic dropDuplicates) over the events stream.
+    "q23_dedup_events" -> Q(
+      (s, dir) => table(s, dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(min("event_id").as("first_event_id"), count(lit(1)).as("n"))
+        .orderBy("user_id", "event_type"),
+      Some(
+        """SELECT user_id, event_type, min(event_id) AS first_event_id,
+          | count(*) AS n FROM events GROUP BY user_id, event_type
+          | ORDER BY user_id, event_type""".stripMargin.replace("\n", ""))),
+
+    // Exact word-3-gram Jaccard: top-20 most similar pairs. Candidate
+    // pairs come from the shingle self-join (blocking), never all-pairs.
+    "q24_jaccard_pairs" -> Q(
+      (s, dir) => {
+        val sh = shingles(table(s, dir, "documents"))
+        val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val pairs = sh.as("a").join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(count(lit(1)).as("inter"))
+        pairs
+          .join(cnt.as("ca"), col("d1") === col("ca.doc_id"))
+          .join(cnt.as("cb"), col("d2") === col("cb.doc_id"))
+          .select(col("d1"), col("d2"), col("inter"),
+            (col("inter") * lit(1.0) /
+              (col("ca.n") + col("cb.n") - col("inter"))).as("jaccard"))
+          .orderBy(desc("jaccard"), col("d1"), col("d2"))
+          .limit(20)
+      },
+      Some(
+        """WITH s0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3),
+          | i0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM s0),
+          | sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM i0),
+          | cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          | p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+          |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+          | SELECT p.d1, p.d2, p.inter, p.inter * 1.0 / (ca.n + cb.n - p.inter) AS jaccard
+          | FROM p JOIN cnt ca ON p.d1 = ca.doc_id JOIN cnt cb ON p.d2 = cb.doc_id
+          | ORDER BY jaccard DESC, d1, d2 LIMIT 20""".stripMargin
+          .replace("\n", ""))),
+
+    // MinHash + LSH banding: 16 hashes, 4 bands of 4 rows; candidate
+    // pairs share >=1 band bucket; est_sim = signature agreement rate.
+    // No oracle: xxhash64 is engine-specific (driver rows-only check).
+    "q25_minhash_lsh" -> Q(
+      (s, dir) => {
+        val sig = minhashSignatures(shingles(table(s, dir, "documents")))
+        val bandCols = (0 until NumHashes / BandSize).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64((b * BandSize until (b + 1) * BandSize)
+              .map(j => col(s"h$j")): _*).as("bucket"))
+        }
+        val banded = sig.select(col("doc_id"),
+          explode(array(bandCols: _*)).as("bb"))
+          .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+        val cand = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .distinct()
+        val agree = (0 until NumHashes)
+          .map(j => when(col("sa.h" + j) === col("sb.h" + j), 1).otherwise(0))
+          .reduce(_ + _)
+        cand
+          .join(sig.as("sa"), col("d1") === col("sa.doc_id"))
+          .join(sig.as("sb"), col("d2") === col("sb.doc_id"))
+          .select(col("d1"), col("d2"),
+            (agree * lit(1.0) / lit(NumHashes)).as("est_sim"))
+          .orderBy(desc("est_sim"), col("d1"), col("d2"))
+          .limit(200)
+      },
+      None),
+
+    // SimHash: 32-bit signature from term-frequency-weighted word hashes.
+    // No oracle: xxhash64 is engine-specific (driver rows-only check).
+    "q26_simhash" -> Q(
+      (s, dir) => {
+        val wordHash = table(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(split(col("text"), " ")).as("word"))
+          .select(col("doc_id"), xxhash64(col("word")).as("h"))
+        val bitSums = wordHash.groupBy("doc_id").agg(
+          sum(when(shiftright(col("h"), 0).bitwiseAND(1L) === 1L, 1)
+            .otherwise(-1)).as("b0"),
+          (1 until 32).map(j =>
+            sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1)
+              .otherwise(-1)).as(s"b$j")): _*)
+        val sig = (0 until 32)
+          .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _)
+        bitSums.select(col("doc_id"), sig.as("simhash")).orderBy("doc_id")
+      },
+      None),
+
+    // Embedding-cosine near-dup pairs (threshold 0.3 on this synthetic
+    // data). Exact double arithmetic with the same fold order as the
+    // DuckDB oracle, so scores compare bit-for-bit.
+    "q27_dedup_embedding" -> Q(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val n = e.select(col("vec_id"), col("v"),
+          sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0),
+            (acc, x) => acc + x)).as("nrm"))
+        val cos = SimilarityOps.cosine(
+          col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm"))
+        n.as("a").join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+            cos.as("cosine"))
+          .where(col("cosine") > 0.3)
+          .orderBy("v1", "v2")
+      },
+      Some(
+        """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+          | n AS (SELECT vec_id, v,
+          |   sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm FROM e),
+          | p AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+          |   list_reduce(list_transform(list_zip(a.v, b.v), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+          |     / (a.nrm * b.nrm) AS cosine
+          |   FROM n a JOIN n b ON a.vec_id < b.vec_id)
+          | SELECT v1, v2, cosine FROM p WHERE cosine > 0.3 ORDER BY v1, v2"""
+          .stripMargin.replace("\n", "")))
+  )
+}

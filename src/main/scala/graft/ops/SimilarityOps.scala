@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import TestData._
+
+/** Similarity search over the `embeddings` table (ARRAY<FLOAT>, 64-dim):
+  * brute-force cosine top-k as the exact baseline, and a random-hyperplane
+  * LSH variant as the scale path (bucket first, exact cosine only within
+  * bucket).
+  *
+  * Scale notes: the query set is broadcast (small side), candidates stay
+  * partitioned; per-query top-k uses a window partitioned by query id.
+  * At 1000-executor scale the LSH variant turns the O(Q x N) cross
+  * product into O(Q x N / 2^planes) bucket-local work, with the bucket id
+  * computed in a single codegen'd projection (no shuffle besides the
+  * bucket join).
+  */
+object SimilarityOps {
+
+  /** Exact cosine with a fixed left-to-right double fold, matching the
+    * DuckDB oracle's list_reduce order bit-for-bit.
+    */
+  def cosine(va: Column, vb: Column, na: Column, nb: Column): Column =
+    aggregate(zip_with(va, vb, (x, y) => x * y), lit(0.0),
+      (acc, x) => acc + x) / (na * nb)
+
+  /** vec_id, v (double array), nrm. */
+  private def normed(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("v"),
+        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0),
+          (acc, x) => acc + x)).as("nrm"))
+
+  private val NumPlanes = 6
+  private val Dim = 64
+
+  /** Deterministic gaussian hyperplanes (fixed seed). */
+  private lazy val planes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(NumPlanes)(Seq.fill(Dim)(rnd.nextGaussian()))
+  }
+
+  /** Random-hyperplane LSH bucket id: bit j = sign of dot(v, plane_j). */
+  def lshBucket(v: Column): Column =
+    (0 until NumPlanes).map { j =>
+      val dot = aggregate(zip_with(v, typedlit(planes(j)), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  def all: Map[String, Q] = Map(
+
+    // Brute-force exact cosine top-5 for queries vec_id % 100 == 0.
+    "q28_cosine_topk" -> Q(
+      (s, dir) => {
+        val n = normed(s, dir)
+        val q = n.where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("nrm").as("qn"))
+        val scored = broadcast(q).join(n, col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("cand_id"),
+            cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cosine"))
+        scored
+          .withColumn("rnk", row_number().over(Window.partitionBy("query_id")
+            .orderBy(desc("cosine"), col("cand_id"))))
+          .where(col("rnk") <= 5)
+          .select("query_id", "rnk", "cand_id", "cosine")
+          .orderBy("query_id", "rnk")
+      },
+      Some(
+        """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+          | n AS (SELECT vec_id, v,
+          |   sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm FROM e),
+          | q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 100 = 0),
+          | sc AS (SELECT q.query_id, n.vec_id AS cand_id,
+          |   list_reduce(list_transform(list_zip(q.qv, n.v), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+          |     / (q.qn * n.nrm) AS cosine
+          |   FROM q JOIN n ON n.vec_id <> q.query_id),
+          | r AS (SELECT query_id, cand_id, cosine,
+          |   CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rnk FROM sc)
+          | SELECT query_id, rnk, cand_id, cosine FROM r WHERE rnk <= 5
+          | ORDER BY query_id, rnk""".stripMargin.replace("\n", ""))),
+
+    // LSH bucket assignment (the scale path's blocking structure).
+    // No oracle: seeded-gaussian planes live in Spark literals only.
+    "q29_ann_lsh_buckets" -> Q(
+      (s, dir) => normed(s, dir)
+        .select(col("vec_id"), lshBucket(col("v")).as("bucket"))
+        .withColumn("n_in_bucket",
+          count(lit(1)).over(Window.partitionBy("bucket")))
+        .orderBy("vec_id"),
+      None),
+
+    // LSH-accelerated top-k: exact cosine only among bucket-mates.
+    "q30_ann_lsh_topk" -> Q(
+      (s, dir) => {
+        val n = normed(s, dir).withColumn("bucket", lshBucket(col("v")))
+        val q = n.where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("nrm").as("qn"), col("bucket").as("qbucket"))
+        broadcast(q)
+          .join(n, col("bucket") === col("qbucket") &&
+            col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("cand_id"),
+            cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cosine"))
+          .withColumn("rnk", row_number().over(Window.partitionBy("query_id")
+            .orderBy(desc("cosine"), col("cand_id"))))
+          .where(col("rnk") <= 5)
+          .select("query_id", "rnk", "cand_id", "cosine")
+          .orderBy("query_id", "rnk")
+      },
+      None)
+  )
+}

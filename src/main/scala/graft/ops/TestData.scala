@@ -15,7 +15,14 @@ import org.apache.spark.sql.functions._
 object TestData {
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") {
+      // events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+      // reader rejects; read nanos as long and convert (micro precision is
+      // lossless here — generator emits microsecond timestamps).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   private val months = Seq("jan", "feb", "mar", "apr", "may", "jun",
     "jul", "aug", "sep", "oct", "nov", "dec")

@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import TestData._
+
+/** Text-analysis operators for a training-data pipeline, hosted on the
+  * `documents` table: language ID (stopword-hit heuristic), quality
+  * scoring, token counting (whitespace + BPE-ish regex), and document
+  * fingerprinting (normalized md5 + polynomial rolling hash).
+  *
+  * All are narrow, codegen-friendly Column expressions (higher-order
+  * array functions, no UDFs) — they scale linearly with no shuffle except
+  * where a window/groupBy is the point of the operator.
+  */
+object TextOps {
+
+  private val enStop = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val deStop = Seq("der", "die", "das", "und", "ist")
+  private val frStop = Seq("le", "la", "les", "et", "est")
+  private val esStop = Seq("el", "los", "las", "y", "es")
+
+  private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+
+  /** Count words (with duplicates) belonging to a stopword set. */
+  private def hits(words: Column, stops: Seq[String]): Column =
+    size(filter(words, w => w.isin(stops.map(lit(_)): _*)))
+
+  def all: Map[String, Q] = Map(
+
+    // Length / word / stopword statistics + a composite quality score.
+    "q17_text_stats" -> Q(
+      (s, dir) => {
+        val base = table(s, dir, "documents").select(
+          col("doc_id"),
+          length(col("text")).cast("bigint").as("n_chars_calc"),
+          size(split(col("text"), " ")).cast("bigint").as("n_words"),
+          (expr("length(replace(text, ' ', ''))") * lit(1.0) /
+            size(split(col("text"), " "))).as("avg_word_len"),
+          (hits(split(col("text"), " "), enStop) * lit(1.0) /
+            size(split(col("text"), " "))).as("stop_ratio"))
+        base.select(col("doc_id"), col("n_chars_calc"), col("n_words"),
+          col("avg_word_len"), col("stop_ratio"),
+          (lit(0.5) * least(col("n_words"), lit(100)) / lit(100.0)
+            + lit(0.3) * (lit(1.0) - col("stop_ratio"))
+            + lit(0.2) * least(col("avg_word_len"), lit(8.0)) / lit(8.0))
+            .as("quality_score"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH base AS (SELECT doc_id, length(text) AS n_chars_calc,
+           | len(string_split(text, ' ')) AS n_words,
+           | length(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')) AS avg_word_len,
+           | len(list_filter(string_split(text, ' '), w -> w IN (${sqlList(enStop)}))) * 1.0 / len(string_split(text, ' ')) AS stop_ratio
+           | FROM documents)
+           | SELECT doc_id, n_chars_calc, n_words, avg_word_len, stop_ratio,
+           | 0.5 * least(n_words, 100) / 100.0 + 0.3 * (1.0 - stop_ratio) + 0.2 * least(avg_word_len, 8.0) / 8.0 AS quality_score
+           | FROM base ORDER BY doc_id""".stripMargin.replace("\n", ""))),
+
+    // Language ID: argmax of per-language stopword hit counts (duplicates
+    // counted), deterministic tie order en > de > fr > es, all-zero ->
+    // 'unknown'.
+    "q18_lang_id" -> Q(
+      (s, dir) => {
+        val w = split(col("text"), " ")
+        val base = table(s, dir, "documents").select(
+          col("doc_id"),
+          hits(w, enStop).cast("bigint").as("en_hits"),
+          hits(w, deStop).cast("bigint").as("de_hits"),
+          hits(w, frStop).cast("bigint").as("fr_hits"),
+          hits(w, esStop).cast("bigint").as("es_hits"))
+        base.select(col("doc_id"), col("en_hits"), col("de_hits"),
+          col("fr_hits"), col("es_hits"),
+          when(col("en_hits") === 0 && col("de_hits") === 0 &&
+            col("fr_hits") === 0 && col("es_hits") === 0, "unknown")
+            .when(col("en_hits") >= col("de_hits") &&
+              col("en_hits") >= col("fr_hits") &&
+              col("en_hits") >= col("es_hits"), "en")
+            .when(col("de_hits") >= col("fr_hits") &&
+              col("de_hits") >= col("es_hits"), "de")
+            .when(col("fr_hits") >= col("es_hits"), "fr")
+            .otherwise("es").as("lang_pred"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH base AS (SELECT doc_id,
+           | len(list_filter(string_split(text, ' '), w -> w IN (${sqlList(enStop)}))) AS en_hits,
+           | len(list_filter(string_split(text, ' '), w -> w IN (${sqlList(deStop)}))) AS de_hits,
+           | len(list_filter(string_split(text, ' '), w -> w IN (${sqlList(frStop)}))) AS fr_hits,
+           | len(list_filter(string_split(text, ' '), w -> w IN (${sqlList(esStop)}))) AS es_hits
+           | FROM documents)
+           | SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+           | CASE WHEN en_hits = 0 AND de_hits = 0 AND fr_hits = 0 AND es_hits = 0 THEN 'unknown'
+           | WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+           | WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+           | WHEN fr_hits >= es_hits THEN 'fr' ELSE 'es' END AS lang_pred
+           | FROM base ORDER BY doc_id""".stripMargin.replace("\n", ""))),
+
+    // Token counting: whitespace tokens and a BPE-ish lexer regex
+    // (letter runs | digit runs | single non-alnum).
+    "q19_token_count" -> Q(
+      (s, dir) => table(s, dir, "documents").select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("bigint")
+          .as("bpe_tokens"),
+        (length(col("text")) * lit(1.0) /
+          size(regexp_extract_all(col("text"),
+            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))).as("chars_per_token"))
+        .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id,
+          | len(string_split(text, ' ')) AS ws_tokens,
+          | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens,
+          | length(text) * 1.0 / len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS chars_per_token
+          | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", ""))),
+
+    // Fingerprint: md5 of whitespace-normalized text + canonical doc per
+    // fingerprint group (min doc_id window).
+    "q20_doc_fingerprint" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val fp = md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
+          .cast("binary")).as("fingerprint")
+        table(s, dir, "documents").select(col("doc_id"), fp)
+          .withColumn("canonical_id",
+            min("doc_id").over(Window.partitionBy("fingerprint")))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH fp AS (SELECT doc_id,
+          | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+          | FROM documents)
+          | SELECT doc_id, fingerprint,
+          | min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id
+          | FROM fp ORDER BY doc_id""".stripMargin.replace("\n", ""))),
+
+    // Polynomial rolling hash over characters (Java-String.hashCode-style
+    // base 31, mod 1e9+7) as a cheap shift-resistant fingerprint.
+    "q21_rolling_hash" -> Q(
+      (s, dir) => table(s, dir, "documents").select(
+        col("doc_id"),
+        aggregate(
+          filter(split(col("text"), ""), c => c =!= ""),
+          lit(0L),
+          (acc, c) => (acc * lit(31L) + ascii(c)) % lit(1000000007L))
+          .as("rhash"))
+        .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id,
+          | list_reduce(list_transform(string_split_regex(text, ''), c -> CAST(ord(c) AS BIGINT)),
+          |   (a, b) -> (a * 31 + b) % 1000000007) AS rhash
+          | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", "")))
+  )
+}

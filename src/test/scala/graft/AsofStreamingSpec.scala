@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreaming
+import graft.multimodal.Multimodal
+
+/** As-of join semantics, streaming window agg, sessionization, and the
+  * multimodal decode seam.
+  */
+class AsofStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+
+  test("as-of join: latest click at-or-before each purchase, else null") {
+    val ev = Seq(
+      (1L, ts(0), 10L, "click", 1.0),
+      (2L, ts(5), 10L, "purchase", 5.0),  // matches click 1
+      (3L, ts(6), 10L, "click", 1.0),
+      (4L, ts(6), 10L, "purchase", 5.0),  // equal-ts click counts -> 3
+      (5L, ts(1), 20L, "purchase", 5.0)   // user 20 has no click -> null
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    ev.createOrReplaceTempView("asof_events")
+
+    val clicks = ev.where(col("event_type") === "click").select(
+      col("user_id"), col("ts"), lit(0).as("tag"),
+      col("event_id").as("cid"), lit(null).cast("bigint").as("event_id"))
+    val purchases = ev.where(col("event_type") === "purchase").select(
+      col("user_id"), col("ts"), lit(1).as("tag"),
+      lit(null).cast("bigint").as("cid"), col("event_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "tag")
+      .rowsBetween(Long.MinValue, 0)
+    val got = clicks.unionByName(purchases)
+      .withColumn("click_id", last("cid", ignoreNulls = true).over(w))
+      .where(col("tag") === 1)
+      .select("event_id", "click_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == Map(2L -> Some(1L), 4L -> Some(3L), 5L -> None))
+  }
+
+  test("streaming hourly agg with watermark over MemoryStream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val stream = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val query = EventStreaming.startHourlyQuery(spark, stream, "hourly_test")
+    try {
+      mem.addData((1L, ts(0), 1L, "click", 2.0),
+        (2L, ts(10), 1L, "click", 3.0), (3L, ts(0), 1L, "view", 1.0))
+      query.processAllAvailable()
+      val rows = spark.table("hourly_test")
+        .select("event_type", "n", "value_sum").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set(("click", 2L, 5.0), ("view", 1L, 1.0)))
+    } finally query.stop()
+  }
+
+  test("sessionization groups events within the gap, splits beyond it") {
+    val events = Seq(
+      EventStreaming.Event(1L, ts(0), 1L, "click", 1.0),
+      EventStreaming.Event(2L, ts(10), 1L, "click", 2.0),   // same session
+      EventStreaming.Event(3L, ts(120), 1L, "click", 4.0),  // gap > 30min
+      EventStreaming.Event(4L, ts(0), 2L, "view", 8.0)
+    ).toDS()
+    val got = EventStreaming.sessionize(events).collect()
+      .map(s => s.user_id -> ((s.n_events, s.value_sum))).toMap
+    assert(got(1L) == ((1L, 4.0))) // latest session only (state semantics)
+    assert(got(2L) == ((1L, 8.0)))
+  }
+
+  test("multimodal decode seam: deterministic stub features over binary") {
+    val docs = Seq((1L, "hello world", "en", "src1", 11L),
+      (2L, "hello world", "en", "src2", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val feats = Multimodal.extractFeatures(Multimodal.fromDocuments(docs))
+      .collect().sortBy(_.media_id)
+    assert(feats.length == 2)
+    assert(feats(0).features.toSeq == feats(1).features.toSeq) // same bytes
+    assert(feats(0).digest == feats(1).digest)
+    assert(math.abs(feats(0).features.sum - 1.0f) < 1e-5)      // normalized
+    assert(feats(0).n_bytes == 11L)
+  }
+}

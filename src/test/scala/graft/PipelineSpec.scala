@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.BankingPipeline
+import graft.schema.BankSchema
+
+/** Parse-stage fidelity + end-to-end topology invariants. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val valid =
+    "42;admin;married;tertiary;no;1500.5;yes;no;cellular;5;may;300;2;-1;0;unknown;no"
+
+  test("valid line parses with typed coercions and lower/trim") {
+    val res = BankingPipeline.fromLines(Seq(
+      valid,
+      "42; ADMIN ;married;tertiary;no;1500.5;yes;no;cellular;5;may;300;2;-1;0;unknown;no"
+    ).toDF("value"))
+    val rows = res.processed.select("age", "job", "balance", "pdays").collect()
+    assert(rows.length == 2)
+    assert(rows.forall(r => r.getInt(0) == 42 && r.getString(1) == "admin"
+      && r.getDouble(2) == 1500.5 && r.getInt(3) == -1))
+    assert(res.errors.count() == 0)
+  }
+
+  test("quoted semicolons survive tokenization (csv.reader quotechar semantics)") {
+    val res = BankingPipeline.fromLines(Seq(
+      "42;\"ad;min\";married;tertiary;no;1500.5;yes;no;cellular;5;may;300;2;-1;0;unknown;no"
+    ).toDF("value"))
+    assert(res.processed.select("job").head().getString(0) == "ad;min")
+  }
+
+  test("arity errors carry the exact Python-shaped message") {
+    val res = BankingPipeline.fromLines(Seq(
+      "a;b;c",
+      valid + ";extra"
+    ).toDF("value"))
+    val msgs = res.errors.select("error_type", "error_message")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(msgs == Set(
+      ("parsing_error", "ParseError: Expected 17 columns, got 3"),
+      ("parsing_error", "ParseError: Expected 17 columns, got 18")))
+  }
+
+  test("coercion failures name the first bad field like Python") {
+    val res = BankingPipeline.fromLines(Seq(
+      valid.replace("42;admin", "4x2;admin"),           // bad int age
+      valid.replace(";1500.5;", ";12,5;")               // bad float balance
+    ).toDF("value"))
+    val msgs = res.errors.select("error_message").as[String].collect().toSet
+    assert(msgs == Set(
+      "ParseError: invalid literal for int() with base 10: '4x2'",
+      "ParseError: could not convert string to float: '12,5'"))
+  }
+
+  test("age range validation inclusive [18,100] (bp.py:171)") {
+    def withAge(a: Int) = valid.replaceFirst("^42", a.toString)
+    val res = BankingPipeline.fromLines(
+      Seq(withAge(17), withAge(18), withAge(100), withAge(101)).toDF("value"))
+    assert(res.processed.count() == 2)
+    val errs = res.errors.select("error_type", "error_message").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(errs == Set(
+      ("data_validation", "ValidationError: Age 17 outside valid range"),
+      ("data_validation", "ValidationError: Age 101 outside valid range")))
+  }
+
+  test("every input row lands in exactly one of processed/errors") {
+    val lines = (1 to 50).map { i =>
+      if (i % 7 == 0) s"bad$i;x" // parse error
+      else if (i % 5 == 0) valid.replaceFirst("^42", "150") // validation
+      else valid
+    }
+    val res = BankingPipeline.fromLines(lines.toDF("value"))
+    assert(res.processed.count() + res.errors.count() == lines.size)
+  }
+
+  test("processed schema is the declared 30-column output (bp.py:48-78)") {
+    val res = BankingPipeline.fromLines(Seq(valid).toDF("value"))
+    assert(res.processed.columns.toSeq == BankSchema.outputColumns)
+    assert(res.errors.columns.toSeq ==
+      Seq("raw_data", "error_message", "error_type", "timestamp"))
+  }
+
+  test("prepare stamps: per-record uuid, version 1.2 (bp.py:278-282)") {
+    val res = BankingPipeline.fromLines(Seq(valid, valid).toDF("value"))
+    val rows = res.processed.select("_batch_id", "_pipeline_version").collect()
+    assert(rows.map(_.getString(0)).distinct.length == 2) // fresh uuid each
+    assert(rows.forall(_.getString(1) == "1.2"))
+  }
+
+  test("error rows from stage k are not enriched by stage k+1 (short-circuit)") {
+    val staged = graft.etl.Segment(graft.etl.ValidateEnrich(
+      graft.etl.Parse(Seq(valid.replaceFirst("^42", "150")).toDF("value"))))
+    val r = staged.select("age_group", "rfm_scores", "customer_segment").head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("whole main pipeline is a single narrow stage (no exchange)") {
+    val res = BankingPipeline.fromLines(Seq(valid).toDF("value"))
+    val plan = res.processed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+}
