@@ -54,10 +54,16 @@ object Parse {
       "columnNameOfCorruptRecord" -> "_malformed",
       "nullValue" -> NullSentinel)
 
+    // explode(array(...)) is a deliberate Generate barrier: without it,
+    // CollapseProject + OptimizeCsvJsonExprs inline one pruned from_csv
+    // PER FIELD REFERENCE (25 copies of the CSV parser in the optimized
+    // plan), which re-parses the line 18x per row and blows the 64 KB
+    // whole-stage-codegen method limit. Behind the Generate the line is
+    // tokenized exactly once and the stage still codegens.
     val tok = lines.select(
       keep.map(col) ++ Seq(
         col(lineCol).as(Stage.Raw),
-        from_csv(col(lineCol), tokSchema, opts).as("_t")): _*)
+        explode(array(from_csv(col(lineCol), tokSchema, opts))).as("_t")): _*)
 
     def t(i: Int): Column = col(s"_t._c$i")
 

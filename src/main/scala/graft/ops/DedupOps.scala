@@ -160,8 +160,7 @@ object DedupOps {
         val e = table(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         val n = e.select(col("vec_id"), col("v"),
-          sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0),
-            (acc, x) => acc + x)).as("nrm"))
+          graft.functions.VectorFunctions.l2norm(col("v")).as("nrm"))
         val cos = SimilarityOps.cosine(
           col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm"))
         n.as("a").join(n.as("b"), col("a.vec_id") < col("b.vec_id"))

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal accessor for the private[sql] Expression<->Column adapters, so
+  * graft's custom Catalyst expressions (e.g. graft.functions.DotProduct)
+  * can be exposed as ordinary Columns. Lives inside the sql package
+  * namespace purely for visibility; contains no engine logic.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
