@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.TestData
+
+/** Physical-plan shape assertions — the 100 TB posture checks: filters
+  * reach the parquet scan, small dims broadcast, hot paths stay inside
+  * whole-stage codegen, narrow pipelines don't shuffle.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executed(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("filter + projection push down to the parquet scan") {
+    val df = TestData.table(spark, sf, "lineitem")
+      .where(col("l_quantity") > 30)
+      .select("l_orderkey", "l_quantity")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"),
+      s"missing pushdown in:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"missing column pruning in:\n$plan")
+  }
+
+  test("regional revenue joins broadcast the dimension tables") {
+    val plan = executed("q32_regional_revenue")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("cosine top-k broadcasts the query side (no shuffle of candidates)") {
+    val plan = executed("q28_cosine_topk")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), s"query side not broadcast:\n$plan")
+    assert(plan.contains("graft_dot"), s"custom dot expr not in plan:\n$plan")
+  }
+
+  test("flagship pipeline has zero exchanges and stays in one codegen stage") {
+    val res = graft.pipeline.BankingPipeline.fromTyped(
+      TestData.bankFrame(spark, sf))
+    val plan = res.processed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    // "*(1)" prefixes = every operator fused into codegen stage 1
+    assert(plan.contains("*(1) Project") && !plan.contains("*(2)"),
+      s"not a single fused codegen stage:\n$plan")
+  }
+
+  test("pricing summary uses partial aggregation before the shuffle") {
+    val plan = executed("q31_pricing_summary")
+    // two HashAggregate nodes (partial + final) around one Exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size >= 1, plan)
+  }
+
+  test("parse stage generates exactly one from_csv evaluation") {
+    val df = graft.etl.Parse(
+      TestData.bankFrame(spark, sf).selectExpr("cast(id as string) as value"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert("from_csv".r.findAllIn(optimized).size == 1,
+      s"csv parse duplicated:\n$optimized")
+  }
+}
