@@ -17,7 +17,8 @@ object SparkEntry {
     DedupOps.all,
     SimilarityOps.all,
     AnalyticsOps.all,
-    MultimodalOps.all
+    MultimodalOps.all,
+    ScaleOps.all
   )
 
   private lazy val catalog: Map[String, Q] =

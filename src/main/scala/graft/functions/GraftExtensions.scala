@@ -1,0 +1,23 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions hook registering graft's custom expressions as
+  * SQL functions, so `spark.sql("SELECT graft_dot(a, b)")` works next to
+  * the Column API. Install with:
+  *   SparkSession.builder().withExtensions(new GraftExtensions)
+  * or spark.sql.extensions=graft.functions.GraftExtensions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_dot takes exactly 2 arguments")
+        DotProduct(children.head, children(1))
+      }))
+  }
+}

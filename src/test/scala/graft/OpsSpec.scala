@@ -74,4 +74,18 @@ class OpsSpec extends SparkSpec {
     val m = sums.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m(1L) == m(2L))
   }
+
+  test("graft_dot is registered as a SQL function via GraftExtensions") {
+    val got = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0)
+    assert(got == 11.0)
+  }
+
+  test("graft_dot rejects wrong input types with a clear message") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_dot(array('a'), array('b'))").collect()
+    }
+    assert(e.getMessage.contains("ARRAY<DOUBLE>"))
+  }
 }

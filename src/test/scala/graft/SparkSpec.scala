@@ -9,6 +9,7 @@ import org.scalatest.BeforeAndAfterAll
   */
 object SparkSpec {
   lazy val spark: SparkSession = SparkSession.builder()
+    .withExtensions(new graft.functions.GraftExtensions)
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
