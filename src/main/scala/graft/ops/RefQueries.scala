@@ -212,6 +212,10 @@ object RefQueries {
         val lines = csvLines(bank,
           tail = when(col("id") % 7 === 0, ";extra").otherwise(""))
         val res = BankingPipeline.fromLines(lines, "line", keep = Seq("id"))
+        // The 4-way demux re-reads the errors frame once per stream;
+        // persist so the parse pipeline runs once, not four times (the
+        // same recompute-vs-persist tradeoff called out in SURVEY.md §4.3).
+        res.errors.persist()
         val streams = res.errorStreamsByStage
         BankingPipeline.unionErrors(
           Seq(streams("parsing_error"), streams("data_validation"),
