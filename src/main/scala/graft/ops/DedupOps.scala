@@ -34,12 +34,12 @@ object DedupOps {
   private val NumHashes = 16
   private val BandSize = 4 // 4 bands x 4 rows
 
-  /** MinHash signature columns h0..h15 per doc (xxhash64 seeded by index). */
+  /** MinHash signature (ARRAY<BIGINT> of NumHashes seeded-hash minima) per
+    * doc, via the one-pass [[graft.functions.MinHashAgg]] aggregate.
+    */
   private[graft] def minhashSignatures(sh: DataFrame): DataFrame =
     sh.groupBy("doc_id").agg(
-      min(xxhash64(concat_ws(":", lit(0), col("s")))).as("h0"),
-      (1 until NumHashes).map(j =>
-        min(xxhash64(concat_ws(":", lit(j), col("s")))).as(s"h$j")): _*)
+      graft.functions.MinHashAgg.minhashSig(col("s"), NumHashes).as("sig"))
 
   def all: Map[String, Q] = Map(
 
@@ -107,7 +107,7 @@ object DedupOps {
         val bandCols = (0 until NumHashes / BandSize).map { b =>
           struct(lit(b).as("band"),
             xxhash64((b * BandSize until (b + 1) * BandSize)
-              .map(j => col(s"h$j")): _*).as("bucket"))
+              .map(j => element_at(col("sig"), j + 1)): _*).as("bucket"))
         }
         val banded = sig.select(col("doc_id"),
           explode(array(bandCols: _*)).as("bb"))
@@ -118,9 +118,10 @@ object DedupOps {
             col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
           .distinct()
-        val agree = (0 until NumHashes)
-          .map(j => when(col("sa.h" + j) === col("sb.h" + j), 1).otherwise(0))
-          .reduce(_ + _)
+        val agree = aggregate(
+          zip_with(col("sa.sig"), col("sb.sig"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x)
         cand
           .join(sig.as("sa"), col("d1") === col("sa.doc_id"))
           .join(sig.as("sb"), col("d2") === col("sb.doc_id"))
