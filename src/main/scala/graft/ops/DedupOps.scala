@@ -71,6 +71,10 @@ object DedupOps {
     // pairs come from the shingle self-join (blocking), never all-pairs.
     "q24_jaccard_pairs" -> Q(
       (s, dir) => {
+        // sh is referenced 3x (both join sides + counts) and deliberately
+        // NOT persisted: measured at sf0.1, lazy recompute beats caching
+        // (columnar cache write + lost optimizer stats turned the
+        // signature joins into sort-merge). Revisit only with real stats.
         val sh = shingles(table(s, dir, "documents"))
         val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val pairs = sh.as("a").join(sh.as("b"),
