@@ -29,7 +29,44 @@ object ScaleOps {
   private val dotSql =
     "list_reduce(list_transform(list_zip(%s, %s), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
 
+  /** Replication factor for the throughput query: sf0.01's 1,500
+    * customers x 700 = 1.05M records — the reference's published
+    * benchmark row count (README.md:133: 1M records in 252s).
+    */
+  private val EtlReplication = 700
+
   def all: Map[String, Q] = Map(
+
+    // Full 4-stage ETL over ~1M (sf0.01) / ~10M (sf0.1) records,
+    // summarized per segment pair. Engagement is quantized to
+    // DECIMAL(10,6) per row before summing so the aggregate is exact and
+    // order-independent (double sums would not hash-match).
+    "q41_etl_throughput" -> Q(
+      (s, dir) => {
+        val bank = TestData.bankFrame(s, dir)
+        val replicated = bank
+          .crossJoin(s.range(EtlReplication).select(col("id").as("rep")))
+          .drop("id", "rep")
+        val res = graft.pipeline.BankingPipeline.fromTyped(replicated)
+        res.processed
+          .groupBy("customer_segment", "wealth_segment")
+          .agg(count(lit(1)).as("n"),
+            sum(col("engagement_score").cast(DecimalType(10, 6)))
+              .cast(DecimalType(18, 6)).cast("double").as("engagement_sum"))
+          .orderBy("customer_segment", "wealth_segment")
+      },
+      Some(TestData.bankCte +
+        s""", rep AS (SELECT bank.* FROM bank, generate_series(1, $EtlReplication)),
+           | v AS (SELECT * FROM rep WHERE age BETWEEN 18 AND 100),
+           | scored AS (SELECT v.*, ${TestData.recencySql("pdays")} AS r,
+           |   ${TestData.frequencySql("previous")} AS f,
+           |   ${TestData.monetarySql("balance")} AS m FROM v)
+           | SELECT ${TestData.segmentSql("(((r + f + m)) / 3.0)")} AS customer_segment,
+           |   ${TestData.wealthSql("balance")} AS wealth_segment,
+           |   count(*) AS n,
+           |   CAST(CAST(sum(CAST(${TestData.engagementSql("previous", "campaign", "duration", "y")} AS DECIMAL(10,6))) AS DECIMAL(18,6)) AS DOUBLE) AS engagement_sum
+           | FROM scored GROUP BY 1, 2 ORDER BY customer_segment, wealth_segment"""
+          .stripMargin.replace("\n", ""))),
 
     "q39_salted_agg" -> Q(
       (s, dir) => {
