@@ -54,12 +54,15 @@ object Parse {
       "columnNameOfCorruptRecord" -> "_malformed",
       "nullValue" -> NullSentinel)
 
-    // explode(array(...)) is a deliberate Generate barrier: without it,
-    // CollapseProject + OptimizeCsvJsonExprs inline one pruned from_csv
-    // PER FIELD REFERENCE (25 copies of the CSV parser in the optimized
-    // plan), which re-parses the line 18x per row and blows the 64 KB
-    // whole-stage-codegen method limit. Behind the Generate the line is
-    // tokenized exactly once and the stage still codegens.
+    // explode(array(...)) is a deliberate Generate BARRIER around the
+    // csv parse. Without it two optimizer rules each duplicate the
+    // non-cheap CsvToStructs per reference: OptimizeCsvJsonExprs clones a
+    // schema-pruned parse per field extraction, and predicate pushdown
+    // substitutes the parse tree into every filter condition pushed
+    // through the projection (measured: 25-52 from_csv copies in the
+    // optimized plan, 64 KB codegen overflow, ~15x the runtime). The
+    // Generate is codegen'd and costs ~2.5x a bare parse — far cheaper
+    // than any duplication, and it blocks both rules at once.
     val tok = lines.select(
       keep.map(col) ++ Seq(
         col(lineCol).as(Stage.Raw),

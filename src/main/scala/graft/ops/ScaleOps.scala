@@ -44,10 +44,56 @@ object ScaleOps {
     "q41_etl_throughput" -> Q(
       (s, dir) => {
         val bank = TestData.bankFrame(s, dir)
-        val replicated = bank
-          .crossJoin(s.range(EtlReplication).select(col("id").as("rep")))
+        // Parallelism without a shuffle: the 32-partition range drives
+        // the cross join and the tiny bank frame is broadcast, so the
+        // replicated rows are born spread across all cores (a real
+        // multi-split file read would look the same).
+        val replicated = s.range(0, EtlReplication, 1, 32)
+          .select(col("id").as("rep"))
+          .crossJoin(broadcast(bank))
           .drop("id", "rep")
         val res = graft.pipeline.BankingPipeline.fromTyped(replicated)
+        res.processed
+          .groupBy("customer_segment", "wealth_segment")
+          .agg(count(lit(1)).as("n"),
+            sum(col("engagement_score").cast(DecimalType(10, 6)))
+              .cast(DecimalType(18, 6)).cast("double").as("engagement_sum"))
+          .orderBy("customer_segment", "wealth_segment")
+      },
+      Some(TestData.bankCte +
+        s""", rep AS (SELECT bank.* FROM bank, generate_series(1, $EtlReplication)),
+           | v AS (SELECT * FROM rep WHERE age BETWEEN 18 AND 100),
+           | scored AS (SELECT v.*, ${TestData.recencySql("pdays")} AS r,
+           |   ${TestData.frequencySql("previous")} AS f,
+           |   ${TestData.monetarySql("balance")} AS m FROM v)
+           | SELECT ${TestData.segmentSql("(((r + f + m)) / 3.0)")} AS customer_segment,
+           |   ${TestData.wealthSql("balance")} AS wealth_segment,
+           |   count(*) AS n,
+           |   CAST(CAST(sum(CAST(${TestData.engagementSql("previous", "campaign", "duration", "y")} AS DECIMAL(10,6))) AS DECIMAL(18,6)) AS DOUBLE) AS engagement_sum
+           | FROM scored GROUP BY 1, 2 ORDER BY customer_segment, wealth_segment"""
+          .stripMargin.replace("\n", ""))),
+
+    // Same replicated workload, but entering through the REAL csv-text
+    // parse path (the reference's actual input shape): render each bank
+    // row to its semicolon line, replicate, tokenize with from_csv,
+    // coerce, validate, enrich, segment, aggregate. Shares q41's oracle
+    // (the render->parse round trip is lossless).
+    "q42_csv_etl_throughput" -> Q(
+      (s, dir) => {
+        val bank = TestData.bankFrame(s, dir)
+        val line = concat_ws(";",
+          col("age").cast("string"), col("job"), col("marital"),
+          col("education"), col("default"), col("balance").cast("string"),
+          col("housing"), col("loan"), col("contact"),
+          col("day").cast("string"), col("month"),
+          col("duration").cast("string"), col("campaign").cast("string"),
+          col("pdays").cast("string"), col("previous").cast("string"),
+          col("poutcome"), col("y"))
+        val lines = s.range(0, EtlReplication, 1, 32)
+          .select(col("id").as("rep"))
+          .crossJoin(broadcast(bank.select(line.as("value"))))
+          .drop("rep")
+        val res = graft.pipeline.BankingPipeline.fromLines(lines)
         res.processed
           .groupBy("customer_segment", "wealth_segment")
           .agg(count(lit(1)).as("n"),
