@@ -35,46 +35,35 @@ object Stage {
   * token) is routed to the error channel with the Python-shaped message.
   */
 object Parse {
-  /** \\u0001 sentinel (never a real CSV token): keeps empty
-    * CSV tokens as "" (matching Python csv.reader) instead of Spark's
-    * default empty->null mapping.
-    */
-  private val NullSentinel = "\u0001"
-
   /** @param keep passthrough columns (e.g. a host-table key for
     *             deterministic ordering in oracle-checked queries)
     */
   def apply(lines: DataFrame, lineCol: String = "value",
             keep: Seq[String] = Nil): DataFrame = {
-    val tokSchema = StructType(
-      BankSchema.inputFields.indices.map(i => StructField(s"_c$i", StringType)) :+
-        StructField("_malformed", StringType))
-    val opts = Map(
-      "sep" -> ";", "quote" -> "\"", "mode" -> "PERMISSIVE",
-      "columnNameOfCorruptRecord" -> "_malformed",
-      "nullValue" -> NullSentinel)
-
     // explode(array(...)) is a deliberate Generate BARRIER around the
-    // csv parse. Without it two optimizer rules each duplicate the
-    // non-cheap CsvToStructs per reference: OptimizeCsvJsonExprs clones a
-    // schema-pruned parse per field extraction, and predicate pushdown
-    // substitutes the parse tree into every filter condition pushed
-    // through the projection (measured: 25-52 from_csv copies in the
-    // optimized plan, 64 KB codegen overflow, ~15x the runtime). The
-    // Generate is codegen'd and costs ~2.5x a bare parse — far cheaper
-    // than any duplication, and it blocks both rules at once.
+    // tokenizer: predicate pushdown (and, for from_csv,
+    // OptimizeCsvJsonExprs) would otherwise substitute the non-cheap
+    // parse per reference — measured 25-52 parser copies in the
+    // optimized plan, 64 KB codegen overflow, ~15x the runtime. The
+    // Generate is codegen'd and cheap relative to any duplication.
+    // Tokenization itself is the custom codegen'd
+    // [[graft.functions.CsvTokenize]]: exact csv.reader semantics
+    // (quoted separators, "" escapes, exact token count) with much less
+    // per-row overhead than from_csv/univocity.
     val tok = lines.select(
       keep.map(col) ++ Seq(
         col(lineCol).as(Stage.Raw),
-        explode(array(from_csv(col(lineCol), tokSchema, opts))).as("_t")): _*)
+        explode(array(graft.functions.CsvTokenize.csvTokenize(col(lineCol))))
+          .as("_t")): _*)
 
-    def t(i: Int): Column = col(s"_t._c$i")
+    // Guarded 0-based getItem: the when() keeps OOB access unevaluated
+    // (short rows), and unlike try_element_at it stays codegen'd.
+    def t(i: Int): Column =
+      when(size(col("_t")) > i, col("_t").getItem(i))
 
-    // Field count = separators outside double-quoted segments + 1. Agrees
-    // with csv.reader(delimiter=';', quotechar='"') on RFC-4180 rows
-    // (embedded "" quote-escapes are a documented non-goal).
-    val arity =
-      size(split(regexp_replace(col(Stage.Raw), "\"[^\"]*\"", "q"), ";", -1))
+    // Exact parsed-field count (quoted separators excluded by the
+    // tokenizer), matching csv.reader's row length check (bp.py:118).
+    val arity = size(col("_t"))
 
     // Typed projection in CSV position order (bp.py:121-138).
     val typed: Seq[(String, Column)] = BankSchema.inputFields.zipWithIndex.map {

@@ -55,11 +55,12 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size >= 1, plan)
   }
 
-  test("parse stage generates exactly one from_csv evaluation") {
+  test("parse stage tokenizes each line exactly once (custom expression)") {
     val df = graft.etl.Parse(
       TestData.bankFrame(spark, sf).selectExpr("cast(id as string) as value"))
     val optimized = df.queryExecution.optimizedPlan.toString
-    assert("from_csv".r.findAllIn(optimized).size == 1,
-      s"csv parse duplicated:\n$optimized")
+    assert("graft_csv_tokenize".r.findAllIn(optimized).size == 1,
+      s"csv tokenize duplicated:\n$optimized")
+    assert(!optimized.contains("from_csv"))
   }
 }
