@@ -84,4 +84,29 @@ class AsofStreamingSpec extends SparkSpec {
     assert(math.abs(feats(0).features.sum - 1.0f) < 1e-5)      // normalized
     assert(feats(0).n_bytes == 11L)
   }
+
+  test("watermark drops rows later than the threshold (bounded state)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val stream = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val query = graft.streaming.EventStreaming.hourlyByType(stream, "1 hour")
+      .writeStream.format("memory").queryName("wm_test")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      // batch 1: events at t0 and t0+4h advance the watermark to ~3h
+      mem.addData((1L, ts(0), 1L, "click", 1.0),
+        (2L, ts(4 * 60), 1L, "click", 1.0))
+      query.processAllAvailable()
+      // batch 2: a straggler back at t0+5min is beyond the watermark
+      mem.addData((3L, ts(5), 1L, "click", 100.0))
+      query.processAllAvailable()
+      // append-mode emits only finalized windows; the t0 window closed
+      // with exactly the one in-time event (the straggler was dropped)
+      val rows = spark.table("wm_test")
+        .select("n", "value_sum").collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(rows.forall(_._1 == 1L), rows.mkString(","))
+      assert(!rows.exists(_._2 == 100.0))
+    } finally query.stop()
+  }
 }

@@ -91,4 +91,19 @@ class EndToEndSpec extends SparkSpec {
       assert(rec.get(p).contains(want), s"pdays=$p want recency=$want got ${rec.get(p)}")
     }
   }
+
+  test("K1/K2: json sink writes real JSON lines (reference wrote dict repr)") {
+    val out = java.nio.file.Files.createTempDirectory("graft-json").toString
+    val res = BankingPipeline.fromLines(
+      BankingPipeline.readCsvLines(spark, fixturePath))
+    BankingPipeline.writeJson(res.errors, s"$out/errors")
+    val lines = spark.read.text(s"$out/errors").collect().map(_.getString(0))
+    assert(lines.length == 6)
+    lines.foreach { l =>
+      val parsed = spark.range(1).select(
+        from_json(lit(l), org.apache.spark.sql.types.StructType.fromDDL(
+          "raw_data STRING, error_message STRING, error_type STRING, timestamp TIMESTAMP"))).head().getStruct(0)
+      assert(parsed != null && parsed.getString(2) != null) // valid JSON, typed
+    }
+  }
 }

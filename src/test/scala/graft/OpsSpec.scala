@@ -88,4 +88,20 @@ class OpsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("ARRAY<DOUBLE>"))
   }
+
+  test("csv tokenizer matches python csv.reader on edge cases") {
+    import graft.functions.CsvTokenize
+    import org.apache.spark.unsafe.types.UTF8String
+    def tok(line: String): Seq[String] =
+      CsvTokenize.tokenize(UTF8String.fromString(line)).toObjectArray(
+        org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+    assert(tok("a;b;c") == Seq("a", "b", "c"))
+    assert(tok("a;;c") == Seq("a", "", "c"))          // empty stays ""
+    assert(tok("a;b;") == Seq("a", "b", ""))          // trailing empty
+    assert(tok("") == Seq(""))
+    assert(tok("\"a;b\";c") == Seq("a;b", "c"))       // quoted separator
+    assert(tok("\"a\"\"b\";c") == Seq("a\"b", "c"))   // "" escape
+    assert(tok("a\"b;c") == Seq("a\"b", "c"))         // quote mid-field literal
+    assert(tok("\"ab\"cd;e") == Seq("abcd", "e"))     // text after closing quote
+  }
 }

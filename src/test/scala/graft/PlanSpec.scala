@@ -63,4 +63,13 @@ class PlanSpec extends SparkSpec {
       s"csv tokenize duplicated:\n$optimized")
     assert(!optimized.contains("from_csv"))
   }
+
+  test("as-of join is a single shuffle by key (no range explosion)") {
+    val plan = executed("q36_asof_join")
+    // one exchange for the user_id window; the final orderBy adds range
+    // partitioning but no extra hash shuffle of the join inputs
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
