@@ -38,6 +38,17 @@ object EventStreaming {
       .outputMode(OutputMode.Update())
       .start()
 
+  /** Streaming exact dedup on a business key with bounded state: rows
+    * whose (user_id, event_type) already appeared within the watermark
+    * horizon are dropped; state for keys older than the watermark is
+    * evicted. The streaming twin of the batch q23 first-occurrence dedup.
+    */
+  def dedupWithinWatermark(events: DataFrame,
+                           watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionState(sessionStart: Long, lastTs: Long,

@@ -109,4 +109,25 @@ class AsofStreamingSpec extends SparkSpec {
       assert(!rows.exists(_._2 == 100.0))
     } finally query.stop()
   }
+
+  test("streaming dedup within watermark drops repeat keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val stream = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val query = graft.streaming.EventStreaming.dedupWithinWatermark(stream)
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      mem.addData(
+        (1L, ts(0), 1L, "click", 1.0),
+        (2L, ts(1), 1L, "click", 2.0),  // dup key within watermark
+        (3L, ts(2), 1L, "view", 3.0),
+        (4L, ts(3), 2L, "click", 4.0))
+      query.processAllAvailable()
+      val ids = spark.table("dedup_test").select("event_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L, 4L), ids.mkString(","))
+    } finally query.stop()
+  }
 }
