@@ -18,7 +18,8 @@ object SparkEntry {
     SimilarityOps.all,
     AnalyticsOps.all,
     MultimodalOps.all,
-    ScaleOps.all
+    ScaleOps.all,
+    RelationalOps.all
   )
 
   private lazy val catalog: Map[String, Q] =

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import TestData._
+
+/** Remaining relational-algebra surface a complete analytics engine
+  * needs (all absent from the reference, SURVEY.md §2.8, but part of the
+  * engine-completeness goal): distinct aggregation, semi/anti joins,
+  * INTERSECT/EXCEPT, and pivot.
+  */
+object RelationalOps {
+
+  def all: Map[String, Q] = Map(
+
+    // count(DISTINCT) — expands to a two-phase aggregate (dedup by
+    // (group, value) then count), the scalable shape for high-cardinality
+    // distincts.
+    "q43_distinct_users" -> Q(
+      (s, dir) => table(s, dir, "events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("distinct_users"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      Some(
+        """SELECT event_type, count(DISTINCT user_id) AS distinct_users,
+          | count(*) AS n FROM events GROUP BY event_type
+          | ORDER BY event_type""".stripMargin.replace("\n", ""))),
+
+    // Left semi + anti joins: customers with vs without orders. Both
+    // sides go through the same hash-join machinery but ship no payload
+    // columns from the right side.
+    "q44_semi_anti_join" -> Q(
+      (s, dir) => {
+        val customer = table(s, dir, "customer")
+        val orders = table(s, dir, "orders")
+        val withOrders = customer.join(orders,
+          col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), lit("has_orders").as("status"))
+        val withoutOrders = customer.join(orders,
+          col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), lit("no_orders").as("status"))
+        withOrders.unionByName(withoutOrders).orderBy("c_custkey")
+      },
+      Some(
+        """SELECT c_custkey, 'has_orders' AS status FROM customer
+          | WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          | UNION ALL
+          | SELECT c_custkey, 'no_orders' AS status FROM customer
+          | WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          | ORDER BY c_custkey""".stripMargin.replace("\n", ""))),
+
+    // INTERSECT / EXCEPT set semantics over user behavior cohorts.
+    "q45_set_ops" -> Q(
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+        val clickers = ev.where(col("event_type") === "click")
+          .select("user_id").distinct()
+        val purchasers = ev.where(col("event_type") === "purchase")
+          .select("user_id").distinct()
+        clickers.intersect(purchasers)
+          .withColumn("cohort", lit("click_and_purchase"))
+          .unionByName(clickers.except(purchasers)
+            .withColumn("cohort", lit("click_only")))
+          .orderBy("cohort", "user_id")
+      },
+      Some(
+        """WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+          | p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+          | u AS (SELECT user_id, 'click_and_purchase' AS cohort FROM (SELECT * FROM c INTERSECT SELECT * FROM p)
+          |   UNION ALL
+          |   SELECT user_id, 'click_only' AS cohort FROM (SELECT * FROM c EXCEPT SELECT * FROM p))
+          | SELECT user_id, cohort FROM u ORDER BY cohort, user_id"""
+          .stripMargin.replace("\n", ""))),
+
+    // Pivot: per-user event counts, one column per type (explicit value
+    // list so the plan needs no discovery pass over the data).
+    "q46_pivot_events" -> Q(
+      (s, dir) => table(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id"),
+      Some(
+        """SELECT user_id,
+          | count(*) FILTER (WHERE event_type = 'click') AS click,
+          | count(*) FILTER (WHERE event_type = 'error') AS error,
+          | count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+          | count(*) FILTER (WHERE event_type = 'signup') AS signup,
+          | count(*) FILTER (WHERE event_type = 'view') AS view
+          | FROM events GROUP BY user_id ORDER BY user_id"""
+          .stripMargin.replace("\n", "")))
+  )
+}
