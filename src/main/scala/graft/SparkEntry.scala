@@ -22,8 +22,12 @@ object SparkEntry {
     RelationalOps.all
   )
 
-  private lazy val catalog: Map[String, Q] =
-    catalogs.reduce(_ ++ _)
+  private lazy val catalog: Map[String, Q] = {
+    val merged = catalogs.reduce(_ ++ _)
+    require(catalogs.map(_.size).sum == merged.size,
+      "duplicate query keys across catalogs would silently shadow entries")
+    merged
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -32,21 +32,24 @@ object RelationalOps {
     "q44_semi_anti_join" -> Q(
       (s, dir) => {
         val customer = table(s, dir, "customer")
-        val orders = table(s, dir, "orders")
-        val withOrders = customer.join(orders,
+        // Filtered right side keeps BOTH branches non-empty on the gate
+        // data (every customer has some order, few have big ones).
+        val bigOrders = table(s, dir, "orders")
+          .where(col("o_totalprice") > 400000)
+        val withOrders = customer.join(bigOrders,
           col("c_custkey") === col("o_custkey"), "left_semi")
-          .select(col("c_custkey"), lit("has_orders").as("status"))
-        val withoutOrders = customer.join(orders,
+          .select(col("c_custkey"), lit("has_big_order").as("status"))
+        val withoutOrders = customer.join(bigOrders,
           col("c_custkey") === col("o_custkey"), "left_anti")
-          .select(col("c_custkey"), lit("no_orders").as("status"))
+          .select(col("c_custkey"), lit("no_big_order").as("status"))
         withOrders.unionByName(withoutOrders).orderBy("c_custkey")
       },
       Some(
-        """SELECT c_custkey, 'has_orders' AS status FROM customer
-          | WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """SELECT c_custkey, 'has_big_order' AS status FROM customer
+          | WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
           | UNION ALL
-          | SELECT c_custkey, 'no_orders' AS status FROM customer
-          | WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          | SELECT c_custkey, 'no_big_order' AS status FROM customer
+          | WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
           | ORDER BY c_custkey""".stripMargin.replace("\n", ""))),
 
     // INTERSECT / EXCEPT set semantics over user behavior cohorts.
@@ -55,8 +58,9 @@ object RelationalOps {
         val ev = table(s, dir, "events")
         val clickers = ev.where(col("event_type") === "click")
           .select("user_id").distinct()
-        val purchasers = ev.where(col("event_type") === "purchase")
-          .select("user_id").distinct()
+        // high-value purchases only (p85 of value), so both INTERSECT and EXCEPT branches are non-empty
+        val purchasers = ev.where(col("event_type") === "purchase" &&
+          col("value") > 150).select("user_id").distinct()
         clickers.intersect(purchasers)
           .withColumn("cohort", lit("click_and_purchase"))
           .unionByName(clickers.except(purchasers)
@@ -65,7 +69,7 @@ object RelationalOps {
       },
       Some(
         """WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
-          | p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+          | p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 150),
           | u AS (SELECT user_id, 'click_and_purchase' AS cohort FROM (SELECT * FROM c INTERSECT SELECT * FROM p)
           |   UNION ALL
           |   SELECT user_id, 'click_only' AS cohort FROM (SELECT * FROM c EXCEPT SELECT * FROM p))
@@ -76,6 +80,9 @@ object RelationalOps {
     // list so the plan needs no discovery pass over the data).
     "q46_pivot_events" -> Q(
       (s, dir) => table(s, dir, "events")
+        // sparse slice: most (user, type) cells are empty, so the
+        // missing-cell null -> 0 fill path is actually exercised
+        .where(col("value") > 150)
         .groupBy("user_id")
         .pivot("event_type",
           Seq("click", "error", "purchase", "signup", "view"))
@@ -89,7 +96,7 @@ object RelationalOps {
           | count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
           | count(*) FILTER (WHERE event_type = 'signup') AS signup,
           | count(*) FILTER (WHERE event_type = 'view') AS view
-          | FROM events GROUP BY user_id ORDER BY user_id"""
+          | FROM events WHERE value > 150 GROUP BY user_id ORDER BY user_id"""
           .stripMargin.replace("\n", "")))
   )
 }
