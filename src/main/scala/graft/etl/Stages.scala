@@ -40,76 +40,27 @@ object Parse {
     */
   def apply(lines: DataFrame, lineCol: String = "value",
             keep: Seq[String] = Nil): DataFrame = {
-    // explode(array(...)) is a deliberate Generate BARRIER around the
-    // tokenizer: predicate pushdown (and, for from_csv,
-    // OptimizeCsvJsonExprs) would otherwise substitute the non-cheap
-    // parse per reference — measured 25-52 parser copies in the
-    // optimized plan, 64 KB codegen overflow, ~15x the runtime. The
-    // Generate is codegen'd and cheap relative to any duplication.
-    // Tokenization itself is the custom codegen'd
-    // [[graft.functions.CsvTokenize]]: exact csv.reader semantics
-    // (quoted separators, "" escapes, exact token count) with much less
-    // per-row overhead than from_csv/univocity.
+    // One fused custom expression ([[graft.functions.ParseBankLine]])
+    // tokenizes, arity-checks, coerces, and error-routes the line in a
+    // single imperative pass. explode(array(...)) is a deliberate
+    // Generate BARRIER: without it, predicate pushdown (and, for
+    // from_csv-style exprs, OptimizeCsvJsonExprs) substitutes the
+    // non-cheap parse per reference — measured 25-52 parser copies in
+    // the optimized plan, 64 KB codegen overflow, ~15x the runtime.
+    // Fields come off the generator output as plain struct gets.
     val tok = lines.select(
       keep.map(col) ++ Seq(
         col(lineCol).as(Stage.Raw),
-        explode(array(graft.functions.CsvTokenize.csvTokenize(col(lineCol))))
-          .as("_t")): _*)
-
-    // Guarded 0-based getItem: the when() keeps OOB access unevaluated
-    // (short rows), and unlike try_element_at it stays codegen'd.
-    def t(i: Int): Column =
-      when(size(col("_t")) > i, col("_t").getItem(i))
-
-    // Exact parsed-field count (quoted separators excluded by the
-    // tokenizer), matching csv.reader's row length check (bp.py:118).
-    val arity = size(col("_t"))
-
-    // Typed projection in CSV position order (bp.py:121-138).
-    val typed: Seq[(String, Column)] = BankSchema.inputFields.zipWithIndex.map {
-      case (f, i) =>
-        val c = f.dataType match {
-          case IntegerType => t(i).try_cast(IntegerType)
-          case DoubleType  => t(i).try_cast(DoubleType)
-          case _           => lower(trim(t(i)))
-        }
-        f.name -> c
-    }
-    val typedMap = typed.toMap
-
-    // First numeric coercion failure, Python-exception-shaped (bp.py:121-138).
-    val coercionErr = coalesce(
-      BankSchema.numericCoercions.map { case (i, name, tpe) =>
-        val pyMsg =
-          if (tpe == "INT")
-            concat(lit("ParseError: invalid literal for int() with base 10: '"),
-              t(i), lit("'"))
-          else
-            concat(lit("ParseError: could not convert string to float: '"),
-              t(i), lit("'"))
-        when(t(i).isNotNull && typedMap(name).isNull, pyMsg)
-      }: _*)
-
-    // Required-field NOT-NULL constraint (bp.py:143-145; age/job/balance).
-    val requiredErr = coalesce(
-      Seq("age", "job", "balance").map { name =>
-        when(typedMap(name).isNull,
-          lit(s"ParseError: Required field $name is missing"))
-      }: _*)
-
-    val errMsg =
-      when(arity =!= Thresholds.NumCsvColumns,
-        concat(lit(s"ParseError: Expected ${Thresholds.NumCsvColumns} columns, got "),
-          arity.cast(StringType)))
-        .otherwise(coalesce(coercionErr, requiredErr))
+        explode(array(graft.functions.ParseBankLine.parseBankLine(col(lineCol))))
+          .as("_p")): _*)
 
     tok.select(
       keep.map(col) ++ Seq(col(Stage.Raw)) ++
-        typed.map { case (n, c) => c.as(n) } ++
+        BankSchema.inputColumns.map(c => col(s"_p.$c").as(c)) ++
         Seq(
           current_timestamp().as("_ingestion_timestamp"),
-          when(errMsg.isNotNull, lit("parsing_error")).as(Stage.ErrType),
-          errMsg.as(Stage.ErrMsg)): _*)
+          col("_p._error_type").as(Stage.ErrType),
+          col("_p._error_message").as(Stage.ErrMsg)): _*)
   }
 
   /** Adapter for already-typed rows (e.g. testdata-hosted frames): attach

@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused parse of one banking CSV line straight to the typed 17-field
+  * struct plus the parse-error channel — tokenize, arity check, positional
+  * coercion with Python-exception-shaped messages, required-field check,
+  * all in one imperative pass (bp.py:109-156 semantics, identical to the
+  * composable formulation it replaces; the oracle gate pins equality).
+  *
+  * Why fused: the composable path (tokenize expression + 17 guarded
+  * getItem extractions + 7 try_casts + 10 lower/trim + error-message
+  * coalesce trees) evaluates ~40 expression nodes per row. This is one
+  * static call building one InternalRow. Numeric coercion uses
+  * UTF8String's own parsers (the same code path Cast uses), so
+  * try_cast-equivalence holds bit-for-bit.
+  */
+case class ParseBankLine(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_parse_bank_line needs STRING input, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ParseBankLine.outputType
+
+  override protected def nullSafeEval(line: Any): Any =
+    ParseBankLine.parse(line.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ParseBankLine.parse($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): ParseBankLine =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_parse_bank_line"
+}
+
+object ParseBankLine {
+  import graft.schema.{BankSchema, Thresholds}
+
+  /** 17 typed fields + _error_type + _error_message. */
+  val outputType: StructType = StructType(
+    BankSchema.inputFields :+
+      StructField("_error_type", StringType) :+
+      StructField("_error_message", StringType))
+
+  private val N = Thresholds.NumCsvColumns
+  // positions: 0 age(int) 5 balance(double) 9 day 11 duration 12 campaign
+  // 13 pdays 14 previous (ints); rest lower/trim strings
+  private val IntPos = Array(0, 9, 11, 12, 13, 14)
+  private val ParsingError = UTF8String.fromString("parsing_error")
+
+  private def err(row: GenericInternalRow, msg: String): InternalRow = {
+    row.update(N, ParsingError)
+    row.update(N + 1, UTF8String.fromString(msg))
+    row
+  }
+
+  /** Static entry point shared by interpreted eval and generated code. */
+  def parse(line: UTF8String): InternalRow = {
+    val toks: ArrayData = CsvTokenize.tokenize(line)
+    val row = new GenericInternalRow(N + 2)
+    val n = toks.numElements()
+    if (n != N)
+      return err(row, s"ParseError: Expected $N columns, got $n")
+
+    // Positional coercion in CSV order; first failure wins (bp.py:121-138).
+    var i = 0
+    while (i < N) {
+      val tok = toks.getUTF8String(i)
+      i match {
+        case 0 | 9 | 11 | 12 | 13 | 14 => // int fields
+          val w = new UTF8String.IntWrapper
+          if (tok.trimAll().toInt(w)) row.update(i, w.value)
+          else return err(row,
+            s"ParseError: invalid literal for int() with base 10: '$tok'")
+        case 5 => // balance: double
+          val t = tok.trimAll()
+          val d = t.toString
+          try row.update(i, java.lang.Double.parseDouble(d))
+          catch { case _: NumberFormatException =>
+            return err(row,
+              s"ParseError: could not convert string to float: '$tok'")
+          }
+        case _ =>
+          row.update(i, tok.trim().toLowerCase)
+      }
+      i += 1
+    }
+    // Required-field NOT-NULL constraint (bp.py:143-145) — dead in
+    // practice (coercion already errored), preserved for fidelity.
+    if (row.isNullAt(0) || row.isNullAt(1) || row.isNullAt(5)) {
+      val name = if (row.isNullAt(0)) "age"
+        else if (row.isNullAt(1)) "job" else "balance"
+      return err(row, s"ParseError: Required field $name is missing")
+    }
+    row
+  }
+
+  /** Column API. */
+  def parseBankLine(line: Column): Column =
+    Bridge.column(ParseBankLine(Bridge.expression(line)))
+}

@@ -55,12 +55,12 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size >= 1, plan)
   }
 
-  test("parse stage tokenizes each line exactly once (custom expression)") {
+  test("parse stage parses each line exactly once (fused custom expression)") {
     val df = graft.etl.Parse(
       TestData.bankFrame(spark, sf).selectExpr("cast(id as string) as value"))
     val optimized = df.queryExecution.optimizedPlan.toString
-    assert("graft_csv_tokenize".r.findAllIn(optimized).size == 1,
-      s"csv tokenize duplicated:\n$optimized")
+    assert("graft_parse_bank_line".r.findAllIn(optimized).size == 1,
+      s"parse duplicated:\n$optimized")
     assert(!optimized.contains("from_csv"))
   }
 
