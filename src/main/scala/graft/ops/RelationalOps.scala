@@ -76,6 +76,45 @@ object RelationalOps {
           | SELECT user_id, cohort FROM u ORDER BY cohort, user_id"""
           .stripMargin.replace("\n", ""))),
 
+    // CUBE grouping sets: all 4 grouping combinations in one pass.
+    "q47_cube_orders" -> Q(
+      (s, dir) => table(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+      Some(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+          | FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+          | ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""
+          .stripMargin.replace("\n", ""))),
+
+    // Exact discrete median per group via order statistics (row_number
+    // against the group size) — no floating-point interpolation, so the
+    // result is an actual data element and compares exactly.
+    "q48_median_order_value" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        table(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1))
+            .over(Window.partitionBy("o_orderpriority")))
+          .where(col("rn") === expr("(cnt + 1) div 2"))
+          .select(col("o_orderpriority"),
+            col("o_totalprice").as("median_value"))
+          .orderBy("o_orderpriority")
+      },
+      Some(
+        """WITH r AS (SELECT o_orderpriority, o_totalprice, o_orderkey,
+          |   row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn,
+          |   count(*) OVER (PARTITION BY o_orderpriority) AS cnt
+          | FROM orders)
+          | SELECT o_orderpriority, o_totalprice AS median_value FROM r
+          | WHERE rn = (cnt + 1) // 2
+          | ORDER BY o_orderpriority""".stripMargin.replace("\n", ""))),
+
     // Pivot: per-user event counts, one column per type (explicit value
     // list so the plan needs no discovery pass over the data).
     "q46_pivot_events" -> Q(
