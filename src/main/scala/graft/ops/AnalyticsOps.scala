@@ -128,6 +128,40 @@ object AnalyticsOps {
           | ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""
           .stripMargin.replace("\n", ""))),
 
+    // Range join via time-binning: for each purchase, count ALL clicks in
+    // the preceding 60s. The naive inequality join is a nested-loop
+    // cross product; binning both sides to 60s buckets and joining on
+    // bucket IN {b-1, b} turns it into an equi-join with a cheap residual
+    // range filter — the shape that survives 100 TB.
+    "q49_range_join_clicks" -> Q(
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+        val winSec = 60L
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("ts").as("pts"),
+            (unix_timestamp(col("ts")) / winSec).cast("long").as("bin"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("ts").as("cts"),
+            (unix_timestamp(col("ts")) / winSec).cast("long").as("cbin"))
+        // each purchase probes its own bin and the previous one
+        val probes = purchases.select(col("event_id"), col("pts"),
+          explode(array(col("bin") - 1, col("bin"))).as("cbin"))
+        probes.join(clicks, Seq("cbin"), "left")
+          .where(col("cts").isNotNull &&
+            col("cts") <= col("pts") &&
+            col("cts") >= col("pts") - expr(s"INTERVAL $winSec SECONDS"))
+          .groupBy("event_id")
+          .agg(count(lit(1)).as("n_recent_clicks"))
+          .orderBy("event_id")
+      },
+      Some(
+        """SELECT p.event_id, count(*) AS n_recent_clicks
+          | FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          | JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          |   ON c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 60 SECONDS
+          | GROUP BY p.event_id ORDER BY p.event_id""".stripMargin
+          .replace("\n", ""))),
+
     // As-of join: for each purchase, the user's latest click at-or-before
     // it. Union-window formulation (single shuffle by user, no range
     // explosion); oracle is DuckDB's native ASOF LEFT JOIN.
