@@ -128,6 +128,33 @@ object AnalyticsOps {
           | ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""
           .stripMargin.replace("\n", ""))),
 
+    // Native session windows (5-minute gap) per user, cross-validated
+    // against a first-principles gaps-and-islands oracle (lag + running
+    // sum) — the two formulations must agree exactly.
+    "q50_session_windows" -> Q(
+      (s, dir) => table(s, dir, "events")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "5 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          unix_timestamp(col("w.start")).as("session_start_epoch"),
+          col("n"))
+        .orderBy("user_id", "session_start_epoch"),
+      Some(
+        """WITH o AS (SELECT user_id, ts,
+          |   CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 300
+          |        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+          |   THEN 1 ELSE 0 END AS new_session
+          | FROM events),
+          | g AS (SELECT user_id, ts,
+          |   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+          | FROM o)
+          | SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch,
+          |   count(*) AS n
+          | FROM g GROUP BY user_id, sid
+          | ORDER BY user_id, session_start_epoch""".stripMargin
+          .replace("\n", ""))),
+
     // Range join via time-binning: for each purchase, count ALL clicks in
     // the preceding 60s. The naive inequality join is a nested-loop
     // cross product; binning both sides to 60s buckets and joining on
