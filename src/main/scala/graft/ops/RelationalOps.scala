@@ -76,6 +76,20 @@ object RelationalOps {
           | SELECT user_id, cohort FROM u ORDER BY cohort, user_id"""
           .stripMargin.replace("\n", ""))),
 
+    // Sketch aggregations: HyperLogLog++ distinct counts and quantile
+    // sketches — the fixed-memory shapes for 100 TB cardinality work.
+    // Approximate by design -> no oracle (driver rows-only check).
+    "q51_sketches" -> Q(
+      (s, dir) => table(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          approx_count_distinct(col("user_id"), 0.01).as("approx_users_1pct"),
+          percentile_approx(col("value"), lit(0.5), lit(10000))
+            .as("approx_median_value"))
+        .orderBy("event_type"),
+      None),
+
     // CUBE grouping sets: all 4 grouping combinations in one pass.
     "q47_cube_orders" -> Q(
       (s, dir) => table(s, dir, "orders")
