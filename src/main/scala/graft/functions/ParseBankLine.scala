@@ -19,9 +19,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * Why fused: the composable path (tokenize expression + 17 guarded
   * getItem extractions + 7 try_casts + 10 lower/trim + error-message
   * coalesce trees) evaluates ~40 expression nodes per row. This is one
-  * static call building one InternalRow. Numeric coercion uses
-  * UTF8String's own parsers (the same code path Cast uses), so
-  * try_cast-equivalence holds bit-for-bit.
+  * static call building one InternalRow. Int coercion uses UTF8String's
+  * own parser (the code path Cast uses); balance coercion is gated by a
+  * Python-float-shaped pattern so acceptance matches the reference's
+  * float() (and the oracle's TRY_CAST) rather than Java's wider grammar.
   */
 case class ParseBankLine(child: Expression) extends UnaryExpression {
 
@@ -67,6 +68,29 @@ object ParseBankLine {
     row
   }
 
+  // Python float()-shaped token: optional sign, then decimal digits with
+  // optional point/exponent, or case-insensitive inf/infinity/nan. Shields
+  // Double.parseDouble from the Java-only forms Python rejects ('5d'/'5f'
+  // suffixes, hex floats like '0x1p3') and admits the Python-only
+  // 'inf'/'INF' spellings Java rejects. (Python additionally allows
+  // digit-group underscores, '1_000.5'; deliberately excluded — the DuckDB
+  // oracle's TRY_CAST rejects them and no real data uses them.)
+  private val FloatShape = java.util.regex.Pattern.compile(
+    """[+-]?(?:(?:\d+(?:\.\d*)?|\.\d+)(?:[eE][+-]?\d+)?|(?i:inf(?:inity)?|nan))""")
+
+  /** Parse with Python float() semantics; null when the token is rejected. */
+  private def pythonFloat(s: String): java.lang.Double = {
+    if (!FloatShape.matcher(s).matches()) return null
+    val neg = s.startsWith("-")
+    val body = if (neg || s.startsWith("+")) s.substring(1) else s
+    val v = body.toLowerCase match {
+      case "inf" | "infinity" => Double.PositiveInfinity
+      case "nan" => Double.NaN
+      case _ => java.lang.Double.parseDouble(body)
+    }
+    java.lang.Double.valueOf(if (neg) -v else v)
+  }
+
   /** Static entry point shared by interpreted eval and generated code. */
   def parse(line: UTF8String): InternalRow = {
     val toks: ArrayData = CsvTokenize.tokenize(line)
@@ -85,14 +109,11 @@ object ParseBankLine {
           if (tok.trimAll().toInt(w)) row.update(i, w.value)
           else return err(row,
             s"ParseError: invalid literal for int() with base 10: '$tok'")
-        case 5 => // balance: double
-          val t = tok.trimAll()
-          val d = t.toString
-          try row.update(i, java.lang.Double.parseDouble(d))
-          catch { case _: NumberFormatException =>
-            return err(row,
-              s"ParseError: could not convert string to float: '$tok'")
-          }
+        case 5 => // balance: double, Python float() acceptance rules
+          val d = pythonFloat(tok.trimAll().toString)
+          if (d != null) row.update(i, d.doubleValue())
+          else return err(row,
+            s"ParseError: could not convert string to float: '$tok'")
         case _ =>
           row.update(i, tok.trim().toLowerCase)
       }

@@ -203,7 +203,10 @@ object AnalyticsOps {
           col("user_id"), col("ts"), lit(1).as("tag"),
           lit(null).cast("bigint").as("cid"), col("event_id"))
         // At equal ts the click sorts first (tag 0 < 1) => inclusive <=.
-        val w = Window.partitionBy("user_id").orderBy("ts", "tag")
+        // cid as final tiebreaker: among clicks tied on ts the max cid
+        // wins deterministically (DuckDB ASOF picks an arbitrary tied row,
+        // so the oracle pre-aggregates clicks to max(cid) per (user, ts)).
+        val w = Window.partitionBy("user_id").orderBy("ts", "tag", "cid")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         clicks.unionByName(purchases)
           .withColumn("click_id", last("cid", ignoreNulls = true).over(w))
@@ -214,7 +217,8 @@ object AnalyticsOps {
       Some(
         """SELECT p.event_id, p.user_id, c.event_id AS click_id
           | FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-          | ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          | ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS event_id
+          |   FROM events WHERE event_type = 'click' GROUP BY user_id, ts) c
           | ON p.user_id = c.user_id AND c.ts <= p.ts
           | ORDER BY p.event_id""".stripMargin.replace("\n", "")))
   )

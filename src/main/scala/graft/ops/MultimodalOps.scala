@@ -36,7 +36,10 @@ object MultimodalOps {
     "q38_frame_sample" -> Q(
       (s, dir) => table(s, dir, "documents")
         .select(col("doc_id"), col("text"),
-          explode(expr("sequence(0, (length(text) - 1) div 64)"))
+          // greatest(..., 0): empty text yields one empty chunk on both
+          // engines (Spark's div truncates toward zero, DuckDB's //
+          // floors, so -1/64 would disagree: 0 vs -1).
+          explode(expr("sequence(0, greatest((length(text) - 1) div 64, 0))"))
             .as("chunk_idx"))
         .where(col("chunk_idx") % 2 === 0)
         .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
@@ -45,7 +48,7 @@ object MultimodalOps {
         .orderBy("doc_id", "chunk_idx"),
       Some(
         """WITH c AS (SELECT doc_id, text,
-          | unnest(generate_series(0, (length(text) - 1) // 64)) AS chunk_idx
+          | unnest(generate_series(0, greatest((length(text) - 1) // 64, 0))) AS chunk_idx
           | FROM documents)
           | SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
           | md5(substr(text, CAST(chunk_idx * 64 + 1 AS INT), 64)) AS chunk_md5

@@ -215,13 +215,22 @@ object RefQueries {
         // The 4-way demux re-reads the errors frame once per stream;
         // persist so the parse pipeline runs once, not four times (the
         // same recompute-vs-persist tradeoff called out in SURVEY.md §4.3).
+        // The final aggregate is ≤4 rows, so materialize it eagerly and
+        // unpersist before returning — a long-lived session (Bench runs
+        // every query in one) must not accumulate cached partitions.
         res.errors.persist()
-        val streams = res.errorStreamsByStage
-        BankingPipeline.unionErrors(
-          Seq(streams("parsing_error"), streams("data_validation"),
-            streams("segmentation_error"), streams("preparation_error")))
-          .groupBy("error_type").agg(count(lit(1)).as("n"))
-          .orderBy("error_type")
+        try {
+          val agg = BankingPipeline.unionErrors(
+            Seq(res.errorStreamsByStage("parsing_error"),
+              res.errorStreamsByStage("data_validation"),
+              res.errorStreamsByStage("segmentation_error"),
+              res.errorStreamsByStage("preparation_error")))
+            .groupBy("error_type").agg(count(lit(1)).as("n"))
+            .orderBy("error_type")
+          val rows = agg.collect().toSeq
+          import scala.jdk.CollectionConverters._
+          s.createDataFrame(rows.asJava, agg.schema).orderBy("error_type")
+        } finally res.errors.unpersist()
       },
       Some(bankCte +
         """ SELECT 'data_validation' AS error_type, count(*) AS n FROM bank

@@ -53,11 +53,17 @@ object BankingPipeline {
     */
   def readCsvLines(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.text(path)
-    // Drop the header by value, not position: distributed-safe (no
-    // single-partition assumption at 100 TB), assuming the header text
-    // `age;job;...` never recurs as a data row (it cannot parse as one).
-    val header = raw.limit(1)
-    raw.exceptAll(header)
+    // Drop header lines structurally, not positionally: a data row's first
+    // field must parse as an integer age, so any line whose first token is
+    // the literal column name `age` (optionally "-quoted, as in the UCI
+    // distribution) is a header. No ordering assumption (limit(1) on a
+    // multi-split read can return an arbitrary row), one header per file
+    // part is handled (Beam's skip_header_lines=1 is per file), and the
+    // read stays a single shuffle-free stage.
+    val firstTok = trim(regexp_replace(
+      org.apache.spark.sql.functions.split(col("value"), ";").getItem(0),
+      "\"", ""))
+    raw.where(lower(firstTok) =!= "age")
   }
 
   /** One split at the very end (SURVEY.md §4.3a): both branches share the

@@ -53,6 +53,39 @@ class PipelineSpec extends SparkSpec {
       "ParseError: could not convert string to float: '12,5'"))
   }
 
+  test("balance coercion matches Python float() on edge tokens") {
+    def withBalance(tok: String) = valid.replace(";1500.5;", s";$tok;")
+    // Java-only forms Python rejects -> error channel.
+    val res = BankingPipeline.fromLines(Seq(
+      withBalance("5d"), withBalance("5f"), withBalance("0x1p3"),
+      // Python-accepted forms Java's parseDouble rejects or both accept.
+      withBalance("inf"), withBalance("-INFINITY"), withBalance("+.5e2"),
+      withBalance("7.")
+    ).toDF("value"))
+    val errs = res.errors.select("error_message").as[String].collect().toSet
+    assert(errs == Set(
+      "ParseError: could not convert string to float: '5d'",
+      "ParseError: could not convert string to float: '5f'",
+      "ParseError: could not convert string to float: '0x1p3'"))
+    val ok = res.processed.select("balance").as[Double].collect().toSet
+    assert(ok == Set(Double.PositiveInfinity, Double.NegativeInfinity,
+      50.0, 7.0))
+  }
+
+  test("one header per file part is dropped (Beam skip_header_lines=1 semantics)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-parts")
+    val header = "age;job;marital;education;default;balance;housing;loan;" +
+      "contact;day;month;duration;campaign;pdays;previous;poutcome;y"
+    java.nio.file.Files.write(dir.resolve("part-0.csv"),
+      java.util.Arrays.asList(header, valid))
+    java.nio.file.Files.write(dir.resolve("part-1.csv"),
+      java.util.Arrays.asList("\"age\";\"job\";rest", valid, valid))
+    val lines = BankingPipeline.readCsvLines(spark, dir.toString)
+    assert(lines.count() == 3) // both headers gone, all data rows kept
+    val res = BankingPipeline.fromLines(lines)
+    assert(res.processed.count() == 3 && res.errors.count() == 0)
+  }
+
   test("age range validation inclusive [18,100] (bp.py:171)") {
     def withAge(a: Int) = valid.replaceFirst("^42", a.toString)
     val res = BankingPipeline.fromLines(
