@@ -104,14 +104,16 @@ object DedupOps {
 
     // MinHash + LSH banding: 16 hashes, 4 bands of 4 rows; candidate
     // pairs share >=1 band bucket; est_sim = signature agreement rate.
-    // No oracle: xxhash64 is engine-specific (driver rows-only check).
+    // Bucket key = the band's 4-element signature slice itself (array
+    // equi-join) — no second hash, and the DuckDB oracle replays the
+    // whole md5-affine hash family exactly (constants interpolated from
+    // MinHashAgg.As/Bs).
     "q25_minhash_lsh" -> Q(
       (s, dir) => {
         val sig = minhashSignatures(shingles(table(s, dir, "documents")))
         val bandCols = (0 until NumHashes / BandSize).map { b =>
           struct(lit(b).as("band"),
-            xxhash64((b * BandSize until (b + 1) * BandSize)
-              .map(j => element_at(col("sig"), j + 1)): _*).as("bucket"))
+            slice(col("sig"), b * BandSize + 1, BandSize).as("bucket"))
         }
         val banded = sig.select(col("doc_id"),
           explode(array(bandCols: _*)).as("bb"))
@@ -134,16 +136,42 @@ object DedupOps {
           .orderBy(desc("est_sim"), col("d1"), col("d2"))
           .limit(200)
       },
-      None),
+      Some {
+        import graft.functions.MinHashAgg.{As, Bs, P}
+        val abValues = (0 until NumHashes)
+          .map(j => s"($j, ${As(j)}, ${Bs(j)})").mkString(", ")
+        val bandValues = (0 until NumHashes / BandSize)
+          .map(b => s"($b)").mkString(", ")
+        s"""WITH s0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3),
+           | i0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM s0),
+           | sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM i0),
+           | hx AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS x FROM sh),
+           | ab AS (SELECT * FROM (VALUES $abValues) t(j, a, b)),
+           | hj AS (SELECT doc_id, j, min((a * x + b) % $P) AS h FROM hx CROSS JOIN ab GROUP BY doc_id, j),
+           | sig AS (SELECT doc_id, list(h ORDER BY j) AS sig FROM hj GROUP BY doc_id),
+           | band AS (SELECT doc_id, bnd, sig[bnd * $BandSize + 1 : bnd * $BandSize + $BandSize] AS bucket
+           |   FROM sig CROSS JOIN (VALUES $bandValues) t(bnd)),
+           | cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM band a
+           |   JOIN band b ON a.bnd = b.bnd AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+           | sim AS (SELECT d1, d2,
+           |   list_reduce(list_transform(list_zip(sa.sig, sb.sig), p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END), (x, y) -> x + y) * 1.0 / $NumHashes AS est_sim
+           |   FROM cand JOIN sig sa ON d1 = sa.doc_id JOIN sig sb ON d2 = sb.doc_id)
+           | SELECT d1, d2, est_sim FROM sim
+           | ORDER BY est_sim DESC, d1, d2 LIMIT 200""".stripMargin
+          .replace("\n", "")
+      }),
 
     // SimHash: 32-bit signature from term-frequency-weighted word hashes.
-    // No oracle: xxhash64 is engine-specific (driver rows-only check).
+    // Word hash = leading 32 bits of md5 — cross-engine reproducible, so
+    // the signature is oracle-checked bit-for-bit (unlike xxhash64).
     "q26_simhash" -> Q(
       (s, dir) => {
         val wordHash = table(s, dir, "documents")
           .select(col("doc_id"),
             explode(split(col("text"), " ")).as("word"))
-          .select(col("doc_id"), xxhash64(col("word")).as("h"))
+          .select(col("doc_id"),
+            conv(substring(md5(col("word")), 1, 8), 16, 10)
+              .cast("long").as("h"))
         val bitSums = wordHash.groupBy("doc_id").agg(
           sum(when(shiftright(col("h"), 0).bitwiseAND(1L) === 1L, 1)
             .otherwise(-1)).as("b0"),
@@ -155,7 +183,14 @@ object DedupOps {
           .reduce(_ + _)
         bitSums.select(col("doc_id"), sig.as("simhash")).orderBy("doc_id")
       },
-      None),
+      Some(
+        """WITH wh AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h
+          |   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
+          | bs AS (SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          |   FROM wh CROSS JOIN range(32) t(j) GROUP BY doc_id, j)
+          | SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+          | FROM bs GROUP BY doc_id ORDER BY doc_id""".stripMargin
+          .replace("\n", ""))),
 
     // Embedding-cosine near-dup pairs (threshold 0.3 on this synthetic
     // data). Exact double arithmetic with the same fold order as the

@@ -51,6 +51,28 @@ object SimilarityOps {
       when(dot > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** The plane constants as SQL VALUES rows `(j, DOUBLE[])` — Java double
+    * toString round-trips exactly, so the oracle evaluates the identical
+    * hyperplanes; with the same left-to-right fold the bucket bits agree
+    * bit-for-bit.
+    */
+  private lazy val planesSqlValues: String =
+    planes.zipWithIndex.map { case (p, j) =>
+      s"($j, [${p.mkString(", ")}]::DOUBLE[])"
+    }.mkString(", ")
+
+  /** Shared oracle CTE: normalized vectors + per-vector LSH bucket. */
+  private lazy val bucketCte: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       | n AS (SELECT vec_id, v,
+       |   sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm FROM e),
+       | pl AS (SELECT * FROM (VALUES $planesSqlValues) t(j, p)),
+       | dots AS (SELECT n.vec_id, pl.j,
+       |   list_reduce(list_transform(list_zip(n.v, pl.p), q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)), (x, y) -> x + y) AS dot
+       |   FROM n CROSS JOIN pl),
+       | bk AS (SELECT vec_id, CAST(sum(CASE WHEN dot > 0 THEN (1 << j) ELSE 0 END) AS INT) AS bucket
+       |   FROM dots GROUP BY vec_id)""".stripMargin.replace("\n", "")
+
   def all: Map[String, Q] = Map(
 
     // Brute-force exact cosine top-5 for queries vec_id % 100 == 0.
@@ -85,14 +107,19 @@ object SimilarityOps {
           | ORDER BY query_id, rnk""".stripMargin.replace("\n", ""))),
 
     // LSH bucket assignment (the scale path's blocking structure).
-    // No oracle: seeded-gaussian planes live in Spark literals only.
+    // Oracle replays the seeded-gaussian planes from interpolated
+    // literals with the same fold order, so buckets match exactly.
     "q29_ann_lsh_buckets" -> Q(
       (s, dir) => normed(s, dir)
         .select(col("vec_id"), lshBucket(col("v")).as("bucket"))
         .withColumn("n_in_bucket",
           count(lit(1)).over(Window.partitionBy("bucket")))
         .orderBy("vec_id"),
-      None),
+      Some(bucketCte +
+        """, cnt AS (SELECT bucket, count(*) AS n_in_bucket FROM bk GROUP BY bucket)
+          | SELECT bk.vec_id, bk.bucket, cnt.n_in_bucket
+          | FROM bk JOIN cnt USING (bucket) ORDER BY vec_id""".stripMargin
+          .replace("\n", ""))),
 
     // LSH-accelerated top-k: exact cosine only among bucket-mates.
     "q30_ann_lsh_topk" -> Q(
@@ -112,6 +139,17 @@ object SimilarityOps {
           .select("query_id", "rnk", "cand_id", "cosine")
           .orderBy("query_id", "rnk")
       },
-      None)
+      Some(bucketCte +
+        """, nb AS (SELECT n.vec_id, n.v, n.nrm, bk.bucket FROM n JOIN bk USING (vec_id)),
+          | q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket AS qbucket
+          |   FROM nb WHERE vec_id % 100 = 0),
+          | sc AS (SELECT q.query_id, nb.vec_id AS cand_id,
+          |   list_reduce(list_transform(list_zip(q.qv, nb.v), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+          |     / (q.qn * nb.nrm) AS cosine
+          |   FROM q JOIN nb ON nb.bucket = q.qbucket AND nb.vec_id <> q.query_id),
+          | r AS (SELECT query_id, cand_id, cosine,
+          |   CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rnk FROM sc)
+          | SELECT query_id, rnk, cand_id, cosine FROM r WHERE rnk <= 5
+          | ORDER BY query_id, rnk""".stripMargin.replace("\n", "")))
   )
 }

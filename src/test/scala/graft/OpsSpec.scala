@@ -75,6 +75,13 @@ class OpsSpec extends SparkSpec {
     assert(m(1L) == m(2L))
   }
 
+  test("minhash md5 pre-hash equals DuckDB's ('0x' || substr(md5(s),1,8))::BIGINT") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // md5('hello') = 5d41402a... -> 0x5d41402a = 1564557354 (verified duckdb)
+    assert(graft.functions.MinHashAgg.md5Head32(
+      UTF8String.fromString("hello")) == 1564557354L)
+  }
+
   test("graft_dot is registered as a SQL function via GraftExtensions") {
     val got = spark.sql(
       "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
