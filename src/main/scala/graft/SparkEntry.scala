@@ -19,7 +19,8 @@ object SparkEntry {
     AnalyticsOps.all,
     MultimodalOps.all,
     ScaleOps.all,
-    RelationalOps.all
+    RelationalOps.all,
+    ExtendedOps.all
   )
 
   private lazy val catalog: Map[String, Q] = {

@@ -240,6 +240,35 @@ object RefQueries {
           | WHERE id % 7 = 0
           | ORDER BY error_type""".stripMargin.replace("\n", ""))),
 
+    // S1/P1 alternative: the idiomatic Spark source path — native
+    // from_csv with an explicit typed schema — beside the fused
+    // raw-line parser (q01). Same output, same oracle: demonstrates the
+    // built-in reader covers the well-formed-input case, while the fused
+    // path exists for the reference's error-channel fidelity on
+    // malformed lines.
+    "q57_csv_reader_parse" -> Q(
+      (s, dir) => {
+        val lines = csvLines(bankFrame(s, dir))
+        val schema = graft.schema.BankSchema.inputFields
+          .map(f => s"`${f.name}` ${f.dataType.simpleString}")
+          .mkString(", ")
+        val parsed = lines.select(col("id"),
+          from_csv(col("line"),
+            org.apache.spark.sql.types.StructType.fromDDL(schema),
+            Map("sep" -> ";", "quote" -> "\"")).as("p"))
+        val strings = Set("job", "marital", "education", "default",
+          "housing", "loan", "contact", "month", "poutcome", "y")
+        parsed.select(Seq(col("id")) ++ inputCols.map { c =>
+          val v = col(s"p.$c")
+          (if (strings(c)) lower(trim(v)) else v).as(c)
+        }: _*).orderBy("id")
+      },
+      Some(bankCte +
+        """ SELECT id, age, job, marital, education, "default", balance,
+          | housing, loan, contact, day, month, duration, campaign, pdays,
+          | previous, poutcome, y FROM bank ORDER BY id""".stripMargin
+          .replace("\n", ""))),
+
     // Flagship: the whole 4-stage pipeline, deterministic columns only.
     "q16_pipeline_e2e" -> Q(
       (s, dir) => flagship(s, dir),
