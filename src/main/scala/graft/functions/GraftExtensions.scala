@@ -5,8 +5,9 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SparkSessionExtensions hook registering graft's custom expressions as
-  * SQL functions, so `spark.sql("SELECT graft_dot(a, b)")` works next to
-  * the Column API. Install with:
+  * SQL functions (so `spark.sql("SELECT graft_dot(a, b)")` works next to
+  * the Column API) and graft's optimizer rules
+  * ([[graft.plans.BinnedRangeJoinRule]]). Install with:
   *   SparkSession.builder().withExtensions(new GraftExtensions)
   * or spark.sql.extensions=graft.functions.GraftExtensions.
   */
@@ -19,5 +20,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "graft_dot takes exactly 2 arguments")
         DotProduct(children.head, children(1))
       }))
+    ext.injectOptimizerRule(_ => graft.plans.BinnedRangeJoinRule)
   }
 }

@@ -189,6 +189,33 @@ object AnalyticsOps {
           | GROUP BY p.event_id ORDER BY p.event_id""".stripMargin
           .replace("\n", ""))),
 
+    // The SAME range join written naively — a bare inequality join that
+    // Spark would execute as a broadcast-nested-loop product.
+    // graft.plans.BinnedRangeJoinRule (installed via GraftExtensions)
+    // rewrites it into the binned equi-join automatically; this entry
+    // pins the rewrite's semantics against the same oracle as q49.
+    "q58_range_join_auto" -> Q(
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("ts").as("pts"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("ts").as("cts"))
+        purchases.join(clicks,
+          col("cts") <= col("pts") &&
+            col("cts") >= col("pts") - expr("INTERVAL 60 SECONDS"))
+          .groupBy("event_id")
+          .agg(count(lit(1)).as("n_recent_clicks"))
+          .orderBy("event_id")
+      },
+      Some(
+        """SELECT p.event_id, count(*) AS n_recent_clicks
+          | FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          | JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          |   ON c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 60 SECONDS
+          | GROUP BY p.event_id ORDER BY p.event_id""".stripMargin
+          .replace("\n", ""))),
+
     // As-of join: for each purchase, the user's latest click at-or-before
     // it. Union-window formulation (single shuffle by user, no range
     // explosion); oracle is DuckDB's native ASOF LEFT JOIN.
