@@ -109,7 +109,10 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     case j @ Join(left, right, Inner, Some(cond), hint) =>
       val conjuncts = splitConjunctivePredicates(cond)
       val rewritten =
-        if (crossSideEquality(conjuncts, left, right)) None
+        // Streaming range joins have their own state-eviction machinery
+        // keyed on the raw interval condition — leave them alone.
+        if (left.isStreaming || right.isStreaming) None
+        else if (crossSideEquality(conjuncts, left, right)) None
         else {
           // Find a lower bound and an upper bound over the same (b, a)
           // timestamp column pair, with a and b from opposite sides.

@@ -49,6 +49,30 @@ object EventStreaming {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Stream-stream interval join: each purchase paired with the same
+    * user's clicks in the preceding `windowSec` seconds. Watermarks on
+    * BOTH sides bound the join state (clicks older than purchase
+    * watermark + window are evicted) — the property that lets this run
+    * indefinitely. Inputs are events-schema frames (batch or streaming).
+    */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame,
+                        windowSec: Int = 600,
+                        watermark: String = "10 minutes"): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("pts"))
+      .withWatermark("pts", watermark)
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("cts"))
+      .withWatermark("cts", watermark)
+    p.join(c, col("p_user") === col("c_user") &&
+        col("cts") <= col("pts") &&
+        col("cts") >= col("pts") - expr(s"INTERVAL $windowSec SECONDS"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("click_id"), col("pts"), col("cts"))
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionState(sessionStart: Long, lastTs: Long,

@@ -110,6 +110,33 @@ class AsofStreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream interval join pairs purchases with recent clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val pMem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val cMem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    def frame(m: MemoryStream[(Long, Timestamp, Long, String, Double)]) =
+      m.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val joined = EventStreaming.purchaseClickJoin(
+      frame(pMem), frame(cMem), windowSec = 600)
+    val query = joined.writeStream.format("memory").queryName("ssj_test")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      cMem.addData((10L, ts(0), 1L, "click", 1.0),   // in window for p@5
+        (11L, ts(20), 1L, "click", 1.0),             // after p@5 -> no match
+        (12L, ts(4), 2L, "click", 1.0))              // other user
+      pMem.addData((100L, ts(5), 1L, "purchase", 9.0))
+      query.processAllAvailable()
+      // advance both watermarks far enough to finalize the join output
+      cMem.addData((13L, ts(600), 9L, "click", 1.0))
+      pMem.addData((101L, ts(600), 9L, "purchase", 1.0))
+      query.processAllAvailable()
+      val got = spark.table("ssj_test").select("purchase_id", "click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.contains((100L, 10L)), got.mkString(","))
+      assert(!got.contains((100L, 11L)) && !got.contains((100L, 12L)))
+    } finally query.stop()
+  }
+
   test("streaming dedup within watermark drops repeat keys") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
