@@ -136,6 +136,80 @@ object ExtendedOps {
           | FROM r ORDER BY o_custkey, o_orderkey""".stripMargin
           .replace("\n", ""))),
 
+    // Deterministic hash sampling: keep ~10% of documents by an md5
+    // bucket of the key. Unlike rand()-based sampling this is
+    // reproducible across runs, engines, and partitionings — the only
+    // sampling that composes with incremental reruns at 100 TB — and it
+    // is a pure codegen'd filter (no shuffle, pushes to the scan).
+    "q59_hash_sample" -> Q(
+      (s, dir) => table(s, dir, "documents")
+        .where(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 10 === 0)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id, lang, source FROM documents
+          | WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 0
+          | ORDER BY doc_id""".stripMargin.replace("\n", ""))),
+
+    // Stratified deterministic sampling: per-stratum rates (downsample
+    // the dominant language harder) off the same md5 bucket — the
+    // training-data rebalancing primitive.
+    "q62_stratified_sample" -> Q(
+      (s, dir) => {
+        val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+          16, 10).cast("long") % 100
+        val rate = when(col("lang") === "en", 10).otherwise(50)
+        table(s, dir, "documents")
+          .where(bucket < rate)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_sampled"), min("doc_id").as("first_doc"))
+          .orderBy("lang")
+      },
+      Some(
+        """SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_doc
+          | FROM documents
+          | WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+          |   < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+          | GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", ""))),
+
+    // Global frequent terms: the vocabulary head (top-20 by count). The
+    // two-level aggregate (partial per partition, final after one
+    // shuffle) is the exact-count shape; q51's sketches are the
+    // fixed-memory alternative when the vocabulary itself won't fit.
+    "q60_top_terms" -> Q(
+      (s, dir) => table(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("term"))
+        .limit(20),
+      Some(
+        """SELECT term, count(*) AS n
+          | FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+          | GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin
+          .replace("\n", ""))),
+
+    // Single-pass dataset profiling: row count, null counts, distincts,
+    // extrema — the data-quality summary a pipeline gate runs before
+    // training. One aggregation, no per-column passes.
+    "q61_profile_events" -> Q(
+      (s, dir) => table(s, dir, "events")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("value")).as("value_non_null"),
+          countDistinct(col("user_id")).as("distinct_users"),
+          countDistinct(col("event_type")).as("distinct_types"),
+          min(unix_timestamp(col("ts"))).as("min_ts_epoch"),
+          max(unix_timestamp(col("ts"))).as("max_ts_epoch"),
+          min("value").as("min_value"), max("value").as("max_value")),
+      Some(
+        """SELECT count(*) AS n_rows, count(value) AS value_non_null,
+          | count(DISTINCT user_id) AS distinct_users,
+          | count(DISTINCT event_type) AS distinct_types,
+          | min(CAST(floor(epoch(ts)) AS BIGINT)) AS min_ts_epoch,
+          | max(CAST(floor(epoch(ts)) AS BIGINT)) AS max_ts_epoch,
+          | min(value) AS min_value, max(value) AS max_value
+          | FROM events""".stripMargin.replace("\n", ""))),
+
     // Grouped exact discrete p90 via order statistics (q48's technique
     // generalized beyond the median): the result is an actual data
     // element, so it compares exactly — no interpolation semantics to
