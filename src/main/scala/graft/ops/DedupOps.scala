@@ -69,13 +69,29 @@ object DedupOps {
 
     // Exact word-3-gram Jaccard: top-20 most similar pairs. Candidate
     // pairs come from the shingle self-join (blocking), never all-pairs.
+    // The join/dedup key is the md5-derived 60-bit shingle hash, not the
+    // ~25-byte shingle string: fixed-width longs shrink the shuffle and
+    // the join probes, and because BOTH engines derive the identical
+    // hash, intersection counts (even under a collision) stay equal —
+    // the oracle remains exact.
     "q24_jaccard_pairs" -> Q(
       (s, dir) => {
         // sh is referenced 3x (both join sides + counts) and deliberately
         // NOT persisted: measured at sf0.1, lazy recompute beats caching
         // (columnar cache write + lost optimizer stats turned the
         // signature joins into sort-merge). Revisit only with real stats.
-        val sh = shingles(table(s, dir, "documents"))
+        val docs = table(s, dir, "documents")
+        val sh = docs
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .where(size(col("w")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(w) - 2), " +
+              "i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)))"))
+            .as("s0"))
+          .select(col("doc_id"),
+            conv(substring(md5(col("s0")), 1, 15), 16, 10)
+              .cast("long").as("s"))
+          .distinct()
         val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val pairs = sh.as("a").join(sh.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -93,7 +109,8 @@ object DedupOps {
       Some(
         """WITH s0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3),
           | i0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM s0),
-          | sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM i0),
+          | sh0 AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM i0),
+          | sh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS s FROM sh0),
           | cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
           | p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
           |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
