@@ -34,6 +34,52 @@ object DedupOps {
   private val NumHashes = 16
   private val BandSize = 4 // 4 bands x 4 rows
 
+  /** (d1, d2, inter, jaccard) candidate pairs over md5-60-bit hashed
+    * word-3-gram shingles (shared by q24 ranking and q64 clustering).
+    * Blocking via the shingle self-join — never all-pairs.
+    */
+  private[graft] def jaccardPairs(docs: DataFrame): DataFrame = {
+    // sh is referenced 3x (both join sides + counts) and deliberately
+    // NOT persisted: measured at sf0.1, lazy recompute beats caching
+    // (columnar cache write + lost optimizer stats turned the
+    // signature joins into sort-merge). Revisit only with real stats.
+    val sh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 2), " +
+          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)))"))
+        .as("s0"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("s0")), 1, 15), 16, 10)
+          .cast("long").as("s"))
+      .distinct()
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a").join(sh.as("b"),
+      col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(cnt.as("ca"), col("d1") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("d2") === col("cb.doc_id"))
+      .select(col("d1"), col("d2"), col("inter"),
+        (col("inter") * lit(1.0) /
+          (col("ca.n") + col("cb.n") - col("inter"))).as("jaccard"))
+  }
+
+  /** The shingle/count/pair CTE chain shared by the q24 and q64 oracles
+    * (DuckDB twin of [[jaccardPairs]]).
+    */
+  private val jaccardCte =
+    """s0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      | i0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM s0),
+      | sh0 AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM i0),
+      | sh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS s FROM sh0),
+      | cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      | p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)"""
+      .stripMargin.replace("\n", "")
+
   /** MinHash signature (ARRAY<BIGINT> of NumHashes seeded-hash minima) per
     * doc, via the one-pass [[graft.functions.MinHashAgg]] aggregate.
     */
@@ -75,49 +121,65 @@ object DedupOps {
     // hash, intersection counts (even under a collision) stay equal —
     // the oracle remains exact.
     "q24_jaccard_pairs" -> Q(
+      (s, dir) => jaccardPairs(table(s, dir, "documents"))
+        .orderBy(desc("jaccard"), col("d1"), col("d2"))
+        .limit(20),
+      Some(
+        s"""WITH $jaccardCte
+           | SELECT p.d1, p.d2, p.inter, p.inter * 1.0 / (ca.n + cb.n - p.inter) AS jaccard
+           | FROM p JOIN cnt ca ON p.d1 = ca.doc_id JOIN cnt cb ON p.d2 = cb.doc_id
+           | ORDER BY jaccard DESC, d1, d2 LIMIT 20""".stripMargin
+          .replace("\n", ""))),
+
+    // Near-dup clustering: connected components over the jaccard >= 0.5
+    // pair graph via iterative min-label propagation (join + min-agg per
+    // round, looped to fixpoint on the driver — the DataFrame-native
+    // connected components; at cluster scale the same loop with
+    // large-star/small-star contraction converges in O(log n) rounds).
+    // Oracle: DuckDB recursive CTE computing min reachable id.
+    "q64_dup_clusters" -> Q(
       (s, dir) => {
-        // sh is referenced 3x (both join sides + counts) and deliberately
-        // NOT persisted: measured at sf0.1, lazy recompute beats caching
-        // (columnar cache write + lost optimizer stats turned the
-        // signature joins into sort-merge). Revisit only with real stats.
-        val docs = table(s, dir, "documents")
-        val sh = docs
-          .select(col("doc_id"), split(col("text"), " ").as("w"))
-          .where(size(col("w")) >= 3)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, size(w) - 2), " +
-              "i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)))"))
-            .as("s0"))
-          .select(col("doc_id"),
-            conv(substring(md5(col("s0")), 1, 15), 16, 10)
-              .cast("long").as("s"))
-          .distinct()
-        val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val pairs = sh.as("a").join(sh.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-          .agg(count(lit(1)).as("inter"))
-        pairs
-          .join(cnt.as("ca"), col("d1") === col("ca.doc_id"))
-          .join(cnt.as("cb"), col("d2") === col("cb.doc_id"))
-          .select(col("d1"), col("d2"), col("inter"),
-            (col("inter") * lit(1.0) /
-              (col("ca.n") + col("cb.n") - col("inter"))).as("jaccard"))
-          .orderBy(desc("jaccard"), col("d1"), col("d2"))
-          .limit(20)
+        val jp = jaccardPairs(table(s, dir, "documents"))
+          .where(col("jaccard") >= 0.5).select("d1", "d2")
+        val edges = jp.unionByName(
+          jp.select(col("d2").as("d1"), col("d1").as("d2"))).persist()
+        try {
+          var comp = edges.select(col("d1").as("v")).distinct()
+            .withColumn("c", col("v")).persist()
+          var changed = 1L
+          var iters = 0
+          while (changed > 0 && iters < 25) {
+            val nbrMin = edges.join(comp, col("d2") === col("v"))
+              .groupBy(col("d1")).agg(min("c").as("nc"))
+            val next = comp.join(nbrMin, col("v") === col("d1"), "left")
+              .select(col("v"),
+                least(col("c"), coalesce(col("nc"), col("c"))).as("c"))
+              .persist()
+            changed = next.as("n").join(comp.as("o"), "v")
+              .where(col("n.c") =!= col("o.c")).count()
+            comp.unpersist()
+            comp = next
+            iters += 1
+          }
+          val out = comp.select(col("v").as("doc_id"),
+            col("c").as("cluster_id")).orderBy("doc_id")
+          val rows = out.collect().toSeq
+          comp.unpersist()
+          import scala.jdk.CollectionConverters._
+          s.createDataFrame(rows.asJava, out.schema).orderBy("doc_id")
+        } finally edges.unpersist()
       },
       Some(
-        """WITH s0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3),
-          | i0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM s0),
-          | sh0 AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM i0),
-          | sh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS s FROM sh0),
-          | cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-          | p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-          |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-          | SELECT p.d1, p.d2, p.inter, p.inter * 1.0 / (ca.n + cb.n - p.inter) AS jaccard
-          | FROM p JOIN cnt ca ON p.d1 = ca.doc_id JOIN cnt cb ON p.d2 = cb.doc_id
-          | ORDER BY jaccard DESC, d1, d2 LIMIT 20""".stripMargin
-          .replace("\n", ""))),
+        s"""WITH RECURSIVE $jaccardCte,
+           | jp AS (SELECT p.d1, p.d2 FROM p
+           |   JOIN cnt ca ON p.d1 = ca.doc_id JOIN cnt cb ON p.d2 = cb.doc_id
+           |   WHERE p.inter * 1.0 / (ca.n + cb.n - p.inter) >= 0.5),
+           | edges AS (SELECT d1 AS a, d2 AS b FROM jp UNION ALL SELECT d2, d1 FROM jp),
+           | nodes AS (SELECT DISTINCT a AS v FROM edges),
+           | reach(v, m) AS (SELECT v, v FROM nodes
+           |   UNION SELECT e.a, r.m FROM edges e JOIN reach r ON r.v = e.b)
+           | SELECT v AS doc_id, min(m) AS cluster_id FROM reach GROUP BY v
+           | ORDER BY doc_id""".stripMargin.replace("\n", ""))),
 
     // MinHash + LSH banding: 16 hashes, 4 bands of 4 rows; candidate
     // pairs share >=1 band bucket; est_sim = signature agreement rate.

@@ -210,6 +210,41 @@ object ExtendedOps {
           | min(value) AS min_value, max(value) AS max_value
           | FROM events""".stripMargin.replace("\n", ""))),
 
+    // Incremental upsert (MERGE): a refreshed batch overlays the base
+    // store, newest-priority-wins per key via one window over the union
+    // — the batch-incremental ingestion shape (same single shuffle by
+    // key regardless of batch:base ratio). Integer-cents checksum keeps
+    // the verification exact.
+    "q63_upsert_merge" -> Q(
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+        val base = ev.where(col("event_id") % 5 =!= 0)
+          .select(col("event_id"), col("event_type"), col("value"),
+            lit(0).as("prio"))
+        val batch = ev.where(col("event_id") % 3 === 0)
+          .select(col("event_id"), col("event_type"),
+            (col("value") * 2).as("value"), lit(1).as("prio"))
+        val w = Window.partitionBy("event_id").orderBy(desc("prio"))
+        base.unionByName(batch)
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100).cast("long")).as("value_cents"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH base AS (SELECT event_id, event_type, value, 0 AS prio
+          |   FROM events WHERE event_id % 5 <> 0),
+          | batch AS (SELECT event_id, event_type, value * 2 AS value, 1 AS prio
+          |   FROM events WHERE event_id % 3 = 0),
+          | u AS (SELECT * FROM base UNION ALL SELECT * FROM batch),
+          | r AS (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY prio DESC) AS rn FROM u)
+          | SELECT event_type, count(*) AS n,
+          |   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+          | FROM r WHERE rn = 1 GROUP BY event_type ORDER BY event_type"""
+          .stripMargin.replace("\n", ""))),
+
     // Grouped exact discrete p90 via order statistics (q48's technique
     // generalized beyond the median): the result is an actual data
     // element, so it compares exactly — no interpolation semantics to
