@@ -245,6 +245,66 @@ object ExtendedOps {
           | FROM r WHERE rn = 1 GROUP BY event_type ORDER BY event_type"""
           .stripMargin.replace("\n", ""))),
 
+    // Per-label embedding centroids via posexplode + grouped sums of
+    // micro-scaled integers: element sums are exact and
+    // accumulation-order-independent (double sums are neither), so the
+    // derived centroid doubles compare bit-for-bit. The (label, pos)
+    // aggregation is one shuffle of fixed-width rows — the distributed
+    // shape for computing per-class means over billions of vectors.
+    "q65_label_centroids" -> Q(
+      (s, dir) => table(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding"))
+          .as(Seq("pos0", "x")))
+        .select(col("label"), (col("pos0") + 1).cast("long").as("pos"),
+          round(col("x").cast("double") * 1e6).cast("long").as("sx"))
+        .where(col("pos") <= 8)
+        .groupBy("label", "pos")
+        .agg(count(lit(1)).as("n"), sum("sx").as("sum_micro"))
+        .select(col("label"), col("pos"), col("n"),
+          (col("sum_micro") / (col("n") * 1e6)).as("centroid"))
+        .orderBy("label", "pos"),
+      Some(
+        """WITH u AS (SELECT label, unnest(embedding) AS x,
+          |   generate_subscripts(embedding, 1) AS pos FROM embeddings),
+          | g AS (SELECT label, pos, count(*) AS n,
+          |   CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT) AS sum_micro
+          |   FROM u WHERE pos <= 8 GROUP BY label, pos)
+          | SELECT label, pos, n, sum_micro / (n * 1e6) AS centroid
+          | FROM g ORDER BY label, pos""".stripMargin.replace("\n", ""))),
+
+    // Salt-replicated skew join: the fact side's hot keys (5 event
+    // types over 100k+ rows) would pile onto 5 reducers in a plain
+    // shuffled join; salting the fact side and replicating the dim side
+    // x16 spreads each hot key over 16 reducers. The salt is internal
+    // (any deterministic or random spread works) — results equal the
+    // plain join, which is the oracle.
+    "q66_salted_join" -> Q(
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+        // max (not avg): exact and accumulation-order-independent, so
+        // the threshold compare can't flip on a last-ulp difference.
+        val dim = ev.groupBy("event_type")
+          .agg(max("value").as("type_max"))
+        val salts = 16
+        val dimRep = dim.crossJoin(
+          s.range(0, salts).select(col("id").cast("int").as("_salt")))
+        val salted = ev.select(col("event_id"), col("event_type"),
+          col("value"), pmod(hash(col("event_id")), lit(salts)).as("_salt"))
+        salted.join(dimRep, Seq("event_type", "_salt"))
+          .where(col("value") > col("type_max") * 0.9)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_above"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH dim AS (SELECT event_type, max(value) AS type_max
+          |   FROM events GROUP BY event_type)
+          | SELECT e.event_type, count(*) AS n_above
+          | FROM events e JOIN dim USING (event_type)
+          | WHERE e.value > dim.type_max * 0.9
+          | GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+          .replace("\n", ""))),
+
     // Grouped exact discrete p90 via order statistics (q48's technique
     // generalized beyond the median): the result is an actual data
     // element, so it compares exactly — no interpolation semantics to
