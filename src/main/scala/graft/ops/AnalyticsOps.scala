@@ -94,6 +94,28 @@ object AnalyticsOps {
           | WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin
           .replace("\n", ""))),
 
+    // The SAME top-k-per-group computed by graft's custom physical
+    // operator (TopKPerGroupNode/Exec via TopKPerGroupStrategy): a
+    // partial phase keeps a k-heap per group per map task so only
+    // k x groups-per-task rows reach the shuffle — answer-proportional
+    // shuffle volume instead of the window plan's full-input shuffle
+    // and sort. Total order (price desc, orderkey) makes it exact.
+    "q67_topk_custom" -> Q(
+      (s, dir) => graft.plans.TopKPerGroup(
+        table(s, dir, "orders")
+          .select("o_custkey", "o_orderkey", "o_totalprice"),
+        Seq("o_custkey"),
+        Seq(("o_totalprice", true), ("o_orderkey", false)), 3)
+        .orderBy(col("o_custkey"), desc("o_totalprice"), col("o_orderkey")),
+      Some(
+        """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+          | row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+          | FROM orders)
+          | SELECT o_custkey, o_orderkey, o_totalprice FROM r
+          | WHERE rnk <= 3
+          | ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+          .replace("\n", ""))),
+
     // Tumbling-window event rollup (the batch twin of the streaming
     // hourly aggregation in graft.streaming).
     "q34_events_hourly" -> Q(

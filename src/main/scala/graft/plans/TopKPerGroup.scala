@@ -1,0 +1,127 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Whole-operator custom plan: exact top-k rows per group under a total
+  * sort order, as a first-class physical operator instead of the
+  * window-function formulation (`row_number over (partition by g order
+  * by o) <= k`).
+  *
+  * Why a custom operator: the window plan must shuffle EVERY row to its
+  * group's reducer and sort full partitions before discarding all but k
+  * rows per group. This operator runs a PARTIAL phase before the
+  * exchange — each map task keeps a bounded k-heap per group — so only
+  * `k x groups-per-task` rows reach the shuffle, then a FINAL phase
+  * merges survivors. Same two-phase shape as partial aggregation, and
+  * the same reason it wins at 100 TB: shuffle volume proportional to
+  * the answer, not the input. Requires a total order (ties broken by
+  * the ordering itself) so the result is deterministic and exact.
+  *
+  * Memory: one k-bounded heap per distinct group per task (same
+  * envelope as hash aggregation without spill; k is small by
+  * construction).
+  */
+case class TopKPerGroupNode(
+    group: Seq[Attribute],
+    ordering: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroupNode =
+    copy(child = newChild)
+}
+
+/** Planner strategy: partial (pre-shuffle) + final (post-shuffle) pair. */
+object TopKPerGroupStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroupNode(group, ordering, k, child) =>
+      val partial = TopKPerGroupExec(group, ordering, k, planLater(child),
+        partial = true)
+      TopKPerGroupExec(group, ordering, k, partial, partial = false) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerGroupExec(
+    group: Seq[Attribute],
+    ordering: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan,
+    partial: Boolean) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(group) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val groupExprs = group
+    val sortExprs = ordering
+    val limit = k
+    val childOutput = child.output
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(groupExprs, childOutput)
+      val rowOrd = GenerateOrdering.generate(
+        sortExprs.map(BindReferences.bindReference(_, childOutput)))
+      // head of the queue = WORST retained row (max under the ascending
+      // "comes-first" comparator), so replacement is O(log k).
+      implicit val ord: Ordering[UnsafeRow] =
+        (a: UnsafeRow, b: UnsafeRow) => rowOrd.compare(a, b)
+      val heaps = new java.util.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[UnsafeRow]]()
+      iter.foreach { row =>
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = scala.collection.mutable.PriorityQueue.empty[UnsafeRow]
+          heaps.put(key.copy(), heap)
+        }
+        val unsafe = row.asInstanceOf[UnsafeRow]
+        if (heap.size < limit) heap.enqueue(unsafe.copy())
+        else if (rowOrd.compare(unsafe, heap.head) < 0) {
+          heap.dequeue()
+          heap.enqueue(unsafe.copy())
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      heaps.values().forEach(h => h.foreach(out += _))
+      out.iterator
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+    copy(child = newChild)
+
+  override def nodeName: String =
+    if (partial) "TopKPerGroupPartial" else "TopKPerGroupFinal"
+}
+
+object TopKPerGroup {
+  /** Entry point: exact top-k rows per group. `ordering` is
+    * (columnName, descending) pairs and must form a total order (add a
+    * tiebreaker) for a deterministic result.
+    */
+  def apply(df: DataFrame, groupCols: Seq[String],
+            ordering: Seq[(String, Boolean)], k: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending}
+    import org.apache.spark.sql.graftbridge.Bridge
+    val analyzed = df.queryExecution.analyzed
+    def resolve(n: String): Attribute =
+      analyzed.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column $n in ${analyzed.output.map(_.name)}"))
+    val sortOrders = ordering.map { case (n, desc) =>
+      SortOrder(resolve(n), if (desc) Descending else Ascending)
+    }
+    Bridge.ofRows(df.sparkSession,
+      TopKPerGroupNode(groupCols.map(resolve), sortOrders, k, analyzed))
+  }
+}
