@@ -9,6 +9,23 @@ import org.apache.spark.sql.functions._
   */
 class BucketingSpec extends SparkSpec {
 
+  test("hive-style partitioned write prunes partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    graft.ops.TestData.table(spark, "/root/testdata/sf0.001", "orders")
+      .write.partitionBy("o_orderpriority").parquet(s"$dir/orders_part")
+    val df = spark.read.parquet(s"$dir/orders_part")
+      .where(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderpriority"),
+      s"partition filter not pushed:\n$plan")
+    // the data filter list must be empty: pruning happened at metadata
+    // level, no row-level o_orderpriority filter remains
+    assert(!plan.contains("PushedFilters: [IsNotNull(o_orderpriority)"),
+      s"filter degraded to row level:\n$plan")
+  }
+
   test("join of tables bucketed on the key needs no shuffle") {
     val wh = Files.createTempDirectory("graft-warehouse").toString
     val sf = "/root/testdata/sf0.001"
