@@ -129,6 +129,33 @@ object RelationalOps {
           | WHERE rn = (cnt + 1) // 2
           | ORDER BY o_orderpriority""".stripMargin.replace("\n", ""))),
 
+    // Explicit GROUPING SETS (beyond ROLLUP/CUBE): the two marginal
+    // distributions in one pass, with grouping() markers distinguishing
+    // the sets — no union of separate aggregations, one shuffle.
+    "q68_grouping_sets" -> Q(
+      (s, dir) => {
+        val orders = table(s, dir, "orders")
+        orders.createOrReplaceTempView("orders_gs")
+        s.sql(
+          """SELECT o_orderstatus, o_orderpriority,
+            |  grouping(o_orderstatus) AS g_status,
+            |  grouping(o_orderpriority) AS g_prio,
+            |  count(*) AS n
+            |FROM orders_gs
+            |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+            |ORDER BY g_status, g_prio, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+            |""".stripMargin)
+      },
+      Some(
+        """SELECT o_orderstatus, o_orderpriority,
+          | CAST(grouping(o_orderstatus) AS TINYINT) AS g_status,
+          | CAST(grouping(o_orderpriority) AS TINYINT) AS g_prio,
+          | count(*) AS n
+          | FROM orders
+          | GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+          | ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
+          .stripMargin.replace("\n", ""))),
+
     // Pivot: per-user event counts, one column per type (explicit value
     // list so the plan needs no discovery pass over the data).
     "q46_pivot_events" -> Q(

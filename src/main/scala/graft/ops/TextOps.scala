@@ -138,6 +138,27 @@ object TextOps {
 
     // Polynomial rolling hash over characters (Java-String.hashCode-style
     // base 31, mod 1e9+7) as a cheap shift-resistant fingerprint.
+    // Regex text normalization — the cleaning step ahead of tokenize/
+    // dedup in a training-data pipeline: lowercase, strip everything
+    // outside [a-z ], report removals and a digest of the cleaned text.
+    // Pure codegen'd projection; patterns kept in the dialect subset
+    // where Java regex (Spark) and RE2 (DuckDB) agree.
+    "q69_text_clean" -> Q(
+      (s, dir) => table(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_replace(lower(col("text")), "[^a-z ]", "").as("cleaned"))
+        .select(col("doc_id"),
+          length(col("cleaned")).cast("long").as("n_kept"),
+          md5(col("cleaned").cast("binary")).as("cleaned_md5"))
+        .orderBy("doc_id"),
+      Some(
+        """WITH c AS (SELECT doc_id,
+          |   regexp_replace(lower(text), '[^a-z ]', '', 'g') AS cleaned
+          |   FROM documents)
+          | SELECT doc_id, CAST(length(cleaned) AS BIGINT) AS n_kept,
+          |   md5(cleaned) AS cleaned_md5
+          | FROM c ORDER BY doc_id""".stripMargin.replace("\n", ""))),
+
     "q21_rolling_hash" -> Q(
       (s, dir) => table(s, dir, "documents").select(
         col("doc_id"),
