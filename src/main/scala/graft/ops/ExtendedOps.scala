@@ -305,6 +305,90 @@ object ExtendedOps {
           | GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
           .replace("\n", ""))),
 
+    // ntile quartiles: per-priority price-quartile populations with the
+    // exact cents-sum per bucket — the distribution-profiling window op.
+    "q70_ntile_quartiles" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy("o_totalprice", "o_orderkey")
+        table(s, dir, "orders")
+          .withColumn("quartile", ntile(4).over(w))
+          .groupBy("o_orderpriority", "quartile")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("o_totalprice") * 100).cast("long"))
+              .as("bucket_cents"))
+          .orderBy("o_orderpriority", "quartile")
+      },
+      Some(
+        """WITH r AS (SELECT o_orderpriority, o_totalprice,
+          |   ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS quartile
+          | FROM orders)
+          | SELECT o_orderpriority, CAST(quartile AS INT) AS quartile, count(*) AS n,
+          |   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS bucket_cents
+          | FROM r GROUP BY o_orderpriority, quartile
+          | ORDER BY o_orderpriority, quartile""".stripMargin
+          .replace("\n", ""))),
+
+    // Calendar rollup: revenue by month (date_trunc), exact cents.
+    "q71_monthly_revenue" -> Q(
+      (s, dir) => table(s, dir, "orders")
+        .groupBy(unix_timestamp(date_trunc("month", col("o_orderdate")))
+          .as("month_epoch"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("revenue_cents"))
+        .orderBy("month_epoch"),
+      Some(
+        """SELECT CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT) AS month_epoch,
+          | count(*) AS n,
+          | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+          | FROM orders GROUP BY 1 ORDER BY month_epoch""".stripMargin
+          .replace("\n", ""))),
+
+    // Six-table star join across the full schema: revenue cents by
+    // region and part brand for high-priority orders. Every dimension
+    // is broadcast (they are tiny relative to lineitem at any scale
+    // factor); only the fact table streams through — the canonical
+    // star-schema plan shape.
+    "q72_star_join" -> Q(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+              .cast("long").as("rev_cents"))
+        val ord = table(s, dir, "orders")
+          .where(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey", "o_custkey")
+        val res = li
+          .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(table(s, dir, "part")
+            .select("p_partkey", "p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(table(s, dir, "supplier")
+            .select("s_suppkey", "s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(table(s, dir, "nation")
+            .select("n_nationkey", "n_regionkey")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(table(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+        res.groupBy("r_name", "p_brand")
+          .agg(count(lit(1)).as("n_lines"),
+            sum("rev_cents").as("revenue_cents"))
+          .orderBy("r_name", "p_brand")
+      },
+      Some(
+        """SELECT r_name, p_brand, count(*) AS n_lines,
+          | CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+          | FROM lineitem
+          | JOIN orders ON l_orderkey = o_orderkey AND o_orderpriority = '1-URGENT'
+          | JOIN part ON l_partkey = p_partkey
+          | JOIN supplier ON l_suppkey = s_suppkey
+          | JOIN nation ON s_nationkey = n_nationkey
+          | JOIN region ON n_regionkey = r_regionkey
+          | GROUP BY r_name, p_brand ORDER BY r_name, p_brand""".stripMargin
+          .replace("\n", ""))),
+
     // Grouped exact discrete p90 via order statistics (q48's technique
     // generalized beyond the median): the result is an actual data
     // element, so it compares exactly — no interpolation semantics to

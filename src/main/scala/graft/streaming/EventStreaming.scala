@@ -73,6 +73,23 @@ object EventStreaming {
         col("click_id"), col("pts"), col("cts"))
   }
 
+  /** The reference's whole ETL as a CONTINUOUS pipeline: raw CSV lines
+    * from any streaming source through the identical four stages
+    * (graft.etl is pure narrow transforms, so the unified API runs it
+    * unchanged on a streaming frame), demuxed into processed and error
+    * sinks per batch — the streaming twin of BankingPipeline.fromLines.
+    * foreachBatch gives the two-sink topology (a streaming query has one
+    * sink) with exactly-once per-batch semantics from the source's
+    * offset tracking.
+    */
+  def streamingBankEtl(lines: DataFrame,
+                       onBatch: (DataFrame, DataFrame, Long) => Unit)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    lines.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val r = graft.pipeline.BankingPipeline.fromLines(batch)
+      onBatch(r.processed, r.errors, id)
+    }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionState(sessionStart: Long, lastTs: Long,

@@ -110,6 +110,36 @@ class AsofStreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming bank ETL: file-source lines flow through all 4 stages") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(getClass.getResource("/bank_fixture.csv").getPath),
+      srcDir.resolve("part-0.csv"))
+    val lines = graft.pipeline.BankingPipeline.readCsvLines(spark, srcDir.toString)
+    // readCsvLines works on a static frame; the streaming source needs the
+    // same header-drop predicate over a readStream text source:
+    val stream = spark.readStream
+      .text(srcDir.toString)
+      .where(!lower(org.apache.spark.sql.functions.split(col("value"), ";")
+        .getItem(0)).rlike("^\"?age\"?$"))
+    var processed = 0L
+    var parseErrors = 0L
+    var validationErrors = 0L
+    val q = EventStreaming.streamingBankEtl(stream, (p, e, _) => {
+      processed += p.count()
+      val byType = e.groupBy("error_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      parseErrors += byType.getOrElse("parsing_error", 0L)
+      validationErrors += byType.getOrElse("data_validation", 0L)
+    }).trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // same totals as the batch path over the same fixture
+    assert(processed == 44, s"processed=$processed")
+    assert(parseErrors == 4 && validationErrors == 2,
+      s"parse=$parseErrors validation=$validationErrors")
+    assert(processed + parseErrors + validationErrors == lines.count())
+  }
+
   test("stream-stream interval join pairs purchases with recent clicks") {
     implicit val sqlCtx = spark.sqlContext
     val pMem = MemoryStream[(Long, Timestamp, Long, String, Double)]
