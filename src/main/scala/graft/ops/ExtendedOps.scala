@@ -389,6 +389,52 @@ object ExtendedOps {
           | GROUP BY r_name, p_brand ORDER BY r_name, p_brand""".stripMargin
           .replace("\n", ""))),
 
+    // Correlated scalar subquery — Catalyst decorrelates it into an
+    // aggregate + join (no per-row re-execution, unlike the reference's
+    // record-at-a-time model). Integer-cents threshold with integer
+    // div: DuckDB CAST(double AS BIGINT) rounds where Spark truncates,
+    // so the cutoff must never pass through a double.
+    "q73_correlated_subquery" -> Q(
+      (s, dir) => {
+        table(s, dir, "orders").createOrReplaceTempView("orders_corr")
+        s.sql(
+          """SELECT o.o_orderpriority, count(*) AS n_top
+            |FROM orders_corr o
+            |WHERE CAST(round(o.o_totalprice * 100) AS BIGINT) > (
+            |  SELECT (max(CAST(round(i.o_totalprice * 100) AS BIGINT)) * 8) div 10
+            |  FROM orders_corr i WHERE i.o_custkey = o.o_custkey)
+            |GROUP BY o.o_orderpriority
+            |ORDER BY o.o_orderpriority""".stripMargin)
+      },
+      Some(
+        """SELECT o.o_orderpriority, count(*) AS n_top
+          | FROM orders o
+          | WHERE CAST(round(o.o_totalprice * 100) AS BIGINT) > (
+          |   SELECT (max(CAST(round(i.o_totalprice * 100) AS BIGINT)) * 8) // 10
+          |   FROM orders i WHERE i.o_custkey = o.o_custkey)
+          | GROUP BY o.o_orderpriority
+          | ORDER BY o.o_orderpriority""".stripMargin.replace("\n", ""))),
+
+    // Ordered array aggregation: each user's first three events as a
+    // joined string — collect, sort by (time, id) inside the array
+    // (deterministic without a pre-shuffle sort), slice, project. The
+    // nested-collection shape for building per-entity sequence features.
+    "q76_first_events_array" -> Q(
+      (s, dir) => table(s, dir, "events")
+        .select(col("user_id"),
+          struct(unix_timestamp(col("ts")).as("es"),
+            col("event_id")).as("e"))
+        .groupBy("user_id")
+        .agg(concat_ws(",",
+          slice(expr("transform(array_sort(collect_list(e)), x -> cast(x.event_id as string))"),
+            1, 3)).as("first3"))
+        .orderBy("user_id"),
+      Some(
+        """SELECT user_id,
+          | array_to_string((list(event_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id))[1:3], ',') AS first3
+          | FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+          .replace("\n", ""))),
+
     // Grouped exact discrete p90 via order statistics (q48's technique
     // generalized beyond the median): the result is an actual data
     // element, so it compares exactly — no interpolation semantics to
