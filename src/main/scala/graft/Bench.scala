@@ -42,8 +42,18 @@ object Bench {
     // Best of 2 timed runs per query (fresh DataFrame each run, so no
     // AQE stage reuse): the box runs other tenants and single-run totals
     // swing 2-4x with external load; the min estimates engine cost.
+    // Drop leftover cached/checkpointed blocks between queries so one
+    // query's state (e.g. the clustering loop's localCheckpoints) can't
+    // pressure a later query's GC.
+    def clearState(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+    }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
+        clearState()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
