@@ -67,6 +67,29 @@ class BinnedRangeJoinRuleSpec extends SparkSpec {
       s"equi-join should not be binned:\n$plan")
   }
 
+  test("randomized: rewrite equals an in-memory brute force over 500 trials of rows") {
+    val rnd = new scala.util.Random(20260812)
+    (1 to 5).foreach { trial =>
+      val winSec = Seq(7L, 60L, 3600L)(trial % 3)
+      def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+      val probeS = Seq.fill(40)(rnd.between(-5000L, 5000L))
+      val buildS = Seq.fill(60)(rnd.between(-5000L, 5000L))
+      val probes = probeS.zipWithIndex.map { case (s, i) => (i.toLong, ts(s)) }
+        .toDF("pid", "pts")
+      val builds = buildS.map(ts).toDF("cts")
+      val got = probes.join(builds,
+        col("cts") <= col("pts") &&
+          col("cts") >= col("pts") - expr(s"INTERVAL $winSec SECONDS"))
+        .groupBy("pid").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val expected = probeS.zipWithIndex.flatMap { case (p, i) =>
+        val n = buildS.count(c => c <= p && c >= p - winSec)
+        if (n > 0) Some(i.toLong -> n.toLong) else None
+      }.toMap
+      assert(got == expected, s"trial $trial window $winSec")
+    }
+  }
+
   test("pre-epoch timestamps bin with floor semantics (boundary exactness)") {
     def ts(s: Long) = new java.sql.Timestamp(s * 1000) // around 1970 epoch
     val clicks = Seq(-61L, -60L, -1L, 0L, 1L).map(ts).toDF("cts")
