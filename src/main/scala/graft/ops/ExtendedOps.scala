@@ -435,6 +435,35 @@ object ExtendedOps {
           | FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
           .replace("\n", ""))),
 
+    // Canonicalization: keep the best document per normalized-text
+    // fingerprint group (longest original, tie lowest id) — the final
+    // step of the dedup pipeline (detect -> cluster -> canonicalize).
+    // One shuffle by fingerprint; quality ranking inside the window.
+    "q74_dedup_canonical" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("fp")
+          .orderBy(desc("n_chars"), col("doc_id"))
+        table(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            md5(regexp_replace(lower(col("text")), "[^a-z ]", "")
+              .cast("binary")).as("fp"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("group_size",
+            count(lit(1)).over(Window.partitionBy("fp")))
+          .where(col("rn") === 1)
+          .select(col("doc_id").as("kept_doc"), col("group_size"))
+          .orderBy("kept_doc")
+      },
+      Some(
+        """WITH f AS (SELECT doc_id, n_chars,
+          |   md5(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS fp
+          |   FROM documents),
+          | r AS (SELECT doc_id, fp,
+          |   row_number() OVER (PARTITION BY fp ORDER BY n_chars DESC, doc_id) AS rn,
+          |   count(*) OVER (PARTITION BY fp) AS group_size FROM f)
+          | SELECT doc_id AS kept_doc, group_size FROM r WHERE rn = 1
+          | ORDER BY kept_doc""".stripMargin.replace("\n", ""))),
+
     // Grouped exact discrete p90 via order statistics (q48's technique
     // generalized beyond the median): the result is an actual data
     // element, so it compares exactly — no interpolation semantics to
