@@ -67,6 +67,53 @@ object DedupOps {
           (col("ca.n") + col("cb.n") - col("inter"))).as("jaccard"))
   }
 
+  /** Connected components by iterative min-label propagation with a
+    * path-halving pointer jump, looped to fixpoint. `edges` is (d1, d2)
+    * DIRECTED pairs; both directions are generated here. Returns
+    * (v, component) where component = min doc_id reachable.
+    *
+    * localCheckpoint (not persist) each round: persist caches data but
+    * the logical plan still GROWS per round and Catalyst re-optimizes
+    * the whole accumulated lineage every iteration — measured 60s+ at
+    * sf0.1 before truncation, ~3s after. Two rounds per convergence
+    * check halves the count() actions; pointer jumping makes
+    * rounds-to-converge O(log diameter). The contracted graph is tiny
+    * relative to the corpus, hence coalesce(1); at cluster scale the
+    * same loop runs partitioned by v.
+    */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.toDF("d1", "d2").unionByName(
+      pairs.toDF("d2", "d1").select(col("d1"), col("d2")))
+      .coalesce(1).persist()
+    try {
+      var comp = edges.select(col("d1").as("v")).distinct()
+        .withColumn("c", col("v")).coalesce(1)
+        .localCheckpoint(eager = true)
+      var changed = 1L
+      var iters = 0
+      while (changed > 0 && iters < 12) {
+        val next = (0 until 2).foldLeft(comp) { case (cur, _) =>
+          val nbrMin = edges.join(cur, col("d2") === col("v"))
+            .groupBy(col("d1")).agg(min("c").as("nc"))
+          val prop = cur.join(nbrMin, col("v") === col("d1"), "left")
+            .select(col("v"),
+              least(col("c"), coalesce(col("nc"), col("c"))).as("c"))
+          prop.as("p").join(
+              prop.select(col("v").as("jv"), col("c").as("jc")),
+              col("p.c") === col("jv"), "left")
+            .select(col("p.v").as("v"),
+              least(col("p.c"), coalesce(col("jc"), col("p.c"))).as("c"))
+            .coalesce(1).localCheckpoint(eager = true)
+        }
+        changed = next.as("n").join(comp.as("o"), "v")
+          .where(col("n.c") =!= col("o.c")).count()
+        comp = next
+        iters += 1
+      }
+      comp
+    } finally edges.unpersist()
+  }
+
   /** The shingle/count/pair CTE chain shared by the q24 and q64 oracles
     * (DuckDB twin of [[jaccardPairs]]).
     */
@@ -141,49 +188,12 @@ object DedupOps {
       (s, dir) => {
         val jp = jaccardPairs(table(s, dir, "documents"))
           .where(col("jaccard") >= 0.5).select("d1", "d2")
-        // The contracted graph is tiny relative to the corpus (dup pairs,
-        // not documents) — coalesce the iteration frames to 1 partition
-        // so each round is one light task, not 32 shuffle partitions.
-        // At cluster scale the same loop runs partitioned by v.
-        val edges = jp.unionByName(
-          jp.select(col("d2").as("d1"), col("d1").as("d2")))
-          .coalesce(1).persist()
-        try {
-          // localCheckpoint (not persist) each iteration: persist caches
-          // data but the logical plan still GROWS per round, and Catalyst
-          // re-optimizes the whole accumulated lineage every iteration —
-          // measured 60s+ at sf0.1 before truncation, ~3s after.
-          var comp = edges.select(col("d1").as("v")).distinct()
-            .withColumn("c", col("v")).coalesce(1)
-            .localCheckpoint(eager = true)
-          var changed = 1L
-          var iters = 0
-          while (changed > 0 && iters < 25) {
-            val nbrMin = edges.join(comp, col("d2") === col("v"))
-              .groupBy(col("d1")).agg(min("c").as("nc"))
-            val prop = comp.join(nbrMin, col("v") === col("d1"), "left")
-              .select(col("v"),
-                least(col("c"), coalesce(col("nc"), col("c"))).as("c"))
-            // Pointer jump (path halving): c <- comp(c). Shallow self-join
-            // over the checkpointed base keeps rounds-to-converge
-            // O(log diameter) instead of O(diameter).
-            val next = prop.as("p").join(
-                prop.select(col("v").as("jv"), col("c").as("jc")),
-                col("p.c") === col("jv"), "left")
-              .select(col("p.v").as("v"),
-                least(col("p.c"), coalesce(col("jc"), col("p.c"))).as("c"))
-              .coalesce(1).localCheckpoint(eager = true)
-            changed = next.as("n").join(comp.as("o"), "v")
-              .where(col("n.c") =!= col("o.c")).count()
-            comp = next
-            iters += 1
-          }
-          val out = comp.select(col("v").as("doc_id"),
-            col("c").as("cluster_id")).orderBy("doc_id")
-          val rows = out.collect().toSeq
-          import scala.jdk.CollectionConverters._
-          s.createDataFrame(rows.asJava, out.schema).orderBy("doc_id")
-        } finally edges.unpersist()
+        val out = connectedComponents(jp)
+          .select(col("v").as("doc_id"), col("c").as("cluster_id"))
+          .orderBy("doc_id")
+        val rows = out.collect().toSeq
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, out.schema).orderBy("doc_id")
       },
       Some(
         s"""WITH RECURSIVE $jaccardCte,

@@ -82,6 +82,24 @@ class OpsSpec extends SparkSpec {
       UTF8String.fromString("hello")) == 1564557354L)
   }
 
+  test("connected components: chains, singleton edges, and min labels") {
+    // graph: 1-2, 2-3 (chain), 10-11, and 20-21 given reversed
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L), (21L, 20L))
+      .toDF("d1", "d2")
+    val got = DedupOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components: long path converges (pointer jumping)") {
+    // path 0-1-2-...-19 labeled adversarially (min at one end)
+    val pairs = (0L until 19L).map(i => (i + 1, i)).toDF("d1", "d2")
+    val got = DedupOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 20 && got.values.forall(_ == 0L))
+  }
+
   test("graft_dot is registered as a SQL function via GraftExtensions") {
     val got = spark.sql(
       "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
