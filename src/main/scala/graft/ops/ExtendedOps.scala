@@ -464,6 +464,35 @@ object ExtendedOps {
           | SELECT doc_id AS kept_doc, group_size FROM r WHERE rn = 1
           | ORDER BY kept_doc""".stripMargin.replace("\n", ""))),
 
+    // FULL OUTER join: daily click vs purchase activity, absent sides
+    // zero-filled — the reconciliation join shape (each side keeps rows
+    // the other lacks). coalesce on the join key after the outer join.
+    "q75_full_outer_days" -> Q(
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+        def daily(t: String, n: String) = ev.where(col("event_type") === t)
+          .groupBy(unix_timestamp(date_trunc("day", col("ts")))
+            .as(s"${n}_day"))
+          .agg(count(lit(1)).as(n))
+        val c = daily("click", "clicks")
+        val p = daily("purchase", "purchases")
+        c.join(p, col("clicks_day") === col("purchases_day"), "full_outer")
+          .select(
+            coalesce(col("clicks_day"), col("purchases_day")).as("day_epoch"),
+            coalesce(col("clicks"), lit(0L)).as("clicks"),
+            coalesce(col("purchases"), lit(0L)).as("purchases"))
+          .orderBy("day_epoch")
+      },
+      Some(
+        """WITH c AS (SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS d, count(*) AS clicks
+          |   FROM events WHERE event_type = 'click' GROUP BY 1),
+          | p AS (SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS d, count(*) AS purchases
+          |   FROM events WHERE event_type = 'purchase' GROUP BY 1)
+          | SELECT coalesce(c.d, p.d) AS day_epoch,
+          |   coalesce(clicks, 0) AS clicks, coalesce(purchases, 0) AS purchases
+          | FROM c FULL OUTER JOIN p ON c.d = p.d
+          | ORDER BY day_epoch""".stripMargin.replace("\n", ""))),
+
     // Grouped exact discrete p90 via order statistics (q48's technique
     // generalized beyond the median): the result is an actual data
     // element, so it compares exactly — no interpolation semantics to

@@ -3,6 +3,11 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+/** Typed-row fixture for the mapGroups test (file scope: local case
+  * classes have no TypeTag, so no Encoder).
+  */
+case class Ev(user_id: Long, event_id: Long, es: Long)
+
 /** Semantics of the round-2 extension operators on hand-built frames. */
 class ExtendedOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -50,6 +55,33 @@ class ExtendedOpsSpec extends SparkSpec {
       .where(col("rn") === ceil(col("cnt") * 0.9).cast("int"))
       .select("value").as[Double].head()
     assert(got == 9.0) // ceil(10 * 0.9) = 9th of 1..10
+  }
+
+  test("typed Dataset mapGroups agrees with the q53 SQL gap aggregation") {
+    // The typed twin of q53: per-user max inter-event gap computed
+    // imperatively over a case-class Dataset (Encoders + mapGroups).
+    val rows = Seq(
+      Ev(1L, 1L, 100L), Ev(1L, 2L, 160L), Ev(1L, 3L, 400L),
+      Ev(2L, 4L, 50L))
+    val ds = rows.toDS()
+    val typed = ds.groupByKey(_.user_id).mapGroups { (uid, evs) =>
+      val sorted = evs.toSeq.sortBy(e => (e.es, e.event_id))
+      val gaps = sorted.sliding(2).collect {
+        case Seq(a, b) => b.es - a.es
+      }.toSeq
+      (uid, sorted.size.toLong, if (gaps.isEmpty) None else Some(gaps.max))
+    }.collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // SQL formulation over the same frame
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("es", "event_id")
+    val sql = ds.toDF()
+      .withColumn("gap", col("es") - lag("es", 1).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), max("gap").as("mx"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(typed == sql)
+    assert(typed(1L) == ((3L, Some(240L))) && typed(2L) == ((1L, None)))
   }
 
   test("json props extraction is typed and null-safe") {
