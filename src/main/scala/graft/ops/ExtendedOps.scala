@@ -493,6 +493,53 @@ object ExtendedOps {
           | FROM c FULL OUTER JOIN p ON c.d = p.d
           | ORDER BY day_epoch""".stripMargin.replace("\n", ""))),
 
+    // RANGE-frame window: trailing-30-day revenue per customer at each
+    // order — the frame is defined by the VALUE range (all peers of a
+    // timestamp included), not row position, so it is deterministic
+    // under ties without a tiebreaker; integer cents keep it exact.
+    "q77_trailing_revenue" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy("es")
+          .rangeBetween(-30L * 86400, 0)
+        table(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            unix_timestamp(col("o_orderdate")).as("es"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .withColumn("trailing_cents", sum("cents").over(w))
+          .select("o_custkey", "o_orderkey", "trailing_cents")
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some(
+        """WITH c AS (SELECT o_custkey, o_orderkey,
+          |   CAST(floor(epoch(o_orderdate)) AS BIGINT) AS es,
+          |   CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+          | SELECT o_custkey, o_orderkey,
+          |   CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY es
+          |     RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_cents
+          | FROM c ORDER BY o_custkey, o_orderkey""".stripMargin
+          .replace("\n", ""))),
+
+    // Fuzzy matching: Levenshtein distance over the source-name
+    // dimension's pairs (blocked to the tiny distinct dimension first —
+    // never edit-distance over raw rows).
+    "q78_levenshtein_sources" -> Q(
+      (s, dir) => {
+        val src = table(s, dir, "documents").select("source").distinct()
+        src.as("a").join(src.as("b"),
+          col("a.source") < col("b.source"))
+          .select(col("a.source").as("s1"), col("b.source").as("s2"),
+            levenshtein(col("a.source"), col("b.source")).as("dist"))
+          .where(col("dist") <= 2)
+          .orderBy("s1", "s2")
+      },
+      Some(
+        """WITH s AS (SELECT DISTINCT source FROM documents)
+          | SELECT a.source AS s1, b.source AS s2,
+          |   CAST(levenshtein(a.source, b.source) AS INT) AS dist
+          | FROM s a JOIN s b ON a.source < b.source
+          | WHERE levenshtein(a.source, b.source) <= 2
+          | ORDER BY s1, s2""".stripMargin.replace("\n", ""))),
+
     // Grouped exact discrete p90 via order statistics (q48's technique
     // generalized beyond the median): the result is an actual data
     // element, so it compares exactly — no interpolation semantics to
