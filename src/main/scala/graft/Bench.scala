@@ -55,10 +55,12 @@ object Bench {
       val times = (1 to 2).map { _ =>
         clearState()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 } // failure marker, never a time
       }
-      name -> times.min
+      // min over SUCCESSFUL runs; a query that failed both runs reports
+      // -1 so breakage can't masquerade as a speedup.
+      name -> times.filter(_ >= 0).minOption.getOrElse(-1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

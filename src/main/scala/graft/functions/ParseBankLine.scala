@@ -68,21 +68,25 @@ object ParseBankLine {
     row
   }
 
-  // Python float()-shaped token: optional sign, then decimal digits with
-  // optional point/exponent, or case-insensitive inf/infinity/nan. Shields
-  // Double.parseDouble from the Java-only forms Python rejects ('5d'/'5f'
-  // suffixes, hex floats like '0x1p3') and admits the Python-only
-  // 'inf'/'INF' spellings Java rejects. (Python additionally allows
-  // digit-group underscores, '1_000.5'; deliberately excluded — the DuckDB
-  // oracle's TRY_CAST rejects them and no real data uses them.)
-  private val FloatShape = java.util.regex.Pattern.compile(
-    """[+-]?(?:(?:\d+(?:\.\d*)?|\.\d+)(?:[eE][+-]?\d+)?|(?i:inf(?:inity)?|nan))""")
+  // Python float()-shaped token: optional sign, then decimal digits
+  // (with Python's between-digits underscore grouping, '1_000.5') with
+  // optional point/exponent, or case-insensitive inf/infinity/nan.
+  // Shields Double.parseDouble from the Java-only forms Python rejects
+  // ('5d'/'5f' suffixes, hex floats like '0x1p3') and admits the
+  // Python-only 'inf'/'INF'/underscore spellings Java rejects.
+  // D below = CPython's digitpart: digit (['_'] digit)*.
+  private val FloatShape = {
+    val D = """\d(?:_?\d)*"""
+    java.util.regex.Pattern.compile(
+      s"""[+-]?(?:(?:$D(?:\\.(?:$D)?)?|\\.$D)(?:[eE][+-]?$D)?|(?i:inf(?:inity)?|nan))""")
+  }
 
   /** Parse with Python float() semantics; null when the token is rejected. */
   private def pythonFloat(s: String): java.lang.Double = {
     if (!FloatShape.matcher(s).matches()) return null
     val neg = s.startsWith("-")
-    val body = if (neg || s.startsWith("+")) s.substring(1) else s
+    val trimmed = if (neg || s.startsWith("+")) s.substring(1) else s
+    val body = trimmed.replace("_", "") // grouping only; value-neutral
     val v = body.toLowerCase match {
       case "inf" | "infinity" => Double.PositiveInfinity
       case "nan" => Double.NaN

@@ -20,8 +20,11 @@ import TestData._
   */
 object DedupOps {
 
-  /** Distinct word 3-gram shingles per document. */
-  private[graft] def shingles(docs: DataFrame): DataFrame =
+  /** Raw (non-distinct) word 3-gram shingles per document — the single
+    * source of tokenization truth for both the string-keyed and
+    * hash-keyed variants (and mirrored by the oracle CTEs).
+    */
+  private def rawShingles(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= 3)
@@ -29,7 +32,10 @@ object DedupOps {
         "transform(sequence(1, size(w) - 2), " +
           "i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)))"))
         .as("s"))
-      .distinct()
+
+  /** Distinct word 3-gram shingles per document. */
+  private[graft] def shingles(docs: DataFrame): DataFrame =
+    rawShingles(docs).distinct()
 
   private val NumHashes = 16
   private val BandSize = 4 // 4 bands x 4 rows
@@ -43,15 +49,10 @@ object DedupOps {
     // NOT persisted: measured at sf0.1, lazy recompute beats caching
     // (columnar cache write + lost optimizer stats turned the
     // signature joins into sort-merge). Revisit only with real stats.
-    val sh = docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .where(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(w) - 2), " +
-          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)))"))
-        .as("s0"))
+    // Hash BEFORE distinct so the dedup shuffle carries longs.
+    val sh = rawShingles(docs)
       .select(col("doc_id"),
-        conv(substring(md5(col("s0")), 1, 15), 16, 10)
+        conv(substring(md5(col("s")), 1, 15), 16, 10)
           .cast("long").as("s"))
       .distinct()
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -110,6 +111,10 @@ object DedupOps {
         comp = next
         iters += 1
       }
+      // A wrong clustering must never be silently indistinguishable from
+      // a converged one.
+      require(changed == 0,
+        s"connected components did not converge in ${2 * iters} rounds")
       comp
     } finally edges.unpersist()
   }

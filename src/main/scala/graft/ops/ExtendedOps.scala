@@ -39,9 +39,9 @@ object ExtendedOps {
         .orderBy("event_type"),
       Some(
         """SELECT event_type, count(*) AS n,
-          | min(CAST(props->>'k' AS INT)) AS min_k,
-          | max(CAST(props->>'k' AS INT)) AS max_k,
-          | CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k
+          | min(TRY_CAST(props->>'k' AS INT)) AS min_k,
+          | max(TRY_CAST(props->>'k' AS INT)) AS max_k,
+          | CAST(sum(TRY_CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k
           | FROM events GROUP BY event_type ORDER BY event_type"""
           .stripMargin.replace("\n", ""))),
 

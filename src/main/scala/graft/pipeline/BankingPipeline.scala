@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.etl._
 import graft.schema.{BankSchema, Thresholds}
@@ -51,19 +51,23 @@ object BankingPipeline {
     * (bp.py:345). Kept as a raw-text read so malformed lines reach the
     * parse stage's error channel instead of being dropped by the reader.
     */
+  /** A header line, identified structurally: a data row's first field
+    * must parse as an integer age, so any line whose first token is the
+    * literal column name `age` (optionally "-quoted, as in the UCI
+    * distribution) is a header. Shared by the batch reader and the
+    * streaming ingest path so the rule cannot drift between them.
+    */
+  def isHeaderLine(line: Column): Column =
+    lower(trim(regexp_replace(
+      org.apache.spark.sql.functions.split(line, ";").getItem(0),
+      "\"", ""))) === "age"
+
   def readCsvLines(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.read.text(path)
-    // Drop header lines structurally, not positionally: a data row's first
-    // field must parse as an integer age, so any line whose first token is
-    // the literal column name `age` (optionally "-quoted, as in the UCI
-    // distribution) is a header. No ordering assumption (limit(1) on a
-    // multi-split read can return an arbitrary row), one header per file
-    // part is handled (Beam's skip_header_lines=1 is per file), and the
-    // read stays a single shuffle-free stage.
-    val firstTok = trim(regexp_replace(
-      org.apache.spark.sql.functions.split(col("value"), ";").getItem(0),
-      "\"", ""))
-    raw.where(lower(firstTok) =!= "age")
+    // Drop headers by predicate, not position: no ordering assumption
+    // (limit(1) on a multi-split read can return an arbitrary row), one
+    // header per file part is handled (Beam's skip_header_lines=1 is per
+    // file), and the read stays a single shuffle-free stage.
+    spark.read.text(path).where(!isHeaderLine(col("value")))
   }
 
   /** One split at the very end (SURVEY.md §4.3a): both branches share the

@@ -33,6 +33,7 @@ case class TopKPerGroupNode(
     ordering: Seq[SortOrder],
     k: Int,
     child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"top-k needs k > 0, got $k")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroupNode =
     copy(child = newChild)
@@ -114,10 +115,15 @@ object TopKPerGroup {
     import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending}
     import org.apache.spark.sql.graftbridge.Bridge
     val analyzed = df.queryExecution.analyzed
-    def resolve(n: String): Attribute =
-      analyzed.output.find(_.name == n).getOrElse(
-        throw new IllegalArgumentException(
-          s"no column $n in ${analyzed.output.map(_.name)}"))
+    // Case-insensitive like Spark's default resolution, and ambiguity is
+    // an error rather than a silent first-match bind.
+    def resolve(n: String): Attribute = {
+      val matches = analyzed.output.filter(_.name.equalsIgnoreCase(n))
+      require(matches.nonEmpty,
+        s"no column $n in ${analyzed.output.map(_.name)}")
+      require(matches.size == 1, s"ambiguous column $n: $matches")
+      matches.head
+    }
     val sortOrders = ordering.map { case (n, desc) =>
       SortOrder(resolve(n), if (desc) Descending else Ascending)
     }

@@ -116,12 +116,9 @@ class AsofStreamingSpec extends SparkSpec {
       java.nio.file.Paths.get(getClass.getResource("/bank_fixture.csv").getPath),
       srcDir.resolve("part-0.csv"))
     val lines = graft.pipeline.BankingPipeline.readCsvLines(spark, srcDir.toString)
-    // readCsvLines works on a static frame; the streaming source needs the
-    // same header-drop predicate over a readStream text source:
-    val stream = spark.readStream
-      .text(srcDir.toString)
-      .where(!lower(org.apache.spark.sql.functions.split(col("value"), ";")
-        .getItem(0)).rlike("^\"?age\"?$"))
+    // the streaming source applies the SAME shared header-drop predicate
+    val stream = spark.readStream.text(srcDir.toString)
+      .where(!graft.pipeline.BankingPipeline.isHeaderLine(col("value")))
     var processed = 0L
     var parseErrors = 0L
     var validationErrors = 0L

@@ -67,7 +67,7 @@ class BinnedRangeJoinRuleSpec extends SparkSpec {
       s"equi-join should not be binned:\n$plan")
   }
 
-  test("randomized: rewrite equals an in-memory brute force over 500 trials of rows") {
+  test("randomized: 5 seeded 40x60 trials across 3 window widths equal brute force") {
     val rnd = new scala.util.Random(20260812)
     (1 to 5).foreach { trial =>
       val winSec = Seq(7L, 60L, 3600L)(trial % 3)

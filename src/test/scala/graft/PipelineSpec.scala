@@ -58,18 +58,21 @@ class PipelineSpec extends SparkSpec {
     // Java-only forms Python rejects -> error channel.
     val res = BankingPipeline.fromLines(Seq(
       withBalance("5d"), withBalance("5f"), withBalance("0x1p3"),
+      withBalance("1__0"), withBalance("_1"),    // bad underscore grouping
       // Python-accepted forms Java's parseDouble rejects or both accept.
       withBalance("inf"), withBalance("-INFINITY"), withBalance("+.5e2"),
-      withBalance("7.")
+      withBalance("7."), withBalance("1_000.5")  // digit-group underscore
     ).toDF("value"))
     val errs = res.errors.select("error_message").as[String].collect().toSet
     assert(errs == Set(
       "ParseError: could not convert string to float: '5d'",
       "ParseError: could not convert string to float: '5f'",
-      "ParseError: could not convert string to float: '0x1p3'"))
+      "ParseError: could not convert string to float: '0x1p3'",
+      "ParseError: could not convert string to float: '1__0'",
+      "ParseError: could not convert string to float: '_1'"))
     val ok = res.processed.select("balance").as[Double].collect().toSet
     assert(ok == Set(Double.PositiveInfinity, Double.NegativeInfinity,
-      50.0, 7.0))
+      50.0, 7.0, 1000.5))
   }
 
   test("one header per file part is dropped (Beam skip_header_lines=1 semantics)") {
