@@ -540,6 +540,105 @@ object ExtendedOps {
           | WHERE levenshtein(a.source, b.source) <= 2
           | ORDER BY s1, s2""".stripMargin.replace("\n", ""))),
 
+    // Session funnel: per user, how many 5-minute-gap sessions convert
+    // (contain a click at-or-before a purchase). Gaps-and-islands
+    // session ids (lag + running sum over floored epochs — the exact
+    // structure of q50's oracle), then one aggregate per session and
+    // one per user; a single shuffle by user serves every step.
+    "q79_session_funnel" -> Q(
+      (s, dir) => {
+        val byUser = Window.partitionBy("user_id").orderBy("es", "event_id")
+        val sessions = table(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_timestamp(col("ts")).as("es"))
+          .withColumn("new_session",
+            when(col("es") - lag("es", 1).over(byUser) >= 300 ||
+              lag("es", 1).over(byUser).isNull, 1).otherwise(0))
+          .withColumn("sid", sum("new_session").over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "sid")
+          .agg(min(when(col("event_type") === "click", col("es")))
+              .as("first_click"),
+            max(when(col("event_type") === "purchase", col("es")))
+              .as("last_purchase"))
+        sessions
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_sessions"),
+            count(when(col("first_click").isNotNull &&
+              col("last_purchase").isNotNull &&
+              col("first_click") <= col("last_purchase"), 1))
+              .as("n_converted"))
+          .orderBy("user_id")
+      },
+      Some(
+        """WITH e AS (SELECT user_id, event_id, event_type,
+          |   CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+          | o AS (SELECT *, CASE WHEN es - lag(es) OVER w >= 300
+          |     OR lag(es) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+          |   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+          | g AS (SELECT *, sum(new_session) OVER
+          |     (PARTITION BY user_id ORDER BY es, event_id ROWS UNBOUNDED PRECEDING) AS sid
+          |   FROM o),
+          | sess AS (SELECT user_id, sid,
+          |   min(CASE WHEN event_type = 'click' THEN es END) AS first_click,
+          |   max(CASE WHEN event_type = 'purchase' THEN es END) AS last_purchase
+          |   FROM g GROUP BY user_id, sid)
+          | SELECT user_id, count(*) AS n_sessions,
+          |   count(CASE WHEN first_click IS NOT NULL AND last_purchase IS NOT NULL
+          |     AND first_click <= last_purchase THEN 1 END) AS n_converted
+          | FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin
+          .replace("\n", ""))),
+
+    // int8 embedding quantization: per-vector max-abs scale (an exact,
+    // order-independent reduction) then symmetric round-to-int8 — the
+    // storage-compression step of an embedding pipeline. Checksum of
+    // the quantized codes pins every element.
+    "q80_quantize_embeddings" -> Q(
+      (s, dir) => table(s, dir, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .select(col("vec_id"),
+          expr("array_max(transform(v, x -> abs(x)))").as("scale"),
+          col("v"))
+        .select(col("vec_id"), col("scale"),
+          expr("""aggregate(
+            transform(v, x -> CASE WHEN scale = 0D THEN 0L
+              ELSE cast(round(x / scale * 127) as long) END),
+            0L, (a, x) -> a + x)""").as("code_sum"))
+        .orderBy("vec_id"),
+      Some(
+        """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+          | sc AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e)
+          | SELECT vec_id, scale,
+          |   CAST(list_reduce(list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+          |     ELSE CAST(round(x / scale * 127) AS BIGINT) END), (a, x) -> a + x) AS BIGINT) AS code_sum
+          | FROM sc ORDER BY vec_id""".stripMargin.replace("\n", ""))),
+
+    // percent_rank decile filter: orders in the top price decile of
+    // their priority class — the rational (rank-1)/(n-1) form is exact
+    // in both engines.
+    "q81_top_decile" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy("o_totalprice", "o_orderkey")
+        table(s, dir, "orders")
+          .withColumn("pr", percent_rank().over(w))
+          .where(col("pr") >= 0.9)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_top"),
+            sum(round(col("o_totalprice") * 100).cast("long"))
+              .as("top_cents"))
+          .orderBy("o_orderpriority")
+      },
+      Some(
+        """WITH r AS (SELECT o_orderpriority, o_totalprice,
+          |   percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS pr
+          | FROM orders)
+          | SELECT o_orderpriority, count(*) AS n_top,
+          |   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS top_cents
+          | FROM r WHERE pr >= 0.9 GROUP BY o_orderpriority
+          | ORDER BY o_orderpriority""".stripMargin.replace("\n", ""))),
+
     // Grouped exact discrete p90 via order statistics (q48's technique
     // generalized beyond the median): the result is an actual data
     // element, so it compares exactly — no interpolation semantics to
