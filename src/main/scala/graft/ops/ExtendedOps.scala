@@ -639,6 +639,34 @@ object ExtendedOps {
           | FROM r WHERE pr >= 0.9 GROUP BY o_orderpriority
           | ORDER BY o_orderpriority""".stripMargin.replace("\n", ""))),
 
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    // match each other — the join surface for dimensions with an
+    // explicit "unknown" bucket. NULLIF manufactures the null keys from
+    // a real column so the semantics are exercised on live data.
+    "q82_null_safe_join" -> Q(
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+          .select(col("event_id"),
+            nullif(col("event_type"), lit("view")).as("k"))
+        val dim = table(s, dir, "events")
+          .select(nullif(col("event_type"), lit("view")).as("k"))
+          .distinct()
+          .withColumn("label",
+            coalesce(concat(lit("type:"), col("k")), lit("unknown")))
+        ev.join(dim, ev("k") <=> dim("k"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("label")
+      },
+      Some(
+        """WITH e AS (SELECT event_id, NULLIF(event_type, 'view') AS k FROM events),
+          | d AS (SELECT k, coalesce('type:' || k, 'unknown') AS label
+          |   FROM (SELECT DISTINCT NULLIF(event_type, 'view') AS k FROM events))
+          | SELECT d.label, count(*) AS n
+          | FROM e JOIN d ON e.k IS NOT DISTINCT FROM d.k
+          | GROUP BY d.label ORDER BY d.label""".stripMargin
+          .replace("\n", ""))),
+
     // Grouped exact discrete p90 via order statistics (q48's technique
     // generalized beyond the median): the result is an actual data
     // element, so it compares exactly — no interpolation semantics to
