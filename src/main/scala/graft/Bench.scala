@@ -35,8 +35,11 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     // Warm-up: JVM/codegen/parquet-footer costs out of the measurements.
+    // NonFatal only: after an OOM/LinkageError the JVM's state is
+    // unreliable and every later "best of 2" would be garbage — abort.
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      try fn(spark, warmDir).count()
+      catch { case scala.util.control.NonFatal(_) => () }
     }
 
     // Best of 2 timed runs per query (fresh DataFrame each run, so no
@@ -56,7 +59,9 @@ object Bench {
         clearState()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 } // failure marker, never a time
+        catch { // failure marker, never a time; fatal errors propagate
+          case scala.util.control.NonFatal(_) => -1.0
+        }
       }
       // min over SUCCESSFUL runs; a query that failed both runs reports
       // -1 so breakage can't masquerade as a speedup.

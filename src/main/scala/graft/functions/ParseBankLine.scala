@@ -74,25 +74,109 @@ object ParseBankLine {
   // Shields Double.parseDouble from the Java-only forms Python rejects
   // ('5d'/'5f' suffixes, hex floats like '0x1p3') and admits the
   // Python-only 'inf'/'INF'/underscore spellings Java rejects.
-  // D below = CPython's digitpart: digit (['_'] digit)*.
-  private val FloatShape = {
-    val D = """\d(?:_?\d)*"""
-    java.util.regex.Pattern.compile(
-      s"""[+-]?(?:(?:$D(?:\\.(?:$D)?)?|\\.$D)(?:[eE][+-]?$D)?|(?i:inf(?:inity)?|nan))""")
+  // ASCII digits only, like the regex (\d) formulation this byte-level
+  // scanner replaced — the scanner exists because the regex cost a
+  // Matcher allocation + UTF8String->String conversion per balance
+  // token on the hot CSV path (q42); grammar is CPython's
+  // digitpart = digit (['_'] digit)*. The reject path allocates
+  // nothing; the accept path allocates exactly the one String
+  // Double.parseDouble requires.
+
+  private def isDigit(b: Byte): Boolean = b >= '0' && b <= '9'
+
+  /** Does the remainder of `tok` from `from` equal `word` (lowercase
+    * ASCII) case-insensitively, consuming the whole remainder?
+    */
+  private def restEqualsIgnoreCase(tok: UTF8String, from: Int,
+                                   word: String): Boolean = {
+    if (tok.numBytes - from != word.length) return false
+    var j = 0
+    while (j < word.length) {
+      if ((tok.getByte(from + j) | 0x20) != word.charAt(j)) return false
+      j += 1
+    }
+    true
   }
 
   /** Parse with Python float() semantics; null when the token is rejected. */
-  private def pythonFloat(s: String): java.lang.Double = {
-    if (!FloatShape.matcher(s).matches()) return null
-    val neg = s.startsWith("-")
-    val trimmed = if (neg || s.startsWith("+")) s.substring(1) else s
-    val body = trimmed.replace("_", "") // grouping only; value-neutral
-    val v = body.toLowerCase match {
-      case "inf" | "infinity" => Double.PositiveInfinity
-      case "nan" => Double.NaN
-      case _ => java.lang.Double.parseDouble(body)
+  private def pythonFloat(tok: UTF8String): java.lang.Double = {
+    val n = tok.numBytes
+    var i = 0
+    var neg = false
+    if (n > 0) {
+      val b0 = tok.getByte(0)
+      if (b0 == '+' || b0 == '-') { neg = b0 == '-'; i = 1 }
     }
-    java.lang.Double.valueOf(if (neg) -v else v)
+    if (i >= n) return null
+
+    val first = (tok.getByte(i) | 0x20).toByte
+    if (first == 'i' || first == 'n') {
+      val v =
+        if (restEqualsIgnoreCase(tok, i, "nan")) Double.NaN
+        else if (restEqualsIgnoreCase(tok, i, "inf") ||
+          restEqualsIgnoreCase(tok, i, "infinity")) Double.PositiveInfinity
+        else return null
+      return java.lang.Double.valueOf(if (neg) -v else v)
+    }
+
+    var underscored = false
+    // digitpart: digit (['_'] digit)*. Returns the index after the last
+    // consumed byte, or -1 if no leading digit.
+    def digits(from: Int): Int = {
+      var j = from
+      if (j >= n || !isDigit(tok.getByte(j))) return -1
+      j += 1
+      var done = false
+      while (!done && j < n) {
+        val b = tok.getByte(j)
+        if (isDigit(b)) j += 1
+        else if (b == '_' && j + 1 < n && isDigit(tok.getByte(j + 1))) {
+          underscored = true
+          j += 2
+        } else done = true
+      }
+      j
+    }
+
+    // Mantissa: D ('.' D?)? | '.' D
+    if (tok.getByte(i) == '.') {
+      i += 1
+      val j = digits(i)
+      if (j < 0) return null
+      i = j
+    } else {
+      val j = digits(i)
+      if (j < 0) return null
+      i = j
+      if (i < n && tok.getByte(i) == '.') {
+        i += 1
+        val k = digits(i)
+        if (k >= 0) i = k
+      }
+    }
+    // Optional exponent: [eE] [+-]? D
+    if (i < n && (tok.getByte(i) | 0x20) == 'e') {
+      var j = i + 1
+      if (j < n && (tok.getByte(j) == '+' || tok.getByte(j) == '-')) j += 1
+      val k = digits(j)
+      if (k < 0) return null
+      i = k
+    }
+    if (i != n) return null
+
+    val s =
+      if (!underscored) tok.toString
+      else { // grouping only; value-neutral
+        val sb = new java.lang.StringBuilder(n)
+        var j = 0
+        while (j < n) {
+          val b = tok.getByte(j)
+          if (b != '_') sb.append(b.toChar)
+          j += 1
+        }
+        sb.toString
+      }
+    java.lang.Double.valueOf(java.lang.Double.parseDouble(s))
   }
 
   /** Static entry point shared by interpreted eval and generated code. */
@@ -114,7 +198,7 @@ object ParseBankLine {
           else return err(row,
             s"ParseError: invalid literal for int() with base 10: '$tok'")
         case 5 => // balance: double, Python float() acceptance rules
-          val d = pythonFloat(tok.trimAll().toString)
+          val d = pythonFloat(tok.trimAll())
           if (d != null) row.update(i, d.doubleValue())
           else return err(row,
             s"ParseError: could not convert string to float: '$tok'")

@@ -78,17 +78,19 @@ object DedupOps {
     * the whole accumulated lineage every iteration — measured 60s+ at
     * sf0.1 before truncation, ~3s after. Two rounds per convergence
     * check halves the count() actions; pointer jumping makes
-    * rounds-to-converge O(log diameter). The contracted graph is tiny
-    * relative to the corpus, hence coalesce(1); at cluster scale the
-    * same loop runs partitioned by v.
+    * rounds-to-converge O(log diameter). The loop stays PARTITIONED
+    * throughout — every round is joins + a min-agg hash-partitioned by
+    * v / d1, exactly the shape that runs on a 1000-executor cluster;
+    * AQE coalesces the tiny contracted graph's partitions at this SF
+    * without serializing the plan onto one core.
     */
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs.toDF("d1", "d2").unionByName(
       pairs.toDF("d2", "d1").select(col("d1"), col("d2")))
-      .coalesce(1).persist()
+      .persist()
     try {
       var comp = edges.select(col("d1").as("v")).distinct()
-        .withColumn("c", col("v")).coalesce(1)
+        .withColumn("c", col("v"))
         .localCheckpoint(eager = true)
       var changed = 1L
       var iters = 0
@@ -104,7 +106,7 @@ object DedupOps {
               col("p.c") === col("jv"), "left")
             .select(col("p.v").as("v"),
               least(col("p.c"), coalesce(col("jc"), col("p.c"))).as("c"))
-            .coalesce(1).localCheckpoint(eager = true)
+            .localCheckpoint(eager = true)
         }
         changed = next.as("n").join(comp.as("o"), "v")
           .where(col("n.c") =!= col("o.c")).count()
@@ -184,21 +186,20 @@ object DedupOps {
           .replace("\n", ""))),
 
     // Near-dup clustering: connected components over the jaccard >= 0.5
-    // pair graph via iterative min-label propagation (join + min-agg per
-    // round, looped to fixpoint on the driver — the DataFrame-native
-    // connected components; at cluster scale the same loop with
-    // large-star/small-star contraction converges in O(log n) rounds).
+    // pair graph via iterative min-label propagation with pointer
+    // jumping (join + min-agg per round, partitioned by vertex
+    // throughout, looped to fixpoint; only the per-round CHANGED count —
+    // one long — ever reaches the driver). The returned frame reads the
+    // final round's localCheckpoint blocks, so it stays valid after the
+    // edge cache is released and nothing is collected.
     // Oracle: DuckDB recursive CTE computing min reachable id.
     "q64_dup_clusters" -> Q(
       (s, dir) => {
         val jp = jaccardPairs(table(s, dir, "documents"))
           .where(col("jaccard") >= 0.5).select("d1", "d2")
-        val out = connectedComponents(jp)
+        connectedComponents(jp)
           .select(col("v").as("doc_id"), col("c").as("cluster_id"))
           .orderBy("doc_id")
-        val rows = out.collect().toSeq
-        import scala.jdk.CollectionConverters._
-        s.createDataFrame(rows.asJava, out.schema).orderBy("doc_id")
       },
       Some(
         s"""WITH RECURSIVE $jaccardCte,
@@ -305,16 +306,48 @@ object DedupOps {
     // Embedding-cosine near-dup pairs (threshold 0.3 on this synthetic
     // data). Exact double arithmetic with the same fold order as the
     // DuckDB oracle, so scores compare bit-for-bit.
+    //
+    // Why EXACT must compare O(N^2) pairs here: the corpus is
+    // near-uniform on the sphere (measured at sf0.01: max pair cosine
+    // ~0.6, ~2500 pairs within ±0.05 of the 0.3 threshold), so no
+    // sign-LSH banding both prunes and keeps recall — a pair at
+    // cos 0.3 agrees with a random hyperplane only 59.7% of the time.
+    // The scale answer is therefore a TILED self-join: block ids fan
+    // each vector into B(B+1)/2 tile keys, the join is a hash EQUI-join
+    // on the tile, and each task compares one (N/B) x (N/B) tile in
+    // bounded memory — same exact output, but the quadratic FLOPs are
+    // spread over B(B+1)/2 parallel tasks instead of one
+    // BroadcastNestedLoopJoin (and B scales with the cluster). The
+    // approximate scale path (LSH candidates + exact rescore) is q83.
     "q27_dedup_embedding" -> Q(
       (s, dir) => {
         val e = table(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         val n = e.select(col("vec_id"), col("v"),
           graft.functions.VectorFunctions.l2norm(col("v")).as("nrm"))
+        val B = 8
+        // Side A owns tiles (g, j) for j >= g; side B owns (i, g) for
+        // i <= g: every unordered cross-block pair meets in exactly one
+        // tile with one orientation; same-block pairs meet on the
+        // diagonal and are deduped by the id tiebreaker.
+        val g = pmod(col("vec_id"), lit(B)).cast("int")
+        val sideA = n.withColumn("g", g).select(col("vec_id"), col("v"),
+          col("nrm"), col("g"), explode(expr(
+            s"transform(sequence(g, ${B - 1}), j -> struct(g AS i, j AS j))"))
+            .as("tile"))
+        val sideB = n.withColumn("g", g).select(col("vec_id"), col("v"),
+          col("nrm"), col("g"), explode(expr(
+            s"transform(sequence(0, g), i -> struct(i AS i, g AS j))"))
+            .as("tile"))
         val cos = SimilarityOps.cosine(
           col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm"))
-        n.as("a").join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        sideA.as("a").join(sideB.as("b"),
+            col("a.tile") === col("b.tile") &&
+              (col("a.g") =!= col("b.g") ||
+                col("a.vec_id") < col("b.vec_id")))
+          .select(
+            least(col("a.vec_id"), col("b.vec_id")).as("v1"),
+            greatest(col("a.vec_id"), col("b.vec_id")).as("v2"),
             cos.as("cosine"))
           .where(col("cosine") > 0.3)
           .orderBy("v1", "v2")

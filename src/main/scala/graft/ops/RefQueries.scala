@@ -215,21 +215,22 @@ object RefQueries {
         // The 4-way demux re-reads the errors frame once per stream;
         // persist so the parse pipeline runs once, not four times (the
         // same recompute-vs-persist tradeoff called out in SURVEY.md §4.3).
-        // The final aggregate is ≤4 rows, so materialize it eagerly and
-        // unpersist before returning — a long-lived session (Bench runs
-        // every query in one) must not accumulate cached partitions.
+        // The ≤4-row aggregate is materialized inside the persist scope
+        // with an eager localCheckpoint — the returned plan reads the
+        // checkpointed blocks, never the unpersisted lineage, and nothing
+        // is collected to the driver (the collect-and-recreate idiom is
+        // banned in src/main: it silently stops scaling when copy-pasted
+        // onto an unbounded result).
         res.errors.persist()
         try {
-          val agg = BankingPipeline.unionErrors(
+          BankingPipeline.unionErrors(
             Seq(res.errorStreamsByStage("parsing_error"),
               res.errorStreamsByStage("data_validation"),
               res.errorStreamsByStage("segmentation_error"),
               res.errorStreamsByStage("preparation_error")))
             .groupBy("error_type").agg(count(lit(1)).as("n"))
+            .localCheckpoint(eager = true)
             .orderBy("error_type")
-          val rows = agg.collect().toSeq
-          import scala.jdk.CollectionConverters._
-          s.createDataFrame(rows.asJava, agg.schema).orderBy("error_type")
         } finally res.errors.unpersist()
       },
       Some(bankCte +

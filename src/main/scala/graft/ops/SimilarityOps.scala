@@ -150,6 +150,35 @@ object SimilarityOps {
           | r AS (SELECT query_id, cand_id, cosine,
           |   CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rnk FROM sc)
           | SELECT query_id, rnk, cand_id, cosine FROM r WHERE rnk <= 5
-          | ORDER BY query_id, rnk""".stripMargin.replace("\n", "")))
+          | ORDER BY query_id, rnk""".stripMargin.replace("\n", ""))),
+
+    // Approximate near-dup: LSH bucket blocking + exact cosine rescore —
+    // the sub-quadratic scale path beside q27's exact tiled join.
+    // Candidate pairs are bucket-mates (hash equi-join on the 6-bit
+    // bucket, ~N^2/2^planes comparisons), each rescored with exact
+    // cosine and thresholded. Recall vs the exact pair set is a
+    // property of the data/threshold (measured in NearDupRecallSpec);
+    // CORRECTNESS is exact because the oracle replays the identical
+    // seeded hyperplanes, so both engines compute the same blocked set.
+    "q83_neardup_lsh_rescore" -> Q(
+      (s, dir) => {
+        val n = normed(s, dir).withColumn("bucket", lshBucket(col("v")))
+        n.as("a").join(n.as("b"),
+            col("a.bucket") === col("b.bucket") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+            cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm"))
+              .as("cosine"))
+          .where(col("cosine") > 0.3)
+          .orderBy("v1", "v2")
+      },
+      Some(bucketCte +
+        """, nb AS (SELECT n.vec_id, n.v, n.nrm, bk.bucket FROM n JOIN bk USING (vec_id)),
+          | p AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+          |   list_reduce(list_transform(list_zip(a.v, b.v), q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)), (x, y) -> x + y)
+          |     / (a.nrm * b.nrm) AS cosine
+          |   FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+          | SELECT v1, v2, cosine FROM p WHERE cosine > 0.3 ORDER BY v1, v2"""
+          .stripMargin.replace("\n", "")))
   )
 }

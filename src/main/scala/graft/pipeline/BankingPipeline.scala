@@ -51,16 +51,20 @@ object BankingPipeline {
     * (bp.py:345). Kept as a raw-text read so malformed lines reach the
     * parse stage's error channel instead of being dropped by the reader.
     */
-  /** A header line, identified structurally: a data row's first field
-    * must parse as an integer age, so any line whose first token is the
-    * literal column name `age` (optionally "-quoted, as in the UCI
-    * distribution) is a header. Shared by the batch reader and the
+  /** A header line, identified structurally: the full 17-column header
+    * shape — all column names in order, case-insensitive, tolerating the
+    * UCI distribution's "-quoting and stray whitespace. Matching the
+    * whole shape (not just a leading `age` token) means a malformed
+    * mid-file DATA row that happens to start with "age" still reaches
+    * the parsing_error channel, like the reference's positional
+    * skip_header_lines=1 would. Shared by the batch reader and the
     * streaming ingest path so the rule cannot drift between them.
     */
+  private val headerShape: String =
+    BankSchema.inputFields.map(_.name).mkString(";")
+
   def isHeaderLine(line: Column): Column =
-    lower(trim(regexp_replace(
-      org.apache.spark.sql.functions.split(line, ";").getItem(0),
-      "\"", ""))) === "age"
+    lower(regexp_replace(line, "[\"\\s]", "")) === headerShape
 
   def readCsvLines(spark: SparkSession, path: String): DataFrame = {
     // Drop headers by predicate, not position: no ordering assumption

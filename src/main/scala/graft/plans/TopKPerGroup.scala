@@ -24,9 +24,15 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * the answer, not the input. Requires a total order (ties broken by
   * the ordering itself) so the result is deterministic and exact.
   *
-  * Memory: one k-bounded heap per distinct group per task (same
-  * envelope as hash aggregation without spill; k is small by
-  * construction).
+  * Memory: the PARTIAL phase keeps one k-bounded heap per distinct
+  * group per task, hard-capped at [[TopKPerGroupExec.MaxPartialGroups]]
+  * tracked groups — rows of further groups stream through un-reduced
+  * (always correct: the partial phase is only a pre-filter), so a
+  * high-cardinality group column degrades shuffle volume, never task
+  * memory. The FINAL phase requires its input sorted by the group keys
+  * (answer-proportional data post-partial, so the sort is cheap) and
+  * streams one group at a time with a single k-heap — O(k) memory
+  * regardless of group count.
   */
 case class TopKPerGroupNode(
     group: Seq[Attribute],
@@ -64,37 +70,88 @@ case class TopKPerGroupExec(
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(group) :: Nil
 
+  // Final phase streams group-at-a-time, so its input must be contiguous
+  // by group: any total order over the group keys does (Ascending chosen
+  // arbitrarily). The sorted data is the partial phase's survivors —
+  // answer-proportional, not input-proportional.
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (partial) Seq(Nil)
+    else Seq(group.map(SortOrder(_,
+      org.apache.spark.sql.catalyst.expressions.Ascending)))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val groupExprs = group
     val sortExprs = ordering
     val limit = k
     val childOutput = child.output
+    val isPartial = partial
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(groupExprs, childOutput)
+      // Identity projection instead of asInstanceOf[UnsafeRow]: child
+      // plans may emit any InternalRow (interpreted ColumnarToRow,
+      // object-serialized paths), and heap/HashMap logic needs
+      // UnsafeRow's value-based equals/copy semantics.
+      val rowProj = UnsafeProjection.create(childOutput, childOutput)
       val rowOrd = GenerateOrdering.generate(
         sortExprs.map(BindReferences.bindReference(_, childOutput)))
       // head of the queue = WORST retained row (max under the ascending
       // "comes-first" comparator), so replacement is O(log k).
       implicit val ord: Ordering[UnsafeRow] =
         (a: UnsafeRow, b: UnsafeRow) => rowOrd.compare(a, b)
-      val heaps = new java.util.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[UnsafeRow]]()
-      iter.foreach { row =>
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = scala.collection.mutable.PriorityQueue.empty[UnsafeRow]
-          heaps.put(key.copy(), heap)
-        }
-        val unsafe = row.asInstanceOf[UnsafeRow]
+      def offer(heap: scala.collection.mutable.PriorityQueue[UnsafeRow],
+                unsafe: UnsafeRow): Unit =
         if (heap.size < limit) heap.enqueue(unsafe.copy())
         else if (rowOrd.compare(unsafe, heap.head) < 0) {
           heap.dequeue()
           heap.enqueue(unsafe.copy())
         }
+
+      if (isPartial) {
+        val heaps = new java.util.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[UnsafeRow]]()
+        val reduced = iter.flatMap { row =>
+          val unsafe = rowProj(row)
+          val key = keyProj(unsafe)
+          var heap = heaps.get(key)
+          if (heap == null &&
+            heaps.size() >= TopKPerGroupExec.MaxPartialGroups) {
+            // State cap reached: stream this group through un-reduced
+            // rather than growing the map — the final phase still sees a
+            // superset of every group's top-k.
+            Iterator.single(unsafe.copy(): InternalRow)
+          } else {
+            if (heap == null) {
+              heap = scala.collection.mutable.PriorityQueue.empty[UnsafeRow]
+              heaps.put(key.copy(), heap)
+            }
+            offer(heap, unsafe)
+            Iterator.empty
+          }
+        }
+        // ++ evaluates its right side only after `reduced` is exhausted,
+        // so the heaps are complete when drained.
+        reduced ++ {
+          val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+          heaps.values().forEach(h => h.foreach(out += _))
+          out.iterator
+        }
+      } else {
+        // Sorted-by-group input: one k-heap alive at a time.
+        val base = iter.map(r => rowProj(r).copy()).buffered
+        new Iterator[InternalRow] {
+          private var drain: Iterator[InternalRow] = Iterator.empty
+          override def hasNext: Boolean = drain.hasNext || base.hasNext
+          override def next(): InternalRow = {
+            if (!drain.hasNext) {
+              val groupKey = keyProj(base.head).copy()
+              val heap = scala.collection.mutable.PriorityQueue.empty[UnsafeRow]
+              while (base.hasNext && keyProj(base.head) == groupKey)
+                offer(heap, base.next())
+              drain = heap.iterator
+            }
+            drain.next()
+          }
+        }
       }
-      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-      heaps.values().forEach(h => h.foreach(out += _))
-      out.iterator
     }
   }
 
@@ -103,6 +160,16 @@ case class TopKPerGroupExec(
 
   override def nodeName: String =
     if (partial) "TopKPerGroupPartial" else "TopKPerGroupFinal"
+}
+
+object TopKPerGroupExec {
+  /** Hard cap on per-task partial state (groups tracked at once). With
+    * k-heaps of UnsafeRows this bounds the map at tens of MB for
+    * ordinary rows; beyond it the partial phase degrades gracefully to
+    * pass-through for NEW groups (correctness unaffected — the final
+    * phase computes the exact answer from any superset).
+    */
+  val MaxPartialGroups: Int = 1 << 16
 }
 
 object TopKPerGroup {

@@ -81,12 +81,28 @@ class PipelineSpec extends SparkSpec {
       "contact;day;month;duration;campaign;pdays;previous;poutcome;y"
     java.nio.file.Files.write(dir.resolve("part-0.csv"),
       java.util.Arrays.asList(header, valid))
+    // The UCI distribution quotes every header token; the predicate is
+    // the FULL 17-name shape, so quoting/whitespace variants are still
+    // headers but nothing shorter is.
+    val quoted = header.split(";").map("\"" + _ + "\"").mkString(";")
     java.nio.file.Files.write(dir.resolve("part-1.csv"),
-      java.util.Arrays.asList("\"age\";\"job\";rest", valid, valid))
+      java.util.Arrays.asList(quoted, valid, valid))
     val lines = BankingPipeline.readCsvLines(spark, dir.toString)
     assert(lines.count() == 3) // both headers gone, all data rows kept
     val res = BankingPipeline.fromLines(lines)
     assert(res.processed.count() == 3 && res.errors.count() == 0)
+  }
+
+  test("a data row starting with 'age' is NOT silently dropped as a header") {
+    // A malformed mid-file row whose first token is the column name must
+    // reach the parsing_error channel like the reference's positional
+    // skip_header_lines=1 would route it (ADVICE r2).
+    val rows = Seq("age;oops;truncated", valid).toDF("value")
+      .where(!BankingPipeline.isHeaderLine(col("value")))
+    assert(rows.count() == 2)
+    val res = BankingPipeline.fromLines(rows)
+    assert(res.processed.count() == 1 && res.errors.count() == 1)
+    assert(res.errors.select("error_type").as[String].head() == "parsing_error")
   }
 
   test("age range validation inclusive [18,100] (bp.py:171)") {

@@ -38,6 +38,25 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("graft_dot"), s"custom dot expr not in plan:\n$plan")
   }
 
+  test("embedding near-dup is a tiled equi-join, not a nested loop") {
+    // q27's exact O(N^2) comparisons must arrive via the tile-key hash
+    // join (bounded per-task memory, B(B+1)/2-way parallel), never a
+    // BroadcastNestedLoopJoin over the whole corpus (VERDICT r2 #3).
+    val plan = executed("q27_dedup_embedding")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"nested-loop join in:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"no equi-join on the tile key in:\n$plan")
+  }
+
+  test("q83 LSH rescore joins candidates on the bucket key") {
+    val plan = executed("q83_neardup_lsh_rescore")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"nested-loop join in:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"no equi-join on the bucket in:\n$plan")
+  }
+
   test("flagship pipeline has zero exchanges and stays in one codegen stage") {
     val res = graft.pipeline.BankingPipeline.fromTyped(
       TestData.bankFrame(spark, sf))

@@ -62,6 +62,60 @@ class PropertySpec extends SparkSpec {
     assert(res.processed.count() + res.errors.count() == lines.size)
   }
 
+  test("byte-level python-float scanner agrees with the regex grammar") {
+    // The balance coercion's byte scanner replaced a regex
+    // (ParseBankLine round-3 hot-path rewrite); this pins equivalence:
+    // same accept/reject partition AND same parsed value on accepts,
+    // with the CPython grammar replicated here as the referee.
+    val D = """\d(?:_?\d)*"""
+    val shape = java.util.regex.Pattern.compile(
+      s"""[+-]?(?:(?:$D(?:\\.(?:$D)?)?|\\.$D)(?:[eE][+-]?$D)?|(?i:inf(?:inity)?|nan))""")
+    def referee(s: String): Option[Double] =
+      if (!shape.matcher(s).matches()) None
+      else {
+        val neg = s.startsWith("-")
+        val body = s.dropWhile(c => c == '+' || c == '-').replace("_", "")
+        val v = body.toLowerCase match {
+          case "inf" | "infinity" => Double.PositiveInfinity
+          case "nan" => Double.NaN
+          case other => other.toDouble
+        }
+        Some(if (neg) -v else v)
+      }
+    val tokGen: Gen[String] = Gen.oneOf(
+      // structured near-misses and hits around the grammar
+      for {
+        sign <- Gen.oneOf("", "+", "-")
+        core <- Gen.oneOf("1", "12_34", "1__2", "_1", "1_", ".5", "5.",
+          "1.5", ".", "", "inf", "Infinity", "NAN", "nan5", "infx",
+          "1.2.3", "0x1p3", "5d", "1e", "7e4", "1_0e1_0", "2E+07",
+          "3e-2", "9.e2", ".e2", "1e+", "00_1.50", "n", "i")
+      } yield sign + core,
+      // unstructured noise
+      Gen.listOfN(6, Gen.oneOf(('0' to '9') ++ Seq('.', '_', 'e', 'E',
+        '+', '-', 'i', 'n', 'f', 'a', 'y', 'x'))).map(_.mkString))
+    val toks = (sample(tokGen, 3000) ++ Seq("inf", "-INFINITY", "nan",
+      "1_000.5", "2e308", "-2e308")).distinct
+    // The day column doubles as the token index so results join back
+    // (age must stay in the valid range or validation eats the row).
+    def line(tok: String, id: Int) =
+      s"42;job;m;e;no;$tok;yes;no;c;$id;may;300;2;-1;0;u;no"
+    val res = BankingPipeline.fromLines(
+      toks.zipWithIndex.map { case (t, i) => line(t, i) }.toDF("value"))
+    val gotOk = res.processed.select("day", "balance").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    toks.zipWithIndex.foreach { case (tok, i) =>
+      referee(tok) match {
+        case None => assert(!gotOk.contains(i), s"accepted bad token '$tok'")
+        case Some(v) =>
+          assert(gotOk.contains(i), s"rejected good token '$tok'")
+          val g = gotOk(i)
+          assert(g == v || (g.isNaN && v.isNaN),
+            s"value mismatch for '$tok': got $g want $v")
+      }
+    }
+  }
+
   test("engagement score bounded in [-0.075, 1] on the natural domain") {
     val gen = for {
       p <- Gen.chooseNum(-1, 1000); c <- Gen.chooseNum(0, 1000)
