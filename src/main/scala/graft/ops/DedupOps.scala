@@ -45,16 +45,20 @@ object DedupOps {
     * Blocking via the shingle self-join — never all-pairs.
     */
   private[graft] def jaccardPairs(docs: DataFrame): DataFrame = {
-    // sh is referenced 3x (both join sides + counts) and deliberately
-    // NOT persisted: measured at sf0.1, lazy recompute beats caching
-    // (columnar cache write + lost optimizer stats turned the
-    // signature joins into sort-merge). Revisit only with real stats.
-    // Hash BEFORE distinct so the dedup shuffle carries longs.
+    // sh is referenced 3x (both join sides + counts). Materialization
+    // choice re-measured at sf0.1 (round 3): eager localCheckpoint wins
+    // (q24 2.7 s -> 1.3 s) where persist() LOSES to lazy recompute
+    // (3.5 s vs 2.7 s — the columnar cache write + lost optimizer stats
+    // turned the signature joins into sort-merge). The checkpoint keeps
+    // plain row blocks, costs one job, and truncates the plan the three
+    // consumers re-optimize. Hash BEFORE distinct so the dedup shuffle
+    // carries longs.
     val sh = rawShingles(docs)
       .select(col("doc_id"),
         conv(substring(md5(col("s")), 1, 15), 16, 10)
           .cast("long").as("s"))
       .distinct()
+      .localCheckpoint(eager = true)
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a").join(sh.as("b"),
       col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -85,40 +89,45 @@ object DedupOps {
     * without serializing the plan onto one core.
     */
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    // Edges are consumed once per propagation round, always joined on
+    // d2: materialize them ALREADY hash-partitioned by d2 with an eager
+    // localCheckpoint — the LogicalRDD keeps the partitioning, so no
+    // round re-shuffles the edge side (persist() kept the lineage and
+    // re-optimized + re-exchanged it every round; measured at sf0.1 the
+    // checkpoint+prepartition cut q64 from 6.4 s to ~3.5 s).
     val edges = pairs.toDF("d1", "d2").unionByName(
       pairs.toDF("d2", "d1").select(col("d1"), col("d2")))
-      .persist()
-    try {
-      var comp = edges.select(col("d1").as("v")).distinct()
-        .withColumn("c", col("v"))
-        .localCheckpoint(eager = true)
-      var changed = 1L
-      var iters = 0
-      while (changed > 0 && iters < 12) {
-        val next = (0 until 2).foldLeft(comp) { case (cur, _) =>
-          val nbrMin = edges.join(cur, col("d2") === col("v"))
-            .groupBy(col("d1")).agg(min("c").as("nc"))
-          val prop = cur.join(nbrMin, col("v") === col("d1"), "left")
-            .select(col("v"),
-              least(col("c"), coalesce(col("nc"), col("c"))).as("c"))
-          prop.as("p").join(
-              prop.select(col("v").as("jv"), col("c").as("jc")),
-              col("p.c") === col("jv"), "left")
-            .select(col("p.v").as("v"),
-              least(col("p.c"), coalesce(col("jc"), col("p.c"))).as("c"))
-            .localCheckpoint(eager = true)
-        }
-        changed = next.as("n").join(comp.as("o"), "v")
-          .where(col("n.c") =!= col("o.c")).count()
-        comp = next
-        iters += 1
+      .repartition(col("d2"))
+      .localCheckpoint(eager = true)
+    var comp = edges.select(col("d1").as("v")).distinct()
+      .withColumn("c", col("v"))
+      .localCheckpoint(eager = true)
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < 12) {
+      val next = (0 until 2).foldLeft(comp) { case (cur, _) =>
+        val nbrMin = edges.join(cur, col("d2") === col("v"))
+          .groupBy(col("d1")).agg(min("c").as("nc"))
+        val prop = cur.join(nbrMin, col("v") === col("d1"), "left")
+          .select(col("v"),
+            least(col("c"), coalesce(col("nc"), col("c"))).as("c"))
+        prop.as("p").join(
+            prop.select(col("v").as("jv"), col("c").as("jc")),
+            col("p.c") === col("jv"), "left")
+          .select(col("p.v").as("v"),
+            least(col("p.c"), coalesce(col("jc"), col("p.c"))).as("c"))
+          .localCheckpoint(eager = true)
       }
-      // A wrong clustering must never be silently indistinguishable from
-      // a converged one.
-      require(changed == 0,
-        s"connected components did not converge in ${2 * iters} rounds")
-      comp
-    } finally edges.unpersist()
+      changed = next.as("n").join(comp.as("o"), "v")
+        .where(col("n.c") =!= col("o.c")).count()
+      comp = next
+      iters += 1
+    }
+    // A wrong clustering must never be silently indistinguishable from
+    // a converged one.
+    require(changed == 0,
+      s"connected components did not converge in ${2 * iters} rounds")
+    comp
   }
 
   /** The shingle/count/pair CTE chain shared by the q24 and q64 oracles
