@@ -222,6 +222,35 @@ object DedupOps {
            | SELECT v AS doc_id, min(m) AS cluster_id FROM reach GROUP BY v
            | ORDER BY doc_id""".stripMargin.replace("\n", ""))),
 
+    // Benchmark decontamination: flag corpus docs sharing any word-3-gram
+    // with a held-out benchmark set (doc_id % 97 == 0 here) — the
+    // train/test-leak guard every training-data pipeline needs. The
+    // benchmark shingle set is DISTINCT + broadcast (benchmark suites are
+    // tiny next to the corpus), so the check is one broadcast hash join
+    // over the corpus shingles + a count per doc — no shuffle of the
+    // corpus side beyond the per-doc aggregation.
+    "q86_decontaminate" -> Q(
+      (s, dir) => {
+        val sh = rawShingles(table(s, dir, "documents"))
+          .select(col("doc_id"),
+            conv(substring(md5(col("s")), 1, 15), 16, 10)
+              .cast("long").as("s"))
+          .distinct()
+        val bench = sh.where(col("doc_id") % 97 === 0)
+          .select("s").distinct()
+        sh.where(col("doc_id") % 97 =!= 0)
+          .join(broadcast(bench), "s")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH $jaccardCte,
+           | bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+           | SELECT sh.doc_id, count(*) AS n_overlap
+           | FROM sh JOIN bench USING (s) WHERE sh.doc_id % 97 <> 0
+           | GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin
+          .replace("\n", ""))),
+
     // MinHash + LSH banding: 16 hashes, 4 bands of 4 rows; candidate
     // pairs share >=1 band bucket; est_sim = signature agreement rate.
     // Bucket key = the band's 4-element signature slice itself (array

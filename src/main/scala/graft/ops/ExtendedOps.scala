@@ -690,6 +690,81 @@ object ExtendedOps {
           | FROM events)
           | SELECT event_type, value AS p90_value FROM r
           | WHERE rn = CAST(ceil(cnt * 0.9) AS INT)
-          | ORDER BY event_type""".stripMargin.replace("\n", "")))
+          | ORDER BY event_type""".stripMargin.replace("\n", ""))),
+
+    // Context-window sequence packing: concatenate each source shard's
+    // docs in doc_id order and chunk into 256-token windows — the
+    // pretraining batch-packing primitive. Partitioned by source so the
+    // prefix sum is a per-shard window, not a global single-partition
+    // sort (at cluster scale shards are the natural packing unit; a
+    // global order would serialize). spans_boundary marks docs split
+    // across windows. Integer arithmetic only — exact cross-engine.
+    "q87_pack_sequences" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+          .withColumn("off", coalesce(sum("n_tokens").over(w), lit(0L)))
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            expr("off div 256").as("window_id"),
+            (col("off") % 256).as("window_offset"),
+            (col("off") % 256 + col("n_tokens") > 256).cast("int")
+              .as("spans_boundary"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH t AS (SELECT doc_id, source,
+          |   len(string_split(text, ' ')) AS n_tokens FROM documents),
+          | c AS (SELECT doc_id, source, n_tokens,
+          |   CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off FROM t)
+          | SELECT doc_id, source, n_tokens, off // 256 AS window_id,
+          |   off % 256 AS window_offset,
+          |   CAST(off % 256 + n_tokens > 256 AS INT) AS spans_boundary
+          | FROM c ORDER BY doc_id""".stripMargin.replace("\n", ""))),
+
+    // Temperature-scaled source mixing (alpha = 0.5): per-language keep
+    // probability min(1, sqrt(min_count / count)) flattens the language
+    // distribution, then a deterministic md5-uniform draw selects docs —
+    // the corpus-rebalancing step of a multilingual training mix.
+    // alpha = 0.5 deliberately: IEEE sqrt and division are correctly
+    // rounded in both engines, so p_keep (and therefore every keep
+    // decision) is bit-identical cross-engine, where pow(x, 0.7) would
+    // be libm-dependent. The lang dimension is tiny -> broadcast.
+    "q88_temperature_mix" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val p = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+          .withColumn("min_n", min("n_docs").over(Window.partitionBy()))
+          .select(col("lang"), col("n_docs"),
+            least(lit(1.0), sqrt(col("min_n").cast("double")) /
+              sqrt(col("n_docs").cast("double"))).as("p_keep"))
+        docs.join(broadcast(p), "lang")
+          .select(col("lang"), col("n_docs"), col("p_keep"),
+            when(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+              16, 10).cast("long").cast("double") <
+              col("p_keep") * lit(4294967296.0), 1L).otherwise(0L)
+              .as("keep"))
+          .groupBy("lang").agg(
+            max("n_docs").as("n_docs"),
+            max("p_keep").as("p_keep"),
+            sum("keep").as("n_kept"))
+          .orderBy("lang")
+      },
+      Some(
+        """WITH cnt AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+          | p AS (SELECT lang, n_docs,
+          |   least(1.0, sqrt(CAST((SELECT min(n_docs) FROM cnt) AS DOUBLE))
+          |     / sqrt(CAST(n_docs AS DOUBLE))) AS p_keep FROM cnt),
+          | k AS (SELECT d.doc_id, p.lang, p.n_docs, p.p_keep,
+          |   CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+          |     < p.p_keep * 4294967296.0 THEN 1 ELSE 0 END AS keep
+          |   FROM documents d JOIN p USING (lang))
+          | SELECT lang, max(n_docs) AS n_docs, max(p_keep) AS p_keep,
+          |   CAST(sum(keep) AS BIGINT) AS n_kept
+          | FROM k GROUP BY lang ORDER BY lang""".stripMargin
+          .replace("\n", "")))
   )
 }

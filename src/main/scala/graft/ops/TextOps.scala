@@ -159,6 +159,38 @@ object TextOps {
           |   md5(cleaned) AS cleaned_md5
           | FROM c ORDER BY doc_id""".stripMargin.replace("\n", ""))),
 
+    // Gopher-style quality rules (Rae et al. 2021, adapted to this
+    // corpus's measured distributions: n_words 10..99, mean word length
+    // 3.7..5.3, duplicate-word fraction 0..0.72): minimum length, mean
+    // word length band, and a repetition cap. Pure codegen'd projection
+    // — the keep/drop decision costs one scan, no shuffle.
+    "q84_gopher_quality" -> Q(
+      (s, dir) => {
+        val w = split(col("text"), " ")
+        table(s, dir, "documents").select(
+          col("doc_id"),
+          size(w).cast("bigint").as("n_words"),
+          (expr("length(replace(text, ' ', ''))") * lit(1.0) / size(w))
+            .as("mean_word_len"),
+          (lit(1.0) - size(array_distinct(w)) * lit(1.0) / size(w))
+            .as("dup_word_frac"))
+          .withColumn("keep",
+            (col("n_words") >= 30 && col("n_words") <= 10000 &&
+              col("mean_word_len") >= 3.5 && col("mean_word_len") <= 5.0 &&
+              col("dup_word_frac") <= 0.6).cast("int"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH m AS (SELECT doc_id,
+          |   len(string_split(text, ' ')) AS n_words,
+          |   length(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')) AS mean_word_len,
+          |   1.0 - len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' ')) AS dup_word_frac
+          | FROM documents)
+          | SELECT doc_id, n_words, mean_word_len, dup_word_frac,
+          |   CAST(n_words >= 30 AND n_words <= 10000 AND mean_word_len >= 3.5
+          |     AND mean_word_len <= 5.0 AND dup_word_frac <= 0.6 AS INT) AS keep
+          | FROM m ORDER BY doc_id""".stripMargin.replace("\n", ""))),
+
     "q21_rolling_hash" -> Q(
       (s, dir) => table(s, dir, "documents").select(
         col("doc_id"),
