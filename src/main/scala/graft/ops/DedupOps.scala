@@ -105,22 +105,28 @@ object DedupOps {
     var changed = 1L
     var iters = 0
     while (changed > 0 && iters < 12) {
-      val next = (0 until 2).foldLeft(comp) { case (cur, _) =>
-        val nbrMin = edges.join(cur, col("d2") === col("v"))
-          .groupBy(col("d1")).agg(min("c").as("nc"))
-        val prop = cur.join(nbrMin, col("v") === col("d1"), "left")
-          .select(col("v"),
-            least(col("c"), coalesce(col("nc"), col("c"))).as("c"))
-        prop.as("p").join(
-            prop.select(col("v").as("jv"), col("c").as("jc")),
-            col("p.c") === col("jv"), "left")
-          .select(col("p.v").as("v"),
-            least(col("p.c"), coalesce(col("jc"), col("p.c"))).as("c"))
-          .localCheckpoint(eager = true)
-      }
-      changed = next.as("n").join(comp.as("o"), "v")
-        .where(col("n.c") =!= col("o.c")).count()
-      comp = next
+      // The iteration-start label rides along as c0, so the convergence
+      // check is a FILTER over the just-checkpointed rows — no extra
+      // join/shuffle per iteration — and the two propagation rounds
+      // share one checkpoint job (the intermediate plan is only two
+      // joins deep, no need to truncate mid-iteration).
+      val next = (0 until 2).foldLeft(comp.withColumn("c0", col("c"))) {
+        case (cur, _) =>
+          val nbrMin = edges.join(cur, col("d2") === col("v"))
+            .groupBy(col("d1")).agg(min("c").as("nc"))
+          val prop = cur.join(nbrMin, col("v") === col("d1"), "left")
+            .select(col("v"),
+              least(col("c"), coalesce(col("nc"), col("c"))).as("c"),
+              col("c0"))
+          prop.as("p").join(
+              prop.select(col("v").as("jv"), col("c").as("jc")),
+              col("p.c") === col("jv"), "left")
+            .select(col("p.v").as("v"),
+              least(col("p.c"), coalesce(col("jc"), col("p.c"))).as("c"),
+              col("p.c0").as("c0"))
+      }.localCheckpoint(eager = true)
+      changed = next.where(col("c") =!= col("c0")).count()
+      comp = next.select("v", "c")
       iters += 1
     }
     // A wrong clustering must never be silently indistinguishable from
@@ -221,6 +227,40 @@ object DedupOps {
            |   UNION SELECT e.a, r.m FROM edges e JOIN reach r ON r.v = e.b)
            | SELECT v AS doc_id, min(m) AS cluster_id FROM reach GROUP BY v
            | ORDER BY doc_id""".stripMargin.replace("\n", ""))),
+
+    // The complete near-dup REMOVAL operator: pair detection (q24's
+    // blocked Jaccard) -> clustering (q64's distributed components) ->
+    // keep-list (cluster representative = min doc_id; singletons keep
+    // themselves). This is the operator a training-data pipeline
+    // actually runs — q24/q64 expose its stages.
+    "q85_dedup_keeplist" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val jp = jaccardPairs(docs)
+          .where(col("jaccard") >= 0.5).select("d1", "d2")
+        val comp = connectedComponents(jp)
+        docs.select("doc_id")
+          .join(comp, col("doc_id") === col("v"), "left")
+          .select(col("doc_id"),
+            coalesce(col("c"), col("doc_id")).as("canonical_id"))
+          .withColumn("keep",
+            (col("doc_id") === col("canonical_id")).cast("int"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH RECURSIVE $jaccardCte,
+           | jp AS (SELECT p.d1, p.d2 FROM p
+           |   JOIN cnt ca ON p.d1 = ca.doc_id JOIN cnt cb ON p.d2 = cb.doc_id
+           |   WHERE p.inter * 1.0 / (ca.n + cb.n - p.inter) >= 0.5),
+           | edges AS (SELECT d1 AS a, d2 AS b FROM jp UNION ALL SELECT d2, d1 FROM jp),
+           | nodes AS (SELECT DISTINCT a AS v FROM edges),
+           | reach(v, m) AS (SELECT v, v FROM nodes
+           |   UNION SELECT e.a, r.m FROM edges e JOIN reach r ON r.v = e.b),
+           | comp AS (SELECT v, min(m) AS c FROM reach GROUP BY v)
+           | SELECT d.doc_id, coalesce(comp.c, d.doc_id) AS canonical_id,
+           |   CAST(d.doc_id = coalesce(comp.c, d.doc_id) AS INT) AS keep
+           | FROM documents d LEFT JOIN comp ON d.doc_id = comp.v
+           | ORDER BY d.doc_id""".stripMargin.replace("\n", ""))),
 
     // Benchmark decontamination: flag corpus docs sharing any word-3-gram
     // with a held-out benchmark set (doc_id % 97 == 0 here) — the
