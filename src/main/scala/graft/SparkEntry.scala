@@ -20,7 +20,8 @@ object SparkEntry {
     MultimodalOps.all,
     ScaleOps.all,
     RelationalOps.all,
-    ExtendedOps.all
+    ExtendedOps.all,
+    TrainDataOps.all
   )
 
   private lazy val catalog: Map[String, Q] = {

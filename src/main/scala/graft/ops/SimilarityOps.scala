@@ -52,13 +52,14 @@ object SimilarityOps {
     }.reduce(_ + _)
 
   /** The plane constants as SQL VALUES rows `(j, DOUBLE[])` — Java double
-    * toString round-trips exactly, so the oracle evaluates the identical
-    * hyperplanes; with the same left-to-right fold the bucket bits agree
-    * bit-for-bit.
+    * toString round-trips exactly WHEN parsed via strtod — so each
+    * element rides as a VARCHAR cast to DOUBLE. (Bare decimal literals
+    * go through DuckDB's DECIMAL type first and can lose the last ulp;
+    * bucket signs tolerated that, but exactness costs nothing.)
     */
   private lazy val planesSqlValues: String =
     planes.zipWithIndex.map { case (p, j) =>
-      s"($j, [${p.mkString(", ")}]::DOUBLE[])"
+      s"($j, [${p.map(x => s"'$x'").mkString(", ")}])"
     }.mkString(", ")
 
   /** Shared oracle CTE: normalized vectors + per-vector LSH bucket. */
@@ -66,7 +67,7 @@ object SimilarityOps {
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        | n AS (SELECT vec_id, v,
        |   sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm FROM e),
-       | pl AS (SELECT * FROM (VALUES $planesSqlValues) t(j, p)),
+       | pl AS (SELECT j, list_transform(ps, x -> CAST(x AS DOUBLE)) AS p FROM (VALUES $planesSqlValues) t(j, ps)),
        | dots AS (SELECT n.vec_id, pl.j,
        |   list_reduce(list_transform(list_zip(n.v, pl.p), q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)), (x, y) -> x + y) AS dot
        |   FROM n CROSS JOIN pl),

@@ -1,0 +1,296 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import TestData._
+
+/** Training-data curation operators beyond the dedup/similarity cores:
+  * chunk-level exact substring dedup, BM25 retrieval, random-projection
+  * embedding reduction, PII redaction, and hard-negative mining.
+  *
+  * Scale notes (100 TB posture):
+  *  - chunk dedup shuffles fixed-width 60-bit chunk hashes, never chunk
+  *    strings; one window shuffle by hash + one groupBy doc_id;
+  *  - BM25 corpus statistics are a single aggregate broadcast back over
+  *    the scan (no per-term shuffle of the corpus);
+  *  - random projection is a narrow codegen'd projection (OutDim dot
+  *    products per row, zero shuffle);
+  *  - PII redaction is a pure regex projection (zero shuffle);
+  *  - hard negatives broadcast the small query set and keep candidates
+  *    partitioned, exactly like the q28/q30 top-k family.
+  *
+  * All floating-point is IEEE double with literals forced to DOUBLE on
+  * the DuckDB side (decimal-literal arithmetic would be exact-decimal and
+  * diverge from Spark's double math in the last ulp).
+  */
+object TrainDataOps {
+
+  private val ChunkWords = 8
+
+  /** One row per non-overlapping [[ChunkWords]]-word chunk occurrence:
+    * (doc_id, chunk_idx, ch = 60-bit chunk hash, occ_key). The trailing
+    * partial chunk is kept. occ_key = doc_id * 1024 + chunk_idx encodes
+    * the global first-occurrence order in one BIGINT (chunk_idx < 1024
+    * holds for any document under ~8k words; widen the shift for longer
+    * corpora).
+    */
+  private[graft] def chunkOccurrences(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), expr(
+        s"transform(sequence(0, cast(ceil(size(w) / $ChunkWords.0) as int) - 1), " +
+          s"g -> array_join(slice(w, g * $ChunkWords + 1, $ChunkWords), ' '))")
+        .as("cs"))
+      .select(col("doc_id"),
+        posexplode(col("cs")).as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"),
+        conv(substring(md5(col("chunk")), 1, 15), 16, 10)
+          .cast("long").as("ch"),
+        (col("doc_id") * 1024 + col("chunk_idx")).as("occ_key"))
+
+  /** Per-doc duplicated-chunk stats: an occurrence is a duplicate iff it
+    * is not the globally-first occurrence (min occ_key) of its chunk.
+    */
+  private[graft] def chunkDedupStats(docs: DataFrame): DataFrame =
+    chunkOccurrences(docs)
+      .withColumn("min_occ", min("occ_key").over(Window.partitionBy("ch")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("occ_key") =!= col("min_occ"), 1L).otherwise(0L))
+          .as("n_dup"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup"),
+        (col("n_dup") * lit(1.0) / col("n_chunks")).as("dup_frac"))
+
+  private val Bm25Terms = Seq("spark", "join", "filter", "window")
+  private val K1 = 1.2
+  private val B = 0.75
+
+  /** BM25 with the log-free "odds" idf (N - df + 0.5) / (df + 0.5):
+    * ln() is libm-dependent across engines, the odds ratio is pure IEEE
+    * arithmetic, so scores oracle-compare bit-for-bit while preserving
+    * BM25's df-damped tf saturation. Corpus stats (N, avgdl, per-term df)
+    * are one aggregate, broadcast back over the per-doc scan.
+    */
+  private[graft] def bm25(docs: DataFrame, terms: Seq[String] = Bm25Terms)
+    : DataFrame = {
+    val w = split(col("text"), " ")
+    val tf = docs.select(
+      col("doc_id") +: size(w).cast("bigint").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(w, x => x === t)).cast("bigint").as(s"tf$i")
+        }: _*)
+    val statCols = count(lit(1)).as("n") +: avg(col("dl")).as("avgdl") +:
+      terms.indices.map(i =>
+        sum((col(s"tf$i") > 0).cast("bigint")).as(s"df$i"))
+    val stats = tf.agg(statCols.head, statCols.tail: _*)
+    val lenNorm = lit(K1) *
+      (lit(1.0) - lit(B) + lit(B) * col("dl") / col("avgdl"))
+    val score = terms.indices.map { i =>
+      ((col("n") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5))) *
+        ((col(s"tf$i") * lit(K1 + 1.0)) / (col(s"tf$i") + lenNorm))
+    }.reduce(_ + _)
+    tf.crossJoin(broadcast(stats))
+      .select(col("doc_id") +:
+        terms.zipWithIndex.map { case (t, i) => col(s"tf$i").as(s"tf_$t") } :+
+        score.as("bm25"): _*)
+  }
+
+  private val InDim = 64
+  private val OutDim = 16
+
+  /** Deterministic seeded-gaussian projection matrix (OutDim x InDim),
+    * interpolated into the oracle as DOUBLE[] literals exactly like
+    * [[SimilarityOps]]' hyperplanes.
+    */
+  private lazy val projRows: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Seq.fill(OutDim)(Seq.fill(InDim)(rnd.nextGaussian()))
+  }
+
+  /** Matrix rows as `(k, VARCHAR[])` VALUES — each element is parsed by
+    * DuckDB's strtod via CAST(VARCHAR AS DOUBLE), which round-trips
+    * Double.toString exactly. Bare decimal literals would parse as
+    * DECIMAL first and lose the last ulp on ~1/3 of 17-digit constants.
+    */
+  private lazy val projSqlValues: String =
+    projRows.zipWithIndex.map { case (p, k) =>
+      s"($k, [${p.map(x => s"'$x'").mkString(", ")}])"
+    }.mkString(", ")
+
+  /** vec_id + OutDim-dim projection (array of left-fold dot products —
+    * the Johnson-Lindenstrauss reduction ahead of clustering / coarse
+    * ANN at scale).
+    */
+  private[graft] def projectEmbeddings(emb: DataFrame): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    emb.select(col("vec_id"), array(
+      projRows.map(p =>
+        graft.functions.VectorFunctions.dot(v, typedlit(p))): _*).as("proj"))
+  }
+
+  private val EmailRe = "[a-z0-9]+@[a-z0-9.]+"
+  private val PhoneRe = "\\+1-555-[0-9]{4}"
+  private val IpRe = "10\\.0\\.[0-9]+\\.[0-9]+"
+
+  /** Deterministic PII-bearing text derived from doc_id (the corpus
+    * itself is lowercase word soup, so the injected contact block is the
+    * only PII — counts and the redacted digest both have full coverage).
+    */
+  private[graft] def augmentedText: Column =
+    concat(col("text"), lit(" contact user"),
+      col("doc_id").cast("string"), lit("@example.com call +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+      lit(".7 end"))
+
+  /** Email -> phone -> IP redaction over a text column. Patterns stay in
+    * the dialect subset where Java regex (Spark) and RE2 (DuckDB) agree.
+    */
+  private[graft] def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      IpRe, "<IP>")
+
+  def all: Map[String, Q] = Map(
+
+    // Chunk-level exact substring dedup (the fixed-window approximation
+    // of suffix-array dedup a 100 TB pipeline runs): per doc, how many
+    // 8-word chunks are global duplicates of an earlier occurrence.
+    // Shuffle payload is 60-bit chunk hashes, not strings.
+    "q89_chunk_dedup" -> Q(
+      (s, dir) => chunkDedupStats(table(s, dir, "documents"))
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           | i0 AS (SELECT doc_id, w, unnest(generate_series(0, CAST(ceil(len(w) / $ChunkWords.0) AS INT) - 1)) AS g FROM s),
+           | c AS (SELECT doc_id, g AS chunk_idx, array_to_string(w[g * $ChunkWords + 1 : g * $ChunkWords + $ChunkWords], ' ') AS chunk FROM i0),
+           | o AS (SELECT doc_id, chunk_idx, ('0x' || substr(md5(chunk), 1, 15))::BIGINT AS ch,
+           |   doc_id * 1024 + chunk_idx AS occ_key FROM c),
+           | k AS (SELECT doc_id, occ_key, min(occ_key) OVER (PARTITION BY ch) AS min_occ FROM o),
+           | a AS (SELECT doc_id, count(*) AS n_chunks,
+           |   CAST(sum(CASE WHEN occ_key <> min_occ THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+           |   FROM k GROUP BY doc_id)
+           | SELECT doc_id, n_chunks, n_dup, n_dup * 1.0::DOUBLE / n_chunks AS dup_frac
+           | FROM a ORDER BY doc_id""".stripMargin.replace("\n", ""))),
+
+    // BM25 retrieval: top-20 docs for a fixed 4-term query. Corpus stats
+    // via one aggregate + broadcast; per-term contributions are added in
+    // fixed column order so the double sum is order-identical in both
+    // engines.
+    "q90_bm25_topk" -> Q(
+      (s, dir) => bm25(table(s, dir, "documents"))
+        .orderBy(desc("bm25"), col("doc_id"))
+        .limit(20),
+      Some {
+        val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+          s"CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS BIGINT) AS tf$i"
+        }.mkString(", ")
+        val dfCols = Bm25Terms.indices.map(i =>
+          s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+          .mkString(", ")
+        val contribs = Bm25Terms.indices.map(i =>
+          s"((n - df$i + 0.5::DOUBLE) / (df$i + 0.5::DOUBLE)) * " +
+            s"((tf$i * ${K1 + 1.0}::DOUBLE) / (tf$i + $K1::DOUBLE * " +
+            s"(1.0::DOUBLE - $B::DOUBLE + $B::DOUBLE * dl / avgdl)))")
+          .mkString(" + ")
+        val outTf = Bm25Terms.zipWithIndex
+          .map { case (t, i) => s"tf$i AS tf_$t" }.mkString(", ")
+        s"""WITH tf AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl, $tfCols FROM documents),
+           | stats AS (SELECT count(*) AS n, avg(dl) AS avgdl, $dfCols FROM tf)
+           | SELECT doc_id, $outTf, $contribs AS bm25
+           | FROM tf CROSS JOIN stats
+           | ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+          .replace("\n", "")
+      }),
+
+    // Johnson-Lindenstrauss random projection 64 -> 16 dims: the
+    // dimensionality-reduction step ahead of coarse quantization at
+    // scale. Narrow codegen'd projection, zero shuffle; the seeded
+    // matrix replays in the oracle from interpolated DOUBLE literals.
+    "q91_random_projection" -> Q(
+      (s, dir) => projectEmbeddings(table(s, dir, "embeddings"))
+        .orderBy("vec_id"),
+      Some(
+        s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+           | pr AS (SELECT k, list_transform(ps, x -> CAST(x AS DOUBLE)) AS p FROM (VALUES $projSqlValues) t(k, ps)),
+           | d AS (SELECT vec_id, k,
+           |   list_reduce(list_transform(list_zip(v, p), q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)), (x, y) -> x + y) AS dot
+           |   FROM e CROSS JOIN pr)
+           | SELECT vec_id, list(dot ORDER BY k) AS proj FROM d
+           | GROUP BY vec_id ORDER BY vec_id""".stripMargin.replace("\n", ""))),
+
+    // PII redaction: email / phone / IPv4 scrubbing with per-kind counts
+    // and a digest of the redacted text. The corpus is augmented with a
+    // deterministic doc_id-derived contact block so every row exercises
+    // all three patterns end-to-end.
+    "q92_pii_redact" -> Q(
+      (s, dir) => table(s, dir, "documents")
+        .select(col("doc_id"), augmentedText.as("a"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("a"), lit(EmailRe), lit(0)))
+            .cast("bigint").as("n_email"),
+          size(regexp_extract_all(col("a"), lit(PhoneRe), lit(0)))
+            .cast("bigint").as("n_phone"),
+          size(regexp_extract_all(col("a"), lit(IpRe), lit(0)))
+            .cast("bigint").as("n_ip"),
+          md5(redactPii(col("a")).cast("binary")).as("redacted_md5"))
+        .orderBy("doc_id"),
+      Some(
+        """WITH aug AS (SELECT doc_id,
+          |   text || ' contact user' || doc_id || '@example.com call +1-555-' ||
+          |   lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' from 10.0.' || (doc_id % 256) || '.7 end' AS a
+          |   FROM documents)
+          | SELECT doc_id,
+          |   CAST(len(regexp_extract_all(a, '[a-z0-9]+@[a-z0-9.]+')) AS BIGINT) AS n_email,
+          |   CAST(len(regexp_extract_all(a, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phone,
+          |   CAST(len(regexp_extract_all(a, '10\.0\.[0-9]+\.[0-9]+')) AS BIGINT) AS n_ip,
+          |   md5(regexp_replace(regexp_replace(regexp_replace(a,
+          |     '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+          |     '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+          |     '10\.0\.[0-9]+\.[0-9]+', '<IP>', 'g')) AS redacted_md5
+          | FROM aug ORDER BY doc_id""".stripMargin.replace("\n", ""))),
+
+    // Hard-negative mining for contrastive training: per query vector,
+    // the top-3 most-cosine-similar candidates with a DIFFERENT label.
+    // Queries broadcast, candidates stay partitioned (q28 family).
+    "q93_hard_negatives" -> Q(
+      (s, dir) => {
+        val n = table(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("v"))
+          .withColumn("nrm",
+            graft.functions.VectorFunctions.l2norm(col("v")))
+        val q = n.where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+            col("v").as("qv"), col("nrm").as("qn"))
+        broadcast(q).join(n, col("label") =!= col("qlabel"))
+          .select(col("query_id"), col("vec_id").as("cand_id"),
+            col("label").as("cand_label"),
+            SimilarityOps.cosine(col("qv"), col("v"), col("qn"), col("nrm"))
+              .as("cosine"))
+          .withColumn("rnk",
+            row_number().over(Window.partitionBy("query_id")
+              .orderBy(desc("cosine"), col("cand_id"))))
+          .where(col("rnk") <= 3)
+          .select("query_id", "rnk", "cand_id", "cand_label", "cosine")
+          .orderBy("query_id", "rnk")
+      },
+      Some(
+        """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+          | n AS (SELECT vec_id, label, v,
+          |   sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm FROM e),
+          | q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv, nrm AS qn
+          |   FROM n WHERE vec_id % 100 = 0),
+          | sc AS (SELECT q.query_id, n.vec_id AS cand_id, n.label AS cand_label,
+          |   list_reduce(list_transform(list_zip(q.qv, n.v), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+          |     / (q.qn * n.nrm) AS cosine
+          |   FROM q JOIN n ON n.label <> q.qlabel),
+          | r AS (SELECT query_id, cand_id, cand_label, cosine,
+          |   CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rnk FROM sc)
+          | SELECT query_id, rnk, cand_id, cand_label, cosine FROM r WHERE rnk <= 3
+          | ORDER BY query_id, rnk""".stripMargin.replace("\n", "")))
+  )
+}

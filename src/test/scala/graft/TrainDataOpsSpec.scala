@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.TrainDataOps
+
+/** Semantics of the training-data curation operators on hand fixtures. */
+class TrainDataOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val w8 = "w1 w2 w3 w4 w5 w6 w7 w8"
+
+  test("chunk dedup: repeated 8-word chunk flagged, trailing partial kept") {
+    val docs = Seq(
+      (1L, s"$w8 t1 t2"),              // chunk0 = w8 block, chunk1 = "t1 t2"
+      (2L, s"$w8 u1 u2 u3"),           // chunk0 duplicates doc 1's chunk0
+      (3L, "a b c")                    // single partial chunk, unique
+    ).toDF("doc_id", "text")
+    val got = TrainDataOps.chunkDedupStats(docs)
+      .orderBy("doc_id")
+      .select("doc_id", "n_chunks", "n_dup")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 0L), (2L, 2L, 1L), (3L, 1L, 0L)))
+  }
+
+  test("chunk dedup: first occurrence is by (doc_id, chunk_idx) order") {
+    // The same chunk at doc 1 idx 1 and doc 2 idx 0: doc 1 owns it.
+    val docs = Seq(
+      (1L, s"a1 a2 a3 a4 a5 a6 a7 a8 $w8"),
+      (2L, w8)
+    ).toDF("doc_id", "text")
+    val dup = TrainDataOps.chunkDedupStats(docs)
+      .where(col("n_dup") > 0).select("doc_id")
+      .as[Long].collect().toSeq
+    assert(dup == Seq(2L))
+  }
+
+  test("bm25: tf saturation and df damping behave like BM25") {
+    // Same doc length everywhere; only tf('spark') varies, no other
+    // query term appears — so scores isolate one term's saturation.
+    val docs = Seq(
+      (1L, "spark spark spark x y"),
+      (2L, "spark a b c d"),
+      (3L, "p q r s t")
+    ).toDF("doc_id", "text")
+    val got = TrainDataOps.bm25(docs)
+      .select("doc_id", "tf_spark", "bm25")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._3 > got(2L)._3 && got(2L)._3 > got(3L)._3)
+    assert(got(3L)._3 == 0.0)
+    // saturation: tripling tf must NOT triple the score (k1 damping).
+    assert(got(1L)._3 < 3.0 * got(2L)._3)
+  }
+
+  test("random projection: 16 dims, zero maps to zero, exact 2x linearity") {
+    val emb = Seq(
+      (0L, Array.fill(64)(0.0f)),
+      (1L, Array.tabulate(64)(i => (i % 7 - 3) * 0.25f)),
+      (2L, Array.tabulate(64)(i => (i % 7 - 3) * 0.5f))
+    ).toDF("vec_id", "embedding")
+    val got = TrainDataOps.projectEmbeddings(emb)
+      .orderBy("vec_id").as[(Long, Seq[Double])].collect()
+    assert(got.forall(_._2.length == 16))
+    assert(got(0)._2.forall(_ == 0.0))
+    // scaling by 2 is an exponent shift: proj(2v) == 2 * proj(v) exactly.
+    assert(got(2)._2 == got(1)._2.map(_ * 2.0))
+  }
+
+  test("pii redaction: email, phone, and ip all scrubbed") {
+    val red = Seq("reach user77@example.com call +1-555-0042 from 10.0.3.7 now")
+      .toDF("t").select(TrainDataOps.redactPii(col("t"))).as[String].head()
+    assert(red == "reach <EMAIL> call <PHONE> from <IP> now")
+  }
+
+  test("pii redaction: clean text untouched") {
+    val t = "plain words only here"
+    val red = Seq(t).toDF("t")
+      .select(TrainDataOps.redactPii(col("t"))).as[String].head()
+    assert(red == t)
+  }
+
+  test("hard negatives exclude same-label candidates") {
+    val dir = "/root/testdata/sf0.001"
+    val q = graft.SparkEntry.queries("q93_hard_negatives")(spark, dir)
+    val rows = q.select("query_id", "cand_id").as[(Long, Long)].collect()
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (qid, cid) => labels(qid) != labels(cid) })
+  }
+}
