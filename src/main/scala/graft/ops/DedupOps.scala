@@ -139,7 +139,7 @@ object DedupOps {
   /** The shingle/count/pair CTE chain shared by the q24 and q64 oracles
     * (DuckDB twin of [[jaccardPairs]]).
     */
-  private val jaccardCte =
+  private[graft] val jaccardCte =
     """s0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3),
       | i0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM s0),
       | sh0 AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM i0),

@@ -154,6 +154,102 @@ object TrainDataOps {
         PhoneRe, "<PHONE>"),
       IpRe, "<IP>")
 
+  /** Per-doc rare-bigram ratio with a corpus-RELATIVE rarity threshold
+    * (bigram count * 50 <= n_docs, integer-exact): the score keeps its
+    * meaning at any scale factor. Bigrams ride as 60-bit hashes.
+    */
+  private[graft] def rareBigrams(docs: DataFrame): DataFrame = {
+    val bg = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+        .as("b0"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("b0")), 1, 15), 16, 10)
+          .cast("long").as("b"))
+    val vocab = bg.groupBy("b").agg(count(lit(1)).as("n"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    bg.join(vocab, "b").crossJoin(broadcast(nDocs))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("n") * 50 <= col("n_docs"), 1L).otherwise(0L))
+          .as("n_rare"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
+        (col("n_rare") * lit(1.0) / col("n_bigrams")).as("rare_frac"))
+  }
+
+  /** Batch (doc_id % 10 == 9) vs corpus incremental dedup on a
+    * first-8-word prefix fingerprint: dup_corpus beats dup_batch beats
+    * new; dup_of points at the kept original.
+    */
+  private[graft] def incrementalDedup(docs: DataFrame): DataFrame = {
+    val p = docs.select(col("doc_id"),
+      conv(substring(md5(
+        expr("array_join(slice(split(text, ' '), 1, 8), ' ')")),
+        1, 15), 16, 10).cast("long").as("fp"))
+    val batch = p.where(col("doc_id") % 10 === 9)
+      .withColumn("batch_min",
+        min("doc_id").over(Window.partitionBy("fp")))
+    val corpus = p.where(col("doc_id") % 10 =!= 9)
+      .groupBy("fp").agg(min("doc_id").as("corpus_id"))
+    batch.join(corpus, Seq("fp"), "left")
+      .select(col("doc_id"),
+        when(col("corpus_id").isNotNull, "dup_corpus")
+          .when(col("batch_min") < col("doc_id"), "dup_batch")
+          .otherwise("new").as("status"),
+        when(col("corpus_id").isNotNull, col("corpus_id"))
+          .when(col("batch_min") < col("doc_id"), col("batch_min"))
+          .otherwise(lit(null).cast("long")).as("dup_of"))
+      .withColumn("keep", (col("status") === "new").cast("int"))
+  }
+
+  /** The composed curation gates: Gopher-style quality (q84's rules) AND
+    * near-dup canonical keep (q24 pairs -> q64 components) AND benchmark
+    * decontamination (q86's 3-gram overlap, benchmark members excluded).
+    */
+  private[graft] def curationPipeline(docs: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    val quality = docs.select(col("doc_id"),
+      (size(w) >= 30 && size(w) <= 10000 &&
+        expr("length(replace(text, ' ', '')) * 1.0 / size(split(text, ' '))")
+          .between(3.5, 5.0) &&
+        (lit(1.0) - size(array_distinct(w)) * lit(1.0) / size(w)) <= 0.6)
+        .cast("int").as("q_keep"))
+    val jp = DedupOps.jaccardPairs(docs)
+      .where(col("jaccard") >= 0.5).select("d1", "d2")
+    val comp = DedupOps.connectedComponents(jp)
+    val sh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 2), " +
+          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)))"))
+        .as("s"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10)
+          .cast("long").as("s"))
+      .distinct()
+    val bench = sh.where(col("doc_id") % 97 === 0)
+      .select("s").distinct()
+    val contam = sh.where(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), "s")
+      .select(col("doc_id")).distinct()
+      .withColumn("contam", lit(1))
+    quality
+      .join(comp, col("doc_id") === col("v"), "left")
+      .select(col("doc_id"), col("q_keep"),
+        (coalesce(col("c"), col("doc_id")) === col("doc_id"))
+          .cast("int").as("dedup_keep"))
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("q_keep"), col("dedup_keep"),
+        coalesce(col("contam"), lit(0)).as("contam"))
+      .withColumn("final_keep",
+        (col("q_keep") === 1 && col("dedup_keep") === 1 &&
+          col("contam") === 0 && col("doc_id") % 97 =!= 0).cast("int"))
+  }
+
   def all: Map[String, Q] = Map(
 
     // Chunk-level exact substring dedup (the fixed-window approximation
@@ -291,6 +387,90 @@ object TrainDataOps {
           | r AS (SELECT query_id, cand_id, cand_label, cosine,
           |   CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rnk FROM sc)
           | SELECT query_id, rnk, cand_id, cand_label, cosine FROM r WHERE rnk <= 3
-          | ORDER BY query_id, rnk""".stripMargin.replace("\n", "")))
+          | ORDER BY query_id, rnk""".stripMargin.replace("\n", ""))),
+
+    // Rare-n-gram ratio — the frequency-based half of quality scoring
+    // (a corpus-statistics complement to q84's per-doc rules). A bigram
+    // is "rare" when it appears in <= 2% of a corpus-sized sample
+    // (count * 50 <= n_docs): the threshold is RELATIVE, so the score
+    // keeps its meaning at any scale factor, and the comparison stays
+    // integer-exact. Bigrams ride as 60-bit hashes; the vocab aggregate
+    // and the join back both shuffle fixed-width longs.
+    "q94_rare_bigrams" -> Q(
+      (s, dir) => rareBigrams(table(s, dir, "documents")).orderBy("doc_id"),
+      Some(
+        """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 2),
+          | i0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM s),
+          | bg AS (SELECT doc_id, ('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 15))::BIGINT AS b FROM i0),
+          | v AS (SELECT b, count(*) AS n FROM bg GROUP BY b),
+          | nn AS (SELECT count(*) AS n_docs FROM documents),
+          | d AS (SELECT bg.doc_id, count(*) AS n_bigrams,
+          |   CAST(sum(CASE WHEN v.n * 50 <= nn.n_docs THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+          |   FROM bg JOIN v USING (b) CROSS JOIN nn GROUP BY bg.doc_id)
+          | SELECT doc_id, n_bigrams, n_rare, n_rare * 1.0::DOUBLE / n_bigrams AS rare_frac
+          | FROM d ORDER BY doc_id""".stripMargin.replace("\n", ""))),
+
+    // Incremental ingestion dedup: an incoming batch (doc_id % 10 == 9)
+    // is checked against the existing corpus AND against itself on a
+    // prefix fingerprint (first 8 words, 60-bit hash). Corpus side
+    // collapses to one min-id per fingerprint before the join — the
+    // shape that lets a 100 TB corpus serve lookups as a compact
+    // keyed table.
+    "q95_incremental_dedup" -> Q(
+      (s, dir) => incrementalDedup(table(s, dir, "documents"))
+        .orderBy("doc_id"),
+      Some(
+        """WITH p AS (SELECT doc_id,
+          |   ('0x' || substr(md5(array_to_string(string_split(text, ' ')[1:8], ' ')), 1, 15))::BIGINT AS fp
+          |   FROM documents),
+          | b AS (SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS batch_min
+          |   FROM p WHERE doc_id % 10 = 9),
+          | c AS (SELECT fp, min(doc_id) AS corpus_id FROM p WHERE doc_id % 10 <> 9 GROUP BY fp)
+          | SELECT b.doc_id,
+          |   CASE WHEN c.corpus_id IS NOT NULL THEN 'dup_corpus'
+          |     WHEN b.batch_min < b.doc_id THEN 'dup_batch'
+          |     ELSE 'new' END AS status,
+          |   CASE WHEN c.corpus_id IS NOT NULL THEN c.corpus_id
+          |     WHEN b.batch_min < b.doc_id THEN b.batch_min
+          |     ELSE NULL END AS dup_of,
+          |   CAST(CASE WHEN c.corpus_id IS NULL AND b.batch_min >= b.doc_id THEN 1 ELSE 0 END AS INT) AS keep
+          | FROM b LEFT JOIN c ON b.fp = c.fp
+          | ORDER BY b.doc_id""".stripMargin.replace("\n", ""))),
+
+    // The composed curation pipeline — what actually runs ahead of
+    // training: Gopher-style quality rules (q84) AND near-dup keep-list
+    // (q24 pairs -> q64 components, canonical keeps) AND benchmark
+    // decontamination (q86's 3-gram overlap; benchmark members
+    // themselves are excluded). One row per doc with each gate's verdict
+    // and the final AND. Every stage is the already-proven distributed
+    // shape; the composition adds no new shuffle beyond its parts.
+    "q96_curation_pipeline" -> Q(
+      (s, dir) => curationPipeline(table(s, dir, "documents"))
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH RECURSIVE ${DedupOps.jaccardCte},
+           | jp AS (SELECT p.d1, p.d2 FROM p
+           |   JOIN cnt ca ON p.d1 = ca.doc_id JOIN cnt cb ON p.d2 = cb.doc_id
+           |   WHERE p.inter * 1.0 / (ca.n + cb.n - p.inter) >= 0.5),
+           | edges AS (SELECT d1 AS a, d2 AS b FROM jp UNION ALL SELECT d2, d1 FROM jp),
+           | nodes AS (SELECT DISTINCT a AS v FROM edges),
+           | reach(v, m) AS (SELECT v, v FROM nodes
+           |   UNION SELECT e.a, r.m FROM edges e JOIN reach r ON r.v = e.b),
+           | comp AS (SELECT v, min(m) AS c FROM reach GROUP BY v),
+           | qual AS (SELECT doc_id,
+           |   CAST(len(string_split(text, ' ')) >= 30 AND len(string_split(text, ' ')) <= 10000
+           |     AND length(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')) BETWEEN 3.5 AND 5.0
+           |     AND 1.0 - len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' ')) <= 0.6 AS INT) AS q_keep
+           |   FROM documents),
+           | bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+           | contam AS (SELECT DISTINCT sh.doc_id FROM sh JOIN bench USING (s) WHERE sh.doc_id % 97 <> 0)
+           | SELECT q.doc_id, q.q_keep,
+           |   CAST(coalesce(comp.c, q.doc_id) = q.doc_id AS INT) AS dedup_keep,
+           |   CASE WHEN contam.doc_id IS NOT NULL THEN 1 ELSE 0 END AS contam,
+           |   CAST(q.q_keep = 1 AND coalesce(comp.c, q.doc_id) = q.doc_id
+           |     AND contam.doc_id IS NULL AND q.doc_id % 97 <> 0 AS INT) AS final_keep
+           | FROM qual q LEFT JOIN comp ON q.doc_id = comp.v
+           | LEFT JOIN contam ON q.doc_id = contam.doc_id
+           | ORDER BY q.doc_id""".stripMargin.replace("\n", "")))
   )
 }

@@ -79,6 +79,48 @@ class TrainDataOpsSpec extends SparkSpec {
     assert(red == t)
   }
 
+  test("rare bigrams: relative threshold separates unique from common") {
+    // 99 copies of "a b" + 1 "x y": count('x y') * 50 = 50 <= 100 docs
+    // (rare), count('a b') * 50 = 4950 > 100 (common).
+    val docs = ((1L to 99L).map(i => (i, "a b")) :+ (100L, "x y"))
+      .toDF("doc_id", "text")
+    val got = TrainDataOps.rareBigrams(docs)
+      .select("doc_id", "n_rare").as[(Long, Long)].collect().toMap
+    assert(got(100L) == 1L)
+    assert((1L to 99L).forall(got(_) == 0L))
+  }
+
+  test("incremental dedup: corpus dup beats batch dup beats new") {
+    val prefix = "p1 p2 p3 p4 p5 p6 p7 p8"
+    val docs = Seq(
+      (3L, s"$prefix corpus tail"),     // corpus owner of the prefix
+      (9L, "n1 n2 n3 n4 n5 n6 n7 n8"),  // batch, unique -> new
+      (19L, s"$prefix other tail"),     // batch, matches corpus 3
+      (29L, "n1 n2 n3 n4 n5 n6 n7 n8 x") // batch, matches batch 9
+    ).toDF("doc_id", "text")
+    val got = TrainDataOps.incrementalDedup(docs)
+      .select("doc_id", "status", "dup_of")
+      .collect().map(r => (r.getLong(0),
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(got(9L) == ("new", -1L))
+    assert(got(19L) == ("dup_corpus", 3L))
+    assert(got(29L) == ("dup_batch", 9L))
+  }
+
+  test("curation pipeline: final keep is the AND of all gates") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("q96_curation_pipeline")(spark, dir)
+      .select("doc_id", "q_keep", "dedup_keep", "contam", "final_keep")
+      .as[(Long, Int, Int, Int, Int)].collect()
+    assert(out.length == 500)
+    assert(out.forall { case (id, q, d, c, f) =>
+      f == (if (q == 1 && d == 1 && c == 0 && id % 97 != 0) 1 else 0)
+    })
+    // every gate fires somewhere on this corpus
+    assert(out.exists(_._2 == 0) && out.exists(_._3 == 0) &&
+      out.exists(_._4 == 1) && out.exists(_._5 == 1))
+  }
+
   test("hard negatives exclude same-label candidates") {
     val dir = "/root/testdata/sf0.001"
     val q = graft.SparkEntry.queries("q93_hard_negatives")(spark, dir)
