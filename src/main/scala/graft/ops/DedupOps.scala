@@ -105,11 +105,12 @@ object DedupOps {
     var changed = 1L
     var iters = 0
     while (changed > 0 && iters < 12) {
-      // The iteration-start label rides along as c0, so the convergence
-      // check is a FILTER over the just-checkpointed rows — no extra
-      // join/shuffle per iteration — and the two propagation rounds
-      // share one checkpoint job (the intermediate plan is only two
+      // The iteration-start label rides along as c0, so convergence is
+      // an `observe` aggregate collected DURING the checkpoint job — no
+      // extra action per iteration at all — and the two propagation
+      // rounds share that one job (the intermediate plan is only two
       // joins deep, no need to truncate mid-iteration).
+      val obs = org.apache.spark.sql.Observation(s"cc_changed_$iters")
       val next = (0 until 2).foldLeft(comp.withColumn("c0", col("c"))) {
         case (cur, _) =>
           val nbrMin = edges.join(cur, col("d2") === col("v"))
@@ -124,8 +125,12 @@ object DedupOps {
             .select(col("p.v").as("v"),
               least(col("p.c"), coalesce(col("jc"), col("p.c"))).as("c"),
               col("p.c0").as("c0"))
-      }.localCheckpoint(eager = true)
-      changed = next.where(col("c") =!= col("c0")).count()
+      }
+        .observe(obs, coalesce(
+          sum((col("c") =!= col("c0")).cast("long")), lit(0L))
+          .as("changed"))
+        .localCheckpoint(eager = true)
+      changed = obs.get("changed").asInstanceOf[Long]
       comp = next.select("v", "c")
       iters += 1
     }

@@ -471,6 +471,37 @@ object TrainDataOps {
            |     AND contam.doc_id IS NULL AND q.doc_id % 97 <> 0 AS INT) AS final_keep
            | FROM qual q LEFT JOIN comp ON q.doc_id = comp.v
            | LEFT JOIN contam ON q.doc_id = contam.doc_id
-           | ORDER BY q.doc_id""".stripMargin.replace("\n", "")))
+           | ORDER BY q.doc_id""".stripMargin.replace("\n", ""))),
+
+    // Deterministic training shuffle: docs are permuted by a seedable
+    // hash and dealt into shards, with the within-shard order a training
+    // reader consumes. There is NO global row_number — the permutation
+    // is (shard = hash % S, rank within shard), so every window is
+    // partitioned and the op scales to any corpus; `global_ord` (the
+    // round-robin interleave position) is derived arithmetically.
+    "q97_training_shuffle" -> Q(
+      (s, dir) => {
+        val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+          16, 10).cast("long")
+        table(s, dir, "documents")
+          .select(col("doc_id"), h.as("h"))
+          .withColumn("shard", pmod(col("h"), lit(8L)).cast("int"))
+          .withColumn("pos", row_number().over(
+            Window.partitionBy("shard").orderBy("h", "doc_id")))
+          .select(col("doc_id"), col("shard"), col("pos"),
+            ((col("pos") - 1) * 8 + col("shard")).cast("bigint")
+              .as("global_ord"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH p AS (SELECT doc_id,
+          |   ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+          |   FROM documents),
+          | r AS (SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+          |   CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS INT) AS pos
+          |   FROM p)
+          | SELECT doc_id, shard, pos,
+          |   CAST((pos - 1) * 8 + shard AS BIGINT) AS global_ord
+          | FROM r ORDER BY doc_id""".stripMargin.replace("\n", "")))
   )
 }

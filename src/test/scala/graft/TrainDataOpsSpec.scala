@@ -121,6 +121,20 @@ class TrainDataOpsSpec extends SparkSpec {
       out.exists(_._4 == 1) && out.exists(_._5 == 1))
   }
 
+  test("training shuffle: bijective interleave, bounded shards, stable") {
+    val dir = "/root/testdata/sf0.001"
+    val run = graft.SparkEntry.queries("q97_training_shuffle")(spark, dir)
+      .select("doc_id", "shard", "global_ord")
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    assert(run.length == 500)
+    assert(run.map(_._3).distinct.length == 500) // interleave is injective
+    assert(run.forall(r => r._2 >= 0 && r._2 < 8))
+    val rerun = graft.SparkEntry.queries("q97_training_shuffle")(spark, dir)
+      .select("doc_id", "shard", "global_ord")
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    assert(run.toSeq == rerun.toSeq) // deterministic across runs
+  }
+
   test("hard negatives exclude same-label candidates") {
     val dir = "/root/testdata/sf0.001"
     val q = graft.SparkEntry.queries("q93_hard_negatives")(spark, dir)
