@@ -135,8 +135,12 @@ case class TopKPerGroupExec(
           out.iterator
         }
       } else {
-        // Sorted-by-group input: one k-heap alive at a time.
-        val base = iter.map(r => rowProj(r).copy()).buffered
+        // Sorted-by-group input: one k-heap alive at a time. rowProj
+        // reuses one buffer per call, which is safe WITHOUT copying
+        // here: every comparison against a row happens before the next
+        // projection call, and offer() copies on retention — so rows
+        // are copied once (when kept), not once per input.
+        val base = iter.map(r => rowProj(r)).buffered
         new Iterator[InternalRow] {
           private var drain: Iterator[InternalRow] = Iterator.empty
           override def hasNext: Boolean = drain.hasNext || base.hasNext
