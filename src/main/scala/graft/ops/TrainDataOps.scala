@@ -250,6 +250,23 @@ object TrainDataOps {
           col("contam") === 0 && col("doc_id") % 97 =!= 0).cast("int"))
   }
 
+  /** Train/val/test assignment hashed from the exact-fingerprint group's
+    * canonical id — duplicates can never straddle a split boundary.
+    */
+  private[graft] def leakSafeSplit(docs: DataFrame): DataFrame = {
+    val fp = md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
+      .cast("binary"))
+    val r = pmod(conv(substring(md5(col("canonical_id").cast("string")),
+      1, 15), 16, 10).cast("long"), lit(10L))
+    docs
+      .select(col("doc_id"), fp.as("fp"))
+      .withColumn("canonical_id",
+        min("doc_id").over(Window.partitionBy("fp")))
+      .select(col("doc_id"), col("canonical_id"),
+        when(r < 8, "train").when(r === 8, "val").otherwise("test")
+          .as("split"))
+  }
+
   def all: Map[String, Q] = Map(
 
     // Chunk-level exact substring dedup (the fixed-window approximation
@@ -502,6 +519,27 @@ object TrainDataOps {
           |   FROM p)
           | SELECT doc_id, shard, pos,
           |   CAST((pos - 1) * 8 + shard AS BIGINT) AS global_ord
+          | FROM r ORDER BY doc_id""".stripMargin.replace("\n", "")))
+  ) ++ Map(
+
+    // Leak-safe train/val/test split: the split is assigned by hashing
+    // the CANONICAL id of each doc's exact-fingerprint group (q20's
+    // normalized-md5 canonicalization), so duplicate documents can never
+    // straddle a split boundary — the subtle eval-leak a naive
+    // hash(doc_id) split creates. 80/10/10 by 60-bit hash mod 10; one
+    // window shuffle by fingerprint, then a pure projection.
+    "q98_leak_safe_split" -> Q(
+      (s, dir) => leakSafeSplit(table(s, dir, "documents"))
+        .orderBy("doc_id"),
+      Some(
+        """WITH f AS (SELECT doc_id,
+          |   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+          |   FROM documents),
+          | c AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS canonical_id FROM f),
+          | r AS (SELECT doc_id, canonical_id,
+          |   ('0x' || substr(md5(canonical_id::VARCHAR), 1, 15))::BIGINT % 10 AS rr FROM c)
+          | SELECT doc_id, canonical_id,
+          |   CASE WHEN rr < 8 THEN 'train' WHEN rr = 8 THEN 'val' ELSE 'test' END AS split
           | FROM r ORDER BY doc_id""".stripMargin.replace("\n", "")))
   )
 }

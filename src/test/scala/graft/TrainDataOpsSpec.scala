@@ -135,6 +135,30 @@ class TrainDataOpsSpec extends SparkSpec {
     assert(run.toSeq == rerun.toSeq) // deterministic across runs
   }
 
+  test("leak-safe split: duplicate docs land in the same split") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "  alpha  beta gamma "), // same after normalization -> canon 1
+      (7L, "alpha beta gamma"),     // exact dup -> canon 1
+      (3L, "delta epsilon zeta")
+    ).toDF("doc_id", "text")
+    val got = TrainDataOps.leakSafeSplit(docs)
+      .select("doc_id", "canonical_id", "split")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 1L && got(2L)._2 == 1L && got(7L)._2 == 1L)
+    assert(got(1L)._3 == got(2L)._3 && got(2L)._3 == got(7L)._3)
+    assert(got(3L)._2 == 3L)
+  }
+
+  test("leak-safe split: all three splits materialize on the corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val splits = graft.SparkEntry.queries("q98_leak_safe_split")(spark, dir)
+      .groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(splits.keySet == Set("train", "val", "test"))
+    assert(splits("train") > splits("val") && splits("train") > splits("test"))
+  }
+
   test("hard negatives exclude same-label candidates") {
     val dir = "/root/testdata/sf0.001"
     val q = graft.SparkEntry.queries("q93_hard_negatives")(spark, dir)
