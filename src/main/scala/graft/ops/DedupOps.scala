@@ -44,21 +44,31 @@ object DedupOps {
     * word-3-gram shingles (shared by q24 ranking and q64 clustering).
     * Blocking via the shingle self-join — never all-pairs.
     */
-  private[graft] def jaccardPairs(docs: DataFrame): DataFrame = {
+  /** Distinct 60-bit-hashed shingles per doc (hash BEFORE distinct so
+    * the dedup shuffle carries longs). Shared by the Jaccard pair join,
+    * decontamination, and the composed curation pipeline.
+    */
+  private[graft] def hashedShingles(docs: DataFrame): DataFrame =
+    rawShingles(docs)
+      .select(col("doc_id"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10)
+          .cast("long").as("s"))
+      .distinct()
+
+  private[graft] def jaccardPairs(docs: DataFrame): DataFrame =
     // sh is referenced 3x (both join sides + counts). Materialization
     // choice re-measured at sf0.1 (round 3): eager localCheckpoint wins
     // (q24 2.7 s -> 1.3 s) where persist() LOSES to lazy recompute
     // (3.5 s vs 2.7 s — the columnar cache write + lost optimizer stats
     // turned the signature joins into sort-merge). The checkpoint keeps
     // plain row blocks, costs one job, and truncates the plan the three
-    // consumers re-optimize. Hash BEFORE distinct so the dedup shuffle
-    // carries longs.
-    val sh = rawShingles(docs)
-      .select(col("doc_id"),
-        conv(substring(md5(col("s")), 1, 15), 16, 10)
-          .cast("long").as("s"))
-      .distinct()
-      .localCheckpoint(eager = true)
+    // consumers re-optimize.
+    jaccardPairsFromHashed(hashedShingles(docs).localCheckpoint(eager = true))
+
+  /** Pair generation over an already-materialized hashed-shingle frame
+    * (callers that reuse the frame checkpoint it once themselves).
+    */
+  private[graft] def jaccardPairsFromHashed(sh: DataFrame): DataFrame = {
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a").join(sh.as("b"),
       col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -276,11 +286,7 @@ object DedupOps {
     // corpus side beyond the per-doc aggregation.
     "q86_decontaminate" -> Q(
       (s, dir) => {
-        val sh = rawShingles(table(s, dir, "documents"))
-          .select(col("doc_id"),
-            conv(substring(md5(col("s")), 1, 15), 16, 10)
-              .cast("long").as("s"))
-          .distinct()
+        val sh = hashedShingles(table(s, dir, "documents"))
         val bench = sh.where(col("doc_id") % 97 === 0)
           .select("s").distinct()
         sh.where(col("doc_id") % 97 =!= 0)

@@ -217,20 +217,13 @@ object TrainDataOps {
           .between(3.5, 5.0) &&
         (lit(1.0) - size(array_distinct(w)) * lit(1.0) / size(w)) <= 0.6)
         .cast("int").as("q_keep"))
-    val jp = DedupOps.jaccardPairs(docs)
+    // ONE materialization of the hashed shingle frame feeds both the
+    // Jaccard pair join (3 consumers inside) and decontamination (2) —
+    // the shingle scan+distinct runs once instead of twice.
+    val sh = DedupOps.hashedShingles(docs).localCheckpoint(eager = true)
+    val jp = DedupOps.jaccardPairsFromHashed(sh)
       .where(col("jaccard") >= 0.5).select("d1", "d2")
     val comp = DedupOps.connectedComponents(jp)
-    val sh = docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .where(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(w) - 2), " +
-          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)))"))
-        .as("s"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("s")), 1, 15), 16, 10)
-          .cast("long").as("s"))
-      .distinct()
     val bench = sh.where(col("doc_id") % 97 === 0)
       .select("s").distinct()
     val contam = sh.where(col("doc_id") % 97 =!= 0)
