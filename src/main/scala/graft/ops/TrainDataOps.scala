@@ -533,6 +533,39 @@ object TrainDataOps {
           |   ('0x' || substr(md5(canonical_id::VARCHAR), 1, 15))::BIGINT % 10 AS rr FROM c)
           | SELECT doc_id, canonical_id,
           |   CASE WHEN rr < 8 THEN 'train' WHEN rr = 8 THEN 'val' ELSE 'test' END AS split
-          | FROM r ORDER BY doc_id""".stripMargin.replace("\n", "")))
+          | FROM r ORDER BY doc_id""".stripMargin.replace("\n", ""))),
+
+    // Sliding-window context segmentation: long documents are cut into
+    // 32-token segments with stride 24 (8-token overlap) so every token
+    // appears in a training context and boundaries are softened — the
+    // standard chunking step ahead of tokenizer packing (q87 packs the
+    // SEGMENTS; this op produces them). Pure per-row Generate, zero
+    // shuffle before the output sort; segment text leaves the operator
+    // only as a digest.
+    "q99_segment_docs" -> Q(
+      (s, dir) => table(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), size(col("w")).cast("bigint").as("n_words"),
+          posexplode(expr(
+            "transform(sequence(0, (size(w) - 1) div 24), " +
+              "g -> struct(g * 24 + 1 AS st, array_join(slice(w, g * 24 + 1, 32), ' ') AS seg))")))
+        .select(col("doc_id"), col("pos").cast("int").as("seg_idx"),
+          col("col.st").cast("bigint").as("seg_start"),
+          least(lit(32), col("n_words") - col("col.st") + 1).cast("bigint")
+            .as("seg_len"),
+          md5(col("col.seg").cast("binary")).as("seg_md5"))
+        .orderBy("doc_id", "seg_idx"),
+      Some(
+        """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          | i0 AS (SELECT doc_id, w, len(w) AS n_words,
+          |   unnest(generate_series(0, (len(w) - 1) // 24)) AS g FROM s),
+          | seg AS (SELECT doc_id, CAST(g AS INT) AS seg_idx,
+          |   CAST(g * 24 + 1 AS BIGINT) AS seg_start,
+          |   CAST(least(32, n_words - (g * 24 + 1) + 1) AS BIGINT) AS seg_len,
+          |   md5(array_to_string(w[g * 24 + 1 : g * 24 + 32], ' ')) AS seg_md5
+          |   FROM i0)
+          | SELECT doc_id, seg_idx, seg_start, seg_len, seg_md5
+          | FROM seg ORDER BY doc_id, seg_idx""".stripMargin
+          .replace("\n", "")))
   )
 }

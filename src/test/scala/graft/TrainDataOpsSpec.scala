@@ -159,6 +159,27 @@ class TrainDataOpsSpec extends SparkSpec {
     assert(splits("train") > splits("val") && splits("train") > splits("test"))
   }
 
+  test("segmentation: stride-24 starts, 32-cap lengths, full coverage") {
+    val dir = "/root/testdata/sf0.001"
+    val segs = graft.SparkEntry.queries("q99_segment_docs")(spark, dir)
+      .select("doc_id", "seg_idx", "seg_start", "seg_len")
+      .as[(Long, Int, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val nWords = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "size(split(text, ' ')) AS n")
+      .as[(Long, Int)].collect().toMap
+    segs.foreach { case (id, ss) =>
+      ss.foreach { case (_, idx, start, len) =>
+        assert(start == 24L * idx + 1)
+        assert(len == math.min(32L, nWords(id) - start + 1))
+      }
+      // the last segment reaches the final word; one segment per stride
+      val (_, _, lastStart, lastLen) = ss.last
+      assert(lastStart + lastLen - 1 == nWords(id))
+      assert(ss.length == (nWords(id) - 1) / 24 + 1)
+    }
+  }
+
   test("hard negatives exclude same-label candidates") {
     val dir = "/root/testdata/sf0.001"
     val q = graft.SparkEntry.queries("q93_hard_negatives")(spark, dir)
