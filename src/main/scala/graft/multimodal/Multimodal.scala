@@ -99,4 +99,50 @@ object Multimodal {
       }
     }
   }
+
+  /** Batch-inference seam: whole micro-batches cross the boundary at
+    * once (the shape a GPU decoder or Arrow-based UDF needs — per-call
+    * overhead amortizes over `batchSize` records, mirroring
+    * `mapInPandas`' record-batch contract).
+    */
+  trait BatchDecoder extends Serializable {
+    def open(): Unit = ()
+    def decodeBatch(recs: Seq[MediaRecord]): Seq[MediaFeatures]
+    def close(): Unit = ()
+  }
+
+  /** Stub batch decoder: identical per-record features to
+    * [[StubDecoder]] (the batched path must be a pure throughput
+    * optimization, never a semantic change).
+    */
+  final class StubBatchDecoder(dim: Int = 16) extends BatchDecoder {
+    private val single = new StubDecoder(dim)
+    override def decodeBatch(recs: Seq[MediaRecord]): Seq[MediaFeatures] =
+      recs.map(single.decode)
+  }
+
+  /** Micro-batched decode: records stream through in fixed-size batches
+    * within each partition (last batch per partition may be short).
+    * Still narrow/zero-shuffle; batch memory is bounded by
+    * `batchSize x max payload`, independent of partition size.
+    */
+  def extractFeaturesBatched(ds: Dataset[MediaRecord],
+                             batchSize: Int = 64,
+                             decoder: BatchDecoder = new StubBatchDecoder())
+  : Dataset[MediaFeatures] = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      decoder.open()
+      val out = it.grouped(batchSize).flatMap(decoder.decodeBatch)
+      new Iterator[MediaFeatures] {
+        def hasNext: Boolean = {
+          val h = out.hasNext
+          if (!h) decoder.close()
+          h
+        }
+        def next(): MediaFeatures = out.next()
+      }
+    }
+  }
 }

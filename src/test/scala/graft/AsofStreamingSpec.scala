@@ -85,6 +85,23 @@ class AsofStreamingSpec extends SparkSpec {
     assert(feats(0).n_bytes == 11L)
   }
 
+  test("multimodal batched decode: same features, bounded batch shape") {
+    val docs = (1L to 23L).map(i => (i, s"payload number $i", "en", "src", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.fromDocuments(docs).repartition(2)
+    val single = Multimodal.extractFeatures(media)
+      .collect().map(f => f.media_id -> ((f.digest, f.features.toSeq))).toMap
+    AsofStreamingSpec.batchSizes.clear()
+    val batched = Multimodal.extractFeaturesBatched(media, batchSize = 5,
+        decoder = new AsofStreamingSpec.RecordingBatchDecoder)
+      .collect().map(f => f.media_id -> ((f.digest, f.features.toSeq))).toMap
+    assert(batched == single) // batching is a pure throughput change
+    val sizes = AsofStreamingSpec.batchSizes.toArray.map(_.toString.toInt)
+    assert(sizes.sum == 23)
+    assert(sizes.forall(_ <= 5))
+    assert(sizes.count(_ < 5) <= 2) // at most one short batch per partition
+  }
+
   test("watermark drops rows later than the threshold (bounded state)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
@@ -183,5 +200,21 @@ class AsofStreamingSpec extends SparkSpec {
         .collect().map(_.getLong(0)).toSet
       assert(ids == Set(1L, 3L, 4L), ids.mkString(","))
     } finally query.stop()
+  }
+}
+
+/** Static instrumentation for the batched-decode spec (local mode: the
+  * decoder runs in this JVM, so a concurrent queue observes batches).
+  */
+object AsofStreamingSpec {
+  val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+
+  final class RecordingBatchDecoder extends Multimodal.BatchDecoder {
+    private val inner = new Multimodal.StubBatchDecoder()
+    override def decodeBatch(recs: Seq[Multimodal.MediaRecord])
+    : Seq[Multimodal.MediaFeatures] = {
+      batchSizes.add(recs.size)
+      inner.decodeBatch(recs)
+    }
   }
 }
