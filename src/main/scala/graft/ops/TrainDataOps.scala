@@ -260,6 +260,28 @@ object TrainDataOps {
           .as("split"))
   }
 
+  /** The sink side of the curation pipeline: keep-listed docs land
+    * partitioned by split (metadata-level pruning for train/val/test
+    * readers) and bucketed+sorted by doc_id (every later join on doc_id
+    * — embeddings, labels, packed sequences — runs with zero exchanges;
+    * the one bucket shuffle is paid HERE, at write time). Returns the
+    * written row count.
+    */
+  private[graft] def writeTrainingSet(docs: DataFrame, tableName: String,
+                                      path: String, buckets: Int = 16): Long = {
+    val curated = curationPipeline(docs)
+      .where(col("final_keep") === 1).select("doc_id")
+    val out = curated
+      .join(leakSafeSplit(docs).select("doc_id", "split"), "doc_id")
+      .join(docs, "doc_id")
+    out.write.format("parquet")
+      .partitionBy("split")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .option("path", path).mode("overwrite")
+      .saveAsTable(tableName)
+    out.sparkSession.table(tableName).count()
+  }
+
   def all: Map[String, Q] = Map(
 
     // Chunk-level exact substring dedup (the fixed-window approximation
