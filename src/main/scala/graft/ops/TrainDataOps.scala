@@ -159,6 +159,10 @@ object TrainDataOps {
     * meaning at any scale factor. Bigrams ride as 60-bit hashes.
     */
   private[graft] def rareBigrams(docs: DataFrame): DataFrame = {
+    // The hashed bigram stream feeds both the vocab aggregate and the
+    // join back; eager localCheckpoint materializes the explode+md5 once
+    // (same measured call as the shingle frame: sf0.1 1.53 s -> 0.80 s
+    // best-of-2 vs recomputing it per consumer).
     val bg = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= 2)
@@ -169,6 +173,7 @@ object TrainDataOps {
       .select(col("doc_id"),
         conv(substring(md5(col("b0")), 1, 15), 16, 10)
           .cast("long").as("b"))
+      .localCheckpoint(eager = true)
     val vocab = bg.groupBy("b").agg(count(lit(1)).as("n"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     bg.join(vocab, "b").crossJoin(broadcast(nDocs))
