@@ -593,6 +593,59 @@ object TrainDataOps {
           |   FROM i0)
           | SELECT doc_id, seg_idx, seg_start, seg_len, seg_md5
           | FROM seg ORDER BY doc_id, seg_idx""".stripMargin
-          .replace("\n", "")))
+          .replace("\n", ""))),
+
+    // The corpus report ("dataset card") a curation run emits: per
+    // source x lang, volume (docs/tokens), quality pass rate, exact-dup
+    // rate, and mean length. Two shuffles total (fingerprint window +
+    // the report groupBy); every ratio is a single bigint/bigint double
+    // division, so the report oracle-compares bit-for-bit.
+    "q100_corpus_report" -> Q(
+      (s, dir) => {
+        val w = split(col("text"), " ")
+        val per = table(s, dir, "documents").select(
+          col("doc_id"), col("source"), col("lang"),
+          size(w).cast("bigint").as("n_words"),
+          md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
+            .cast("binary")).as("fp"),
+          ((size(w) >= 30 && size(w) <= 10000) &&
+            expr("length(replace(text, ' ', '')) * 1.0 / size(split(text, ' '))")
+              .between(3.5, 5.0) &&
+            (lit(1.0) - size(array_distinct(w)) * lit(1.0) / size(w)) <= 0.6)
+            .cast("bigint").as("q_pass"))
+          .withColumn("is_dup",
+            (count(lit(1)).over(Window.partitionBy("fp")) > 1)
+              .cast("bigint"))
+        per.groupBy("source", "lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_words").as("n_tokens"),
+          sum("q_pass").as("n_quality"),
+          sum("is_dup").as("n_dup"))
+          .select(col("source"), col("lang"), col("n_docs"),
+            col("n_tokens"),
+            (col("n_tokens") * lit(1.0) / col("n_docs")).as("mean_len"),
+            (col("n_quality") * lit(1.0) / col("n_docs")).as("quality_rate"),
+            (col("n_dup") * lit(1.0) / col("n_docs")).as("dup_rate"))
+          .orderBy("source", "lang")
+      },
+      Some(
+        """WITH per AS (SELECT doc_id, source, lang,
+          |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+          |   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+          |   CAST(len(string_split(text, ' ')) >= 30 AND len(string_split(text, ' ')) <= 10000
+          |     AND length(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')) BETWEEN 3.5 AND 5.0
+          |     AND 1.0 - len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' ')) <= 0.6 AS BIGINT) AS q_pass
+          |   FROM documents),
+          | d AS (SELECT *, CAST(count(*) OVER (PARTITION BY fp) > 1 AS BIGINT) AS is_dup FROM per),
+          | g AS (SELECT source, lang, count(*) AS n_docs,
+          |   CAST(sum(n_words) AS BIGINT) AS n_tokens,
+          |   CAST(sum(q_pass) AS BIGINT) AS n_quality,
+          |   CAST(sum(is_dup) AS BIGINT) AS n_dup
+          |   FROM d GROUP BY source, lang)
+          | SELECT source, lang, n_docs, n_tokens,
+          |   n_tokens * 1.0::DOUBLE / n_docs AS mean_len,
+          |   n_quality * 1.0::DOUBLE / n_docs AS quality_rate,
+          |   n_dup * 1.0::DOUBLE / n_docs AS dup_rate
+          | FROM g ORDER BY source, lang""".stripMargin.replace("\n", "")))
   )
 }
