@@ -5,9 +5,13 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import TestData._
 
-/** Training-data curation operators beyond the dedup/similarity cores:
-  * chunk-level exact substring dedup, BM25 retrieval, random-projection
-  * embedding reduction, PII redaction, and hard-negative mining.
+/** Training-data curation operators beyond the dedup/similarity cores
+  * (q89-q100): chunk-level exact substring dedup, BM25 retrieval,
+  * random-projection embedding reduction, PII redaction, hard-negative
+  * mining, rare-bigram scoring, incremental batch dedup, the composed
+  * curation pipeline, deterministic training shuffle, leak-safe splits,
+  * sliding-window segmentation, the corpus report, and the
+  * split-partitioned bucketed training-set sink.
   *
   * Scale notes (100 TB posture):
   *  - chunk dedup shuffles fixed-width 60-bit chunk hashes, never chunk
