@@ -269,6 +269,39 @@ object TrainDataOps {
           .as("split"))
   }
 
+  /** One k-means assignment pass: nearest centroid by exact squared L2
+    * (left-fold over the element-difference array, ties -> lowest cid).
+    * Centroids broadcast; points never shuffle.
+    */
+  private[graft] def kmeansAssign(points: DataFrame,
+                                  cent: DataFrame): DataFrame =
+    points.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("v"), col("cid"),
+        zip_with(col("v"), col("c"), (x, y) => x - y).as("d"))
+      .select(col("vec_id"), col("v"), col("cid"),
+        graft.functions.VectorFunctions.dot(col("d"), col("d")).as("dist2"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("vec_id").orderBy("dist2", "cid")))
+      .where(col("rnk") === 1).drop("rnk")
+
+  /** One Lloyd update: per-cluster mean via q65's scaled-integer sums
+    * (micros) — exact and accumulation-order-independent, so the new
+    * centroids are bit-identical in any engine/partitioning.
+    */
+  private[graft] def kmeansUpdate(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cid"), posexplode(col("v")).as(Seq("pos0", "x")))
+      .select(col("cid"), col("pos0"),
+        round(col("x") * 1e6).cast("long").as("sx"))
+      .groupBy("cid", "pos0")
+      .agg(count(lit(1)).as("n"), sum("sx").as("sm"))
+      .select(col("cid"), col("pos0"),
+        (col("sm") / (col("n") * 1e6)).as("m"))
+      .groupBy("cid")
+      .agg(sort_array(collect_list(struct(col("pos0"), col("m"))))
+        .as("pm"))
+      .select(col("cid"), expr("transform(pm, p -> p.m)").as("c"))
+
   /** The sink side of the curation pipeline: keep-listed docs land
     * partitioned by split (metadata-level pruning for train/val/test
     * readers) and bucketed+sorted by doc_id (every later join on doc_id
@@ -650,6 +683,54 @@ object TrainDataOps {
           |   n_tokens * 1.0::DOUBLE / n_docs AS mean_len,
           |   n_quality * 1.0::DOUBLE / n_docs AS quality_rate,
           |   n_dup * 1.0::DOUBLE / n_docs AS dup_rate
-          | FROM g ORDER BY source, lang""".stripMargin.replace("\n", "")))
+          | FROM g ORDER BY source, lang""".stripMargin.replace("\n", ""))),
+
+    // k-means over embeddings (k=8, two full Lloyd iterations, first-k
+    // init) — the clustering step behind SemDeDup-style semantic dedup
+    // and diversity sampling. Centroids broadcast (points never
+    // shuffle for assignment); the update's cluster means use scaled-
+    // integer sums (q65's trick), so every iteration is bit-identical
+    // across engines and partitionings and the oracle replays the whole
+    // trajectory. At scale: per iteration one broadcast + one (cid,pos)
+    // aggregation of k x dim cells.
+    "q101_kmeans" -> Q(
+      (s, dir) => {
+        val points = table(s, dir, "embeddings")
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("v"))
+        val init = points.where(col("vec_id") < 8)
+          .select(col("vec_id").cast("int").as("cid"), col("v").as("c"))
+        val cent = (1 to 2).foldLeft(init) { case (c, _) =>
+          kmeansUpdate(kmeansAssign(points, c))
+        }
+        kmeansAssign(points, cent)
+          .select(col("vec_id"), col("cid"), col("dist2"))
+          .orderBy("vec_id")
+      },
+      Some {
+        val dist2 =
+          "list_reduce(list_transform(list_zip(p.v, c.c), " +
+            "q -> (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE)) * " +
+            "(CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE))), (x, y) -> x + y)"
+        def assign(i: Int, centCte: String) =
+          s"""a$i AS (SELECT vec_id, v, cid, dist2,
+             | row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rnk
+             | FROM (SELECT p.vec_id, p.v, c.cid, $dist2 AS dist2
+             |   FROM pts p CROSS JOIN $centCte c))""".stripMargin
+        def update(i: Int) =
+          s"""s$i AS (SELECT cid, pos, count(*) AS n,
+             | CAST(sum(CAST(round(x * 1e6) AS BIGINT)) AS BIGINT) AS sm
+             | FROM (SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+             |   FROM a$i WHERE rnk = 1) GROUP BY cid, pos),
+             | c$i AS (SELECT cid, list(sm / (n * 1e6) ORDER BY pos) AS c
+             |   FROM s$i GROUP BY cid)""".stripMargin
+        s"""WITH pts AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+           | c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM pts WHERE vec_id < 8),
+           | ${assign(1, "c0")}, ${update(1)},
+           | ${assign(2, "c1")}, ${update(2)},
+           | ${assign(3, "c2")}
+           | SELECT vec_id, cid, dist2 FROM a3 WHERE rnk = 1
+           | ORDER BY vec_id""".stripMargin.replace("\n", "")
+      })
   )
 }

@@ -180,6 +180,25 @@ class TrainDataOpsSpec extends SparkSpec {
     }
   }
 
+  test("kmeans: assignment is argmin, update is the exact cluster mean") {
+    val pts = Seq(
+      (0L, Array(0.0, 0.0)), (1L, Array(10.0, 10.0)),   // initial centroids
+      (2L, Array(1.0, 1.0)), (3L, Array(9.0, 9.0)),
+      (4L, Array(0.0, 2.0))
+    ).toDF("vec_id", "v")
+    val init = pts.where(col("vec_id") < 2)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("c"))
+    val a = TrainDataOps.kmeansAssign(pts, init)
+      .select("vec_id", "cid").as[(Long, Int)].collect().toMap
+    assert(a == Map(0L -> 0, 1L -> 1, 2L -> 0, 3L -> 1, 4L -> 0))
+    val c1 = TrainDataOps.kmeansUpdate(TrainDataOps.kmeansAssign(pts, init))
+      .select("cid", "c").as[(Int, Seq[Double])].collect().toMap
+    // cluster 0 = {(0,0),(1,1),(0,2)} -> mean (1/3, 1): micros sums are
+    // exact, the final division is one correctly-rounded double op
+    assert(c1(0) == Seq(1.0 / 3, 1.0))
+    assert(c1(1) == Seq(9.5, 9.5))
+  }
+
   test("hard negatives exclude same-label candidates") {
     val dir = "/root/testdata/sf0.001"
     val q = graft.SparkEntry.queries("q93_hard_negatives")(spark, dir)
