@@ -302,6 +302,46 @@ object TrainDataOps {
         .as("pm"))
       .select(col("cid"), expr("transform(pm, p -> p.m)").as("c"))
 
+  private def embPoints(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** Centroids after two full Lloyd iterations from first-k init. */
+  private[graft] def kmeansCentroids(points: DataFrame): DataFrame = {
+    val init = points.where(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("c"))
+    (1 to 2).foldLeft(init) { case (c, _) =>
+      kmeansUpdate(kmeansAssign(points, c))
+    }
+  }
+
+  /** The q101 trajectory as oracle CTEs (pts, c0, a1/c1, a2/c2, a3) —
+    * shared by the k-means and SemDeDup oracles.
+    */
+  private lazy val kmeansCteSql: String = {
+    val dist2 =
+      "list_reduce(list_transform(list_zip(p.v, c.c), " +
+        "q -> (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE)) * " +
+        "(CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE))), (x, y) -> x + y)"
+    def assign(i: Int, centCte: String) =
+      s"""a$i AS (SELECT vec_id, v, cid, dist2,
+         | row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rnk
+         | FROM (SELECT p.vec_id, p.v, c.cid, $dist2 AS dist2
+         |   FROM pts p CROSS JOIN $centCte c))""".stripMargin
+    def update(i: Int) =
+      s"""s$i AS (SELECT cid, pos, count(*) AS n,
+         | CAST(sum(CAST(round(x * 1e6) AS BIGINT)) AS BIGINT) AS sm
+         | FROM (SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+         |   FROM a$i WHERE rnk = 1) GROUP BY cid, pos),
+         | c$i AS (SELECT cid, list(sm / (n * 1e6) ORDER BY pos) AS c
+         |   FROM s$i GROUP BY cid)""".stripMargin
+    s"""pts AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       | c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM pts WHERE vec_id < 8),
+       | ${assign(1, "c0")}, ${update(1)},
+       | ${assign(2, "c1")}, ${update(2)},
+       | ${assign(3, "c2")}""".stripMargin
+  }
+
   /** The sink side of the curation pipeline: keep-listed docs land
     * partitioned by split (metadata-level pruning for train/val/test
     * readers) and bucketed+sorted by doc_id (every later join on doc_id
@@ -695,42 +735,57 @@ object TrainDataOps {
     // aggregation of k x dim cells.
     "q101_kmeans" -> Q(
       (s, dir) => {
-        val points = table(s, dir, "embeddings")
-          .select(col("vec_id"),
-            col("embedding").cast("array<double>").as("v"))
-        val init = points.where(col("vec_id") < 8)
-          .select(col("vec_id").cast("int").as("cid"), col("v").as("c"))
-        val cent = (1 to 2).foldLeft(init) { case (c, _) =>
-          kmeansUpdate(kmeansAssign(points, c))
-        }
-        kmeansAssign(points, cent)
+        val points = embPoints(s, dir)
+        kmeansAssign(points, kmeansCentroids(points))
           .select(col("vec_id"), col("cid"), col("dist2"))
           .orderBy("vec_id")
       },
-      Some {
-        val dist2 =
-          "list_reduce(list_transform(list_zip(p.v, c.c), " +
-            "q -> (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE)) * " +
-            "(CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE))), (x, y) -> x + y)"
-        def assign(i: Int, centCte: String) =
-          s"""a$i AS (SELECT vec_id, v, cid, dist2,
-             | row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rnk
-             | FROM (SELECT p.vec_id, p.v, c.cid, $dist2 AS dist2
-             |   FROM pts p CROSS JOIN $centCte c))""".stripMargin
-        def update(i: Int) =
-          s"""s$i AS (SELECT cid, pos, count(*) AS n,
-             | CAST(sum(CAST(round(x * 1e6) AS BIGINT)) AS BIGINT) AS sm
-             | FROM (SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS pos
-             |   FROM a$i WHERE rnk = 1) GROUP BY cid, pos),
-             | c$i AS (SELECT cid, list(sm / (n * 1e6) ORDER BY pos) AS c
-             |   FROM s$i GROUP BY cid)""".stripMargin
-        s"""WITH pts AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-           | c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM pts WHERE vec_id < 8),
-           | ${assign(1, "c0")}, ${update(1)},
-           | ${assign(2, "c1")}, ${update(2)},
-           | ${assign(3, "c2")}
+      Some(
+        s"""WITH $kmeansCteSql
            | SELECT vec_id, cid, dist2 FROM a3 WHERE rnk = 1
-           | ORDER BY vec_id""".stripMargin.replace("\n", "")
+           | ORDER BY vec_id""".stripMargin.replace("\n", ""))),
+
+    // SemDeDup: semantic near-dup removal WITHIN k-means cells — the
+    // clusters bound the pair search to O(N^2/k) per cell instead of a
+    // global all-pairs pass, which is the entire point of clustering
+    // first at 100 TB. One-pass (non-cascading) variant: a vector is
+    // dropped if ANY earlier in-cell vector is cosine-closer than the
+    // threshold; dup_of names the earliest such keeper.
+    "q102_semantic_dedup" -> Q(
+      (s, dir) => {
+        val points = embPoints(s, dir)
+        val n = kmeansAssign(points, kmeansCentroids(points))
+          .select(col("vec_id"), col("cid"), col("v"),
+            graft.functions.VectorFunctions.l2norm(col("v")).as("nrm"))
+        val cos = SimilarityOps.cosine(
+          col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm"))
+        val dup = n.as("a").join(n.as("b"),
+            col("a.cid") === col("b.cid") &&
+              col("a.vec_id") < col("b.vec_id") && cos > 0.3)
+          .groupBy(col("b.vec_id").as("vid"))
+          .agg(min(col("a.vec_id")).as("dup_of"))
+        n.join(dup, col("vec_id") === col("vid"), "left")
+          .select(col("vec_id"), col("cid"), col("dup_of"),
+            col("dup_of").isNull.cast("int").as("keep"))
+          .orderBy("vec_id")
+      },
+      Some {
+        val cos =
+          "list_reduce(list_transform(list_zip(a.v, b.v), " +
+            "q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)), (x, y) -> x + y)" +
+            " / (a.nrm * b.nrm)"
+        s"""WITH $kmeansCteSql,
+           | n AS (SELECT vec_id, cid, v,
+           |   sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y)) AS nrm
+           |   FROM a3 WHERE rnk = 1),
+           | dup AS (SELECT b.vec_id AS vid, min(a.vec_id) AS dup_of
+           |   FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id
+           |     AND $cos > 0.3
+           |   GROUP BY b.vec_id)
+           | SELECT n.vec_id, n.cid, dup.dup_of,
+           |   CAST(dup.dup_of IS NULL AS INT) AS keep
+           | FROM n LEFT JOIN dup ON n.vec_id = dup.vid
+           | ORDER BY n.vec_id""".stripMargin.replace("\n", "")
       })
   )
 }

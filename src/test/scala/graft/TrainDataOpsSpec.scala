@@ -199,6 +199,23 @@ class TrainDataOpsSpec extends SparkSpec {
     assert(c1(1) == Seq(9.5, 9.5))
   }
 
+  test("semantic dedup: dup_of is an earlier keeper in the same cell") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("q102_semantic_dedup")(spark, dir)
+      .select("vec_id", "cid", "dup_of", "keep")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getInt(3)))
+    val cell = out.map(r => r._1 -> r._2).toMap
+    assert(out.exists(_._4 == 0) && out.exists(_._4 == 1))
+    out.foreach { case (id, cid, dupOf, keep) =>
+      assert((keep == 1) == (dupOf == -1L))
+      if (dupOf >= 0) {
+        assert(dupOf < id)             // points at an earlier vector
+        assert(cell(dupOf) == cid)     // in the same k-means cell
+      }
+    }
+  }
+
   test("hard negatives exclude same-label candidates") {
     val dir = "/root/testdata/sf0.001"
     val q = graft.SparkEntry.queries("q93_hard_negatives")(spark, dir)
