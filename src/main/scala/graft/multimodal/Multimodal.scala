@@ -87,17 +87,22 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       decoder.open()
-      val out = it.map(decoder.decode)
-      // Note: close() after exhaustion via a wrapping iterator.
-      new Iterator[MediaFeatures] {
-        def hasNext: Boolean = {
-          val h = out.hasNext
-          if (!h) decoder.close()
-          h
-        }
-        def next(): MediaFeatures = out.next()
-      }
+      registerClose(decoder.close _)
+      it.map(decoder.decode)
     }
+  }
+
+  /** close() exactly once, at task completion (success, failure, OR
+    * early abandonment by limit/take) — the lifecycle a JNI/ONNX-backed
+    * decoder needs. close-inside-hasNext would double-close on repeated
+    * exhaustion probes and LEAK when the iterator is never drained.
+    */
+  private def registerClose(close: () => Unit): Unit = {
+    val once = new java.util.concurrent.atomic.AtomicBoolean(false)
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit] { _ =>
+        if (once.compareAndSet(false, true)) close()
+      })
   }
 
   /** Batch-inference seam: whole micro-batches cross the boundary at
@@ -134,15 +139,8 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       decoder.open()
-      val out = it.grouped(batchSize).flatMap(decoder.decodeBatch)
-      new Iterator[MediaFeatures] {
-        def hasNext: Boolean = {
-          val h = out.hasNext
-          if (!h) decoder.close()
-          h
-        }
-        def next(): MediaFeatures = out.next()
-      }
+      registerClose(decoder.close _)
+      it.grouped(batchSize).flatMap(decoder.decodeBatch)
     }
   }
 }

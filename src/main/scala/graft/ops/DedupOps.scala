@@ -44,15 +44,21 @@ object DedupOps {
     * word-3-gram shingles (shared by q24 ranking and q64 clustering).
     * Blocking via the shingle self-join — never all-pairs.
     */
+  /** The shared 60-bit hash bridge: leading 15 hex chars of md5 as a
+    * positive BIGINT — identical in DuckDB as
+    * `('0x' || substr(md5(x), 1, 15))::BIGINT`, so every operator keyed
+    * on it stays oracle-exact while shuffling fixed-width longs.
+    */
+  private[graft] def md5Long60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Distinct 60-bit-hashed shingles per doc (hash BEFORE distinct so
     * the dedup shuffle carries longs). Shared by the Jaccard pair join,
     * decontamination, and the composed curation pipeline.
     */
   private[graft] def hashedShingles(docs: DataFrame): DataFrame =
     rawShingles(docs)
-      .select(col("doc_id"),
-        conv(substring(md5(col("s")), 1, 15), 16, 10)
-          .cast("long").as("s"))
+      .select(col("doc_id"), md5Long60(col("s")).as("s"))
       .distinct()
 
   private[graft] def jaccardPairs(docs: DataFrame): DataFrame =

@@ -26,6 +26,38 @@ object TextOps {
   private def hits(words: Column, stops: Seq[String]): Column =
     size(filter(words, w => w.isin(stops.map(lit(_)): _*)))
 
+  /** q20's exact fingerprint — md5 of whitespace-normalized `text` —
+    * the ONE canonicalization the exact-dedup family shares
+    * (fingerprint groups, leak-safe splits, the corpus report, and
+    * streaming dedup). A normalization change here moves all of them
+    * together; per-site copies would let splits and dedup disagree on
+    * canonical ids, which is exactly the leak the split op exists to
+    * prevent.
+    */
+  private[graft] def normalizedFp: Column =
+    md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
+      .cast("binary"))
+
+  /** Gopher rule thresholds (Rae et al. 2021, calibrated to this
+    * corpus) — the single source for q84, the composed curation
+    * pipeline, the corpus report, and the streaming quality gate.
+    */
+  private[graft] val GopherMinWords = 30
+  private[graft] val GopherMaxWords = 10000
+  private[graft] val GopherMinMeanLen = 3.5
+  private[graft] val GopherMaxMeanLen = 5.0
+  private[graft] val GopherMaxDupFrac = 0.6
+
+  /** The fused Gopher keep/drop predicate over a `text` column. */
+  private[graft] def gopherKeep: Column = {
+    val w = split(col("text"), " ")
+    size(w) >= GopherMinWords && size(w) <= GopherMaxWords &&
+      expr("length(replace(text, ' ', '')) * 1.0 / size(split(text, ' '))")
+        .between(GopherMinMeanLen, GopherMaxMeanLen) &&
+      (lit(1.0) - size(array_distinct(w)) * lit(1.0) / size(w)) <=
+        GopherMaxDupFrac
+  }
+
   def all: Map[String, Q] = Map(
 
     // Length / word / stopword statistics + a composite quality score.
@@ -121,8 +153,7 @@ object TextOps {
     "q20_doc_fingerprint" -> Q(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val fp = md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
-          .cast("binary")).as("fingerprint")
+        val fp = normalizedFp.as("fingerprint")
         table(s, dir, "documents").select(col("doc_id"), fp)
           .withColumn("canonical_id",
             min("doc_id").over(Window.partitionBy("fingerprint")))
@@ -175,9 +206,11 @@ object TextOps {
           (lit(1.0) - size(array_distinct(w)) * lit(1.0) / size(w))
             .as("dup_word_frac"))
           .withColumn("keep",
-            (col("n_words") >= 30 && col("n_words") <= 10000 &&
-              col("mean_word_len") >= 3.5 && col("mean_word_len") <= 5.0 &&
-              col("dup_word_frac") <= 0.6).cast("int"))
+            (col("n_words") >= GopherMinWords &&
+              col("n_words") <= GopherMaxWords &&
+              col("mean_word_len") >= GopherMinMeanLen &&
+              col("mean_word_len") <= GopherMaxMeanLen &&
+              col("dup_word_frac") <= GopherMaxDupFrac).cast("int"))
           .orderBy("doc_id")
       },
       Some(

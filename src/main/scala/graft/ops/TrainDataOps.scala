@@ -34,10 +34,10 @@ object TrainDataOps {
 
   /** One row per non-overlapping [[ChunkWords]]-word chunk occurrence:
     * (doc_id, chunk_idx, ch = 60-bit chunk hash, occ_key). The trailing
-    * partial chunk is kept. occ_key = doc_id * 1024 + chunk_idx encodes
-    * the global first-occurrence order in one BIGINT (chunk_idx < 1024
-    * holds for any document under ~8k words; widen the shift for longer
-    * corpora).
+    * partial chunk is kept. occ_key = doc_id * 2^20 + chunk_idx encodes
+    * the global first-occurrence order in one BIGINT: chunk_idx < 2^20
+    * covers documents to ~8.4M words (the quality gate admits 10k), and
+    * doc ids to ~8.7e12 stay in the positive long range.
     */
   private[graft] def chunkOccurrences(docs: DataFrame): DataFrame =
     docs
@@ -49,9 +49,8 @@ object TrainDataOps {
       .select(col("doc_id"),
         posexplode(col("cs")).as(Seq("chunk_idx", "chunk")))
       .select(col("doc_id"), col("chunk_idx"),
-        conv(substring(md5(col("chunk")), 1, 15), 16, 10)
-          .cast("long").as("ch"),
-        (col("doc_id") * 1024 + col("chunk_idx")).as("occ_key"))
+        DedupOps.md5Long60(col("chunk")).as("ch"),
+        (col("doc_id") * 1048576L + col("chunk_idx")).as("occ_key"))
 
   /** Per-doc duplicated-chunk stats: an occurrence is a duplicate iff it
     * is not the globally-first occurrence (min occ_key) of its chunk.
@@ -174,9 +173,7 @@ object TrainDataOps {
         "transform(sequence(1, size(w) - 1), " +
           "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
         .as("b0"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("b0")), 1, 15), 16, 10)
-          .cast("long").as("b"))
+      .select(col("doc_id"), DedupOps.md5Long60(col("b0")).as("b"))
       .localCheckpoint(eager = true)
     val vocab = bg.groupBy("b").agg(count(lit(1)).as("n"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
@@ -195,9 +192,8 @@ object TrainDataOps {
     */
   private[graft] def incrementalDedup(docs: DataFrame): DataFrame = {
     val p = docs.select(col("doc_id"),
-      conv(substring(md5(
-        expr("array_join(slice(split(text, ' '), 1, 8), ' ')")),
-        1, 15), 16, 10).cast("long").as("fp"))
+      DedupOps.md5Long60(
+        expr("array_join(slice(split(text, ' '), 1, 8), ' ')")).as("fp"))
     val batch = p.where(col("doc_id") % 10 === 9)
       .withColumn("batch_min",
         min("doc_id").over(Window.partitionBy("fp")))
@@ -219,13 +215,8 @@ object TrainDataOps {
     * decontamination (q86's 3-gram overlap, benchmark members excluded).
     */
   private[graft] def curationPipeline(docs: DataFrame): DataFrame = {
-    val w = split(col("text"), " ")
     val quality = docs.select(col("doc_id"),
-      (size(w) >= 30 && size(w) <= 10000 &&
-        expr("length(replace(text, ' ', '')) * 1.0 / size(split(text, ' '))")
-          .between(3.5, 5.0) &&
-        (lit(1.0) - size(array_distinct(w)) * lit(1.0) / size(w)) <= 0.6)
-        .cast("int").as("q_keep"))
+      TextOps.gopherKeep.cast("int").as("q_keep"))
     // ONE materialization of the hashed shingle frame feeds both the
     // Jaccard pair join (3 consumers inside) and decontamination (2) —
     // the shingle scan+distinct runs once instead of twice.
@@ -256,12 +247,10 @@ object TrainDataOps {
     * canonical id — duplicates can never straddle a split boundary.
     */
   private[graft] def leakSafeSplit(docs: DataFrame): DataFrame = {
-    val fp = md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
-      .cast("binary"))
-    val r = pmod(conv(substring(md5(col("canonical_id").cast("string")),
-      1, 15), 16, 10).cast("long"), lit(10L))
+    val r = pmod(
+      DedupOps.md5Long60(col("canonical_id").cast("string")), lit(10L))
     docs
-      .select(col("doc_id"), fp.as("fp"))
+      .select(col("doc_id"), TextOps.normalizedFp.as("fp"))
       .withColumn("canonical_id",
         min("doc_id").over(Window.partitionBy("fp")))
       .select(col("doc_id"), col("canonical_id"),
@@ -383,7 +372,7 @@ object TrainDataOps {
            | i0 AS (SELECT doc_id, w, unnest(generate_series(0, CAST(ceil(len(w) / $ChunkWords.0) AS INT) - 1)) AS g FROM s),
            | c AS (SELECT doc_id, g AS chunk_idx, array_to_string(w[g * $ChunkWords + 1 : g * $ChunkWords + $ChunkWords], ' ') AS chunk FROM i0),
            | o AS (SELECT doc_id, chunk_idx, ('0x' || substr(md5(chunk), 1, 15))::BIGINT AS ch,
-           |   doc_id * 1024 + chunk_idx AS occ_key FROM c),
+           |   doc_id * 1048576 + chunk_idx AS occ_key FROM c),
            | k AS (SELECT doc_id, occ_key, min(occ_key) OVER (PARTITION BY ch) AS min_occ FROM o),
            | a AS (SELECT doc_id, count(*) AS n_chunks,
            |   CAST(sum(CASE WHEN occ_key <> min_occ THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
@@ -688,13 +677,8 @@ object TrainDataOps {
         val per = table(s, dir, "documents").select(
           col("doc_id"), col("source"), col("lang"),
           size(w).cast("bigint").as("n_words"),
-          md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
-            .cast("binary")).as("fp"),
-          ((size(w) >= 30 && size(w) <= 10000) &&
-            expr("length(replace(text, ' ', '')) * 1.0 / size(split(text, ' '))")
-              .between(3.5, 5.0) &&
-            (lit(1.0) - size(array_distinct(w)) * lit(1.0) / size(w)) <= 0.6)
-            .cast("bigint").as("q_pass"))
+          TextOps.normalizedFp.as("fp"),
+          TextOps.gopherKeep.cast("bigint").as("q_pass"))
           .withColumn("is_dup",
             (count(lit(1)).over(Window.partitionBy("fp")) > 1)
               .cast("bigint"))
@@ -754,8 +738,11 @@ object TrainDataOps {
     // clusters bound the pair search to O(N^2/k) per cell instead of a
     // global all-pairs pass, which is the entire point of clustering
     // first at 100 TB. One-pass (non-cascading) variant: a vector is
-    // dropped if ANY earlier in-cell vector is cosine-closer than the
-    // threshold; dup_of names the earliest such keeper.
+    // dropped if ANY earlier in-cell vector exceeds the similarity
+    // threshold; dup_of names the EARLIEST such similar vector — which
+    // may itself have been dropped (follow the dup_of chain for the
+    // retained representative; the chain always ends at a keeper
+    // because ids strictly decrease along it).
     "q102_semantic_dedup" -> Q(
       (s, dir) => {
         val points = embPoints(s, dir)

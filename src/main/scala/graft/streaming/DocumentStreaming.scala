@@ -16,9 +16,10 @@ import org.apache.spark.sql.functions._
   */
 object DocumentStreaming {
 
-  /** The q20 exact fingerprint: md5 of whitespace-normalized text. */
-  private def fingerprint = md5(
-    trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary"))
+  /** The q20 exact fingerprint (shared with the batch canonicalization,
+    * so streaming and batch dedup agree on identity).
+    */
+  private def fingerprint = graft.ops.TextOps.normalizedFp
 
   /** Streaming curation: Gopher-style quality rules (q84's thresholds)
     * then exact-fingerprint dedup within the watermark horizon — the
@@ -36,9 +37,11 @@ object DocumentStreaming {
         expr("length(replace(text, ' ', '')) * 1.0 / size(split(text, ' '))"))
       .withColumn("dup_word_frac",
         lit(1.0) - size(array_distinct(w)) * lit(1.0) / size(w))
-      .where(col("n_words") >= 30 && col("n_words") <= 10000 &&
-        col("mean_word_len").between(3.5, 5.0) &&
-        col("dup_word_frac") <= 0.6)
+      .where(col("n_words") >= graft.ops.TextOps.GopherMinWords &&
+        col("n_words") <= graft.ops.TextOps.GopherMaxWords &&
+        col("mean_word_len").between(graft.ops.TextOps.GopherMinMeanLen,
+          graft.ops.TextOps.GopherMaxMeanLen) &&
+        col("dup_word_frac") <= graft.ops.TextOps.GopherMaxDupFrac)
       .dropDuplicatesWithinWatermark("fp")
       .select("doc_id", "ingest_ts", "source", "fp", "n_words")
   }

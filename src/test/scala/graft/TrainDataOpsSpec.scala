@@ -199,7 +199,7 @@ class TrainDataOpsSpec extends SparkSpec {
     assert(c1(1) == Seq(9.5, 9.5))
   }
 
-  test("semantic dedup: dup_of is an earlier keeper in the same cell") {
+  test("semantic dedup: dup_of is an earlier in-cell vector") {
     val dir = "/root/testdata/sf0.001"
     val out = graft.SparkEntry.queries("q102_semantic_dedup")(spark, dir)
       .select("vec_id", "cid", "dup_of", "keep")

@@ -52,10 +52,13 @@ class TrainDataPropertySpec extends SparkSpec {
     assert(out.nonEmpty)
     out.foreach { case (id, status, dupOf) =>
       if (status == "new") assert(dupOf == -1L)
-      else {
-        assert(dupOf >= 0 && dupOf < id)
-        if (status == "dup_batch") assert(dupOf % 10 == 9) // batch member
-        if (status == "dup_corpus") assert(dupOf % 10 != 9)
+      else if (status == "dup_batch") {
+        // within-batch dups DO point at a strictly earlier batch member
+        assert(dupOf >= 0 && dupOf < id && dupOf % 10 == 9)
+      } else {
+        // corpus dups point at the corpus min-id for the fingerprint,
+        // which may be on either side of this batch doc's id
+        assert(status == "dup_corpus" && dupOf >= 0 && dupOf % 10 != 9)
       }
     }
   }
