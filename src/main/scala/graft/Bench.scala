@@ -42,35 +42,80 @@ object Bench {
       catch { case scala.util.control.NonFatal(_) => () }
     }
 
-    // Best of 2 timed runs per query (fresh DataFrame each run, so no
-    // AQE stage reuse): the box runs other tenants and single-run totals
-    // swing 2-4x with external load; the min estimates engine cost.
-    // Drop leftover cached/checkpointed blocks between queries so one
-    // query's state (e.g. the clustering loop's localCheckpoints) can't
-    // pressure a later query's GC.
+    // Timed runs with a LOAD GUARD (round-3 lesson: a co-tenant-loaded
+    // box published a bench artifact 2-27x off the engine's real cost,
+    // with nothing in the JSON to tell a regression from a busy
+    // machine). Three structural fixes:
+    //  1. /proc/loadavg is recorded at start and end of the timed pass;
+    //  2. every query records cpu-vs-wall for its reported run — our own
+    //     process CPU over wall time. On an idle box a parallel query
+    //     runs many CPU-seconds per wall-second; when co-tenants steal
+    //     cores, wall inflates while our CPU doesn't, so a LOW ratio on
+    //     a query that should parallelize flags an untrustworthy number
+    //     in the artifact itself;
+    //  3. a query whose two samples diverge >2x re-runs (up to 2 extra
+    //     samples) — transient load spikes get re-measured instead of
+    //     published.
+    // Fresh DataFrame each run (no AQE stage reuse); leftover
+    // cached/checkpointed blocks dropped between queries so one query's
+    // state can't pressure a later query's GC.
     def clearState(): Unit = {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
     }
+    def loadavg1m(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").getLines()
+        .next().split(" ")(0).toDouble
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
+    val osBean = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => Some(b)
+      case _ => None
+    }
+    def procCpuNanos(): Long = osBean.map(_.getProcessCpuTime).getOrElse(0L)
 
+    val loadStart = loadavg1m()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      // (wall seconds, cpu/wall ratio); wall = -1 marks a failed run.
+      def sample(): (Double, Double) = {
         clearState()
+        val c0 = procCpuNanos()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { // failure marker, never a time; fatal errors propagate
-          case scala.util.control.NonFatal(_) => -1.0
+        try {
+          fn(spark, sfDir).count()
+          val wall = (System.nanoTime() - t0) / 1e9
+          val cpu = (procCpuNanos() - c0) / 1e9
+          (wall, if (wall > 0) cpu / wall else 0.0)
+        } catch { // failure marker, never a time; fatal errors propagate
+          case scala.util.control.NonFatal(_) => (-1.0, 0.0)
         }
       }
-      // min over SUCCESSFUL runs; a query that failed both runs reports
+      var samples = List(sample(), sample())
+      def ok = samples.map(_._1).filter(_ >= 0)
+      // Divergent pair = at least one sample was load-poisoned; take
+      // more until two agree within 2x or the retry budget (2) is gone.
+      var retries = 0
+      while (retries < 2 && ok.size >= 2 &&
+        ok.max / math.max(ok.min, 1e-9) > 2.0) {
+        samples ::= sample()
+        retries += 1
+      }
+      val best = samples.filter(_._1 >= 0).sortBy(_._1).headOption
+      // min over SUCCESSFUL runs; a query that failed every run reports
       // -1 so breakage can't masquerade as a speedup.
-      name -> times.filter(_ >= 0).minOption.getOrElse(-1.0)
+      (name, best.map(_._1).getOrElse(-1.0), best.map(_._2).getOrElse(0.0),
+        samples.count(_._1 >= 0))
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val loadEnd = loadavg1m()
+    val qs = results.map { case (k, v, _, _) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val cw = results.map { case (k, _, r, _) => "\"" + k + f"\":$r%.2f" }
+      .mkString("{", ",", "}")
+    val runs = results.map { case (k, _, _, n) => "\"" + k + s"""":$n""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"cpu_wall":$cw,"runs":$runs}""")
     spark.stop()
   }
 }

@@ -61,6 +61,51 @@ object DedupOps {
       .select(col("doc_id"), md5Long60(col("s")).as("s"))
       .distinct()
 
+  /** Tile count for the exact O(N^2) pair join: each vector fans into
+    * O(B) tile keys and each task compares one (N/B) x (N/B) tile, so B
+    * is the knob that spreads the quadratic FLOPs over B(B+1)/2 tasks.
+    * Config-derived (`graft.tiles`), defaulting to 8 for local[32]; a
+    * 1000-executor deployment raises it so tiles stay cache-sized. Any
+    * B >= 1 yields the identical pair set (ScaleParamSpec pins B in
+    * {1, 3, 5, 8}).
+    */
+  private[graft] def tileCount(s: SparkSession): Int =
+    s.conf.getOption("graft.tiles").map(_.toInt).getOrElse(8)
+
+  /** Exact cosine near-dup pairs above `threshold` via a TILED
+    * self-join: block g = vec_id mod B; side A owns tiles (g, j) for
+    * j >= g, side B owns (i, g) for i <= g, so every unordered
+    * cross-block pair meets in exactly one tile with one orientation,
+    * and same-block pairs meet on the diagonal deduped by the id
+    * tiebreaker. The join is a hash EQUI-join on the tile key — each
+    * task compares one bounded tile in memory instead of one
+    * BroadcastNestedLoopJoin owning all N^2 FLOPs.
+    */
+  private[graft] def tiledNearDupPairs(n: DataFrame, b: Int,
+                                       threshold: Double): DataFrame = {
+    require(b >= 1, s"tile count must be >= 1, got $b")
+    val g = pmod(col("vec_id"), lit(b)).cast("int")
+    val sideA = n.withColumn("g", g).select(col("vec_id"), col("v"),
+      col("nrm"), col("g"), explode(expr(
+        s"transform(sequence(g, ${b - 1}), j -> struct(g AS i, j AS j))"))
+        .as("tile"))
+    val sideB = n.withColumn("g", g).select(col("vec_id"), col("v"),
+      col("nrm"), col("g"), explode(expr(
+        s"transform(sequence(0, g), i -> struct(i AS i, g AS j))"))
+        .as("tile"))
+    val cos = SimilarityOps.cosine(
+      col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm"))
+    sideA.as("a").join(sideB.as("b"),
+        col("a.tile") === col("b.tile") &&
+          (col("a.g") =!= col("b.g") ||
+            col("a.vec_id") < col("b.vec_id")))
+      .select(
+        least(col("a.vec_id"), col("b.vec_id")).as("v1"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("v2"),
+        cos.as("cosine"))
+      .where(col("cosine") > threshold)
+  }
+
   private[graft] def jaccardPairs(docs: DataFrame): DataFrame =
     // sh is referenced 3x (both join sides + counts). Materialization
     // choice re-measured at sf0.1 (round 3): eager localCheckpoint wins
@@ -416,36 +461,11 @@ object DedupOps {
     // approximate scale path (LSH candidates + exact rescore) is q83.
     "q27_dedup_embedding" -> Q(
       (s, dir) => {
-        val e = table(s, dir, "embeddings")
+        val n = table(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        val n = e.select(col("vec_id"), col("v"),
-          graft.functions.VectorFunctions.l2norm(col("v")).as("nrm"))
-        val B = 8
-        // Side A owns tiles (g, j) for j >= g; side B owns (i, g) for
-        // i <= g: every unordered cross-block pair meets in exactly one
-        // tile with one orientation; same-block pairs meet on the
-        // diagonal and are deduped by the id tiebreaker.
-        val g = pmod(col("vec_id"), lit(B)).cast("int")
-        val sideA = n.withColumn("g", g).select(col("vec_id"), col("v"),
-          col("nrm"), col("g"), explode(expr(
-            s"transform(sequence(g, ${B - 1}), j -> struct(g AS i, j AS j))"))
-            .as("tile"))
-        val sideB = n.withColumn("g", g).select(col("vec_id"), col("v"),
-          col("nrm"), col("g"), explode(expr(
-            s"transform(sequence(0, g), i -> struct(i AS i, g AS j))"))
-            .as("tile"))
-        val cos = SimilarityOps.cosine(
-          col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm"))
-        sideA.as("a").join(sideB.as("b"),
-            col("a.tile") === col("b.tile") &&
-              (col("a.g") =!= col("b.g") ||
-                col("a.vec_id") < col("b.vec_id")))
-          .select(
-            least(col("a.vec_id"), col("b.vec_id")).as("v1"),
-            greatest(col("a.vec_id"), col("b.vec_id")).as("v2"),
-            cos.as("cosine"))
-          .where(col("cosine") > 0.3)
-          .orderBy("v1", "v2")
+          .select(col("vec_id"), col("v"),
+            graft.functions.VectorFunctions.l2norm(col("v")).as("nrm"))
+        tiledNearDupPairs(n, tileCount(s), 0.3).orderBy("v1", "v2")
       },
       Some(
         """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -87,14 +87,19 @@ object ExtendedOps {
           explode(split(col("text"), " ")).as("term"))
         val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-        val w = Window.partitionBy("doc_id")
-          .orderBy(desc("score"), col("term"))
-        tf.join(df, "term").crossJoin(broadcast(nDocs))
+        val scored = tf.join(df, "term").crossJoin(broadcast(nDocs))
           .select(col("doc_id"), col("term"),
             (col("tf").cast("double") * col("n_docs") / col("df"))
               .as("score"))
-          .withColumn("rnk", row_number().over(w))
-          .where(col("rnk") <= 3)
+        // Per-doc top-3 via TopKPerGroup: the partial phase reduces each
+        // map task's doc-term rows to 3-heaps before the exchange, so
+        // shuffle volume is answer-proportional (3 x docs) instead of
+        // every (doc, term) score. rnk is recovered by a window over the
+        // 3 survivors — clustered by doc_id already, no second exchange.
+        graft.plans.TopKPerGroup(scored, Seq("doc_id"),
+            Seq(("score", true), ("term", false)), 3)
+          .withColumn("rnk", row_number().over(Window.partitionBy("doc_id")
+            .orderBy(desc("score"), col("term"))))
           .select("doc_id", "rnk", "term", "score")
           .orderBy("doc_id", "rnk")
       },

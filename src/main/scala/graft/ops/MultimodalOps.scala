@@ -53,6 +53,45 @@ object MultimodalOps {
           | SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
           | md5(substr(text, CAST(chunk_idx * 64 + 1 AS INT), 64)) AS chunk_md5
           | FROM c WHERE chunk_idx % 2 = 0
-          | ORDER BY doc_id, chunk_idx""".stripMargin.replace("\n", "")))
+          | ORDER BY doc_id, chunk_idx""".stripMargin.replace("\n", ""))),
+
+    // The DECODE SEAM under the hash gate: documents ride the media
+    // carrier schema through the real partition-batched decode stage
+    // (mapPartitions + BatchDecoder lifecycle — the exact path a
+    // JNI/ONNX codec plugs into), and the stub decoder's byte-histogram
+    // features come out as value-checked facts. The normalized float
+    // feature f_j = count_j / n_bytes is inverted exactly:
+    // round(f_j * n_bytes) == count_j whenever n_bytes < 2^24 (float32
+    // relative error 2^-24 x count < 0.5; corpus max is ~560 bytes), so
+    // the oracle replays the histogram with integer byte counts and any
+    // decode-path defect (batching, lifecycle, feature shape) breaks
+    // the hash. Long-form (media_id, j) rows — scalar cells only.
+    "q103_media_features" -> Q(
+      (s, dir) => {
+        val feats = graft.multimodal.Multimodal.extractFeaturesBatched(
+          graft.multimodal.Multimodal.fromDocuments(
+            table(s, dir, "documents")))
+        feats.toDF()
+          .select(col("media_id"), col("modality"), col("n_bytes"),
+            col("digest"), posexplode(col("features")).as(Seq("j", "f")))
+          .select(col("media_id"), col("modality"), col("n_bytes"),
+            col("digest"), col("j").cast("int").as("j"),
+            round(col("f").cast("double") * col("n_bytes")).cast("bigint")
+              .as("byte_cnt"))
+          .orderBy("media_id", "j")
+      },
+      Some(
+        """WITH b AS (SELECT doc_id AS media_id, 'text' AS modality,
+          |   CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+          |   md5(text) AS digest, text FROM documents),
+          | g AS (SELECT media_id, unnest(generate_series(0, 15)) AS j FROM b),
+          | i0 AS (SELECT media_id, text, unnest(generate_series(1, length(text))) AS i FROM b),
+          | h AS (SELECT media_id, ascii(substr(text, CAST(i AS INT), 1)) % 16 AS j, count(*) AS c
+          |   FROM i0 GROUP BY media_id, j)
+          | SELECT g.media_id, b.modality, b.n_bytes, b.digest,
+          |   CAST(g.j AS INT) AS j, CAST(coalesce(h.c, 0) AS BIGINT) AS byte_cnt
+          | FROM g JOIN b USING (media_id)
+          | LEFT JOIN h ON h.media_id = g.media_id AND h.j = g.j
+          | ORDER BY media_id, j""".stripMargin.replace("\n", "")))
   )
 }

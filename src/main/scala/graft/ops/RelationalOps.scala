@@ -78,17 +78,42 @@ object RelationalOps {
 
     // Sketch aggregations: HyperLogLog++ distinct counts and quantile
     // sketches — the fixed-memory shapes for 100 TB cardinality work.
-    // Approximate by design -> no oracle (driver rows-only check).
+    // The sketches are approximate by design but DETERMINISTIC (hash-
+    // based, no RNG), so the query emits value-checkable facts instead
+    // of raw estimates: the exact count next to within-bound flags
+    // (|approx - exact| <= 3 x rsd x exact; the accuracy contract an
+    // HLL++ consumer actually relies on) and a median flag pinning the
+    // quantile sketch between the exact p40/p60. The oracle computes
+    // the exact count and asserts every flag TRUE — a broken sketch
+    // (systematic bias, wrong register merge) flips a flag and fails
+    // the hash gate. SketchAndRecallSpec pins the tighter error bounds.
     "q51_sketches" -> Q(
       (s, dir) => table(s, dir, "events")
         .groupBy("event_type")
         .agg(
-          approx_count_distinct(col("user_id")).as("approx_users"),
-          approx_count_distinct(col("user_id"), 0.01).as("approx_users_1pct"),
-          percentile_approx(col("value"), lit(0.5), lit(10000))
-            .as("approx_median_value"))
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id")).as("a5"),
+          approx_count_distinct(col("user_id"), 0.01).as("a1"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("am"),
+          expr("percentile(value, 0.4)").as("p40"),
+          expr("percentile(value, 0.6)").as("p60"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("a5") - col("exact_users")) <=
+            lit(0.15) * col("exact_users")).cast("int")
+            .as("hll_within_3rsd"),
+          (abs(col("a1") - col("exact_users")) <=
+            lit(0.03) * col("exact_users")).cast("int")
+            .as("hll_1pct_within_3rsd"),
+          (col("am") >= col("p40") && col("am") <= col("p60")).cast("int")
+            .as("median_within_quintiles"))
         .orderBy("event_type"),
-      None),
+      Some(
+        """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+          | CAST(1 AS INT) AS hll_within_3rsd,
+          | CAST(1 AS INT) AS hll_1pct_within_3rsd,
+          | CAST(1 AS INT) AS median_within_quintiles
+          | FROM events GROUP BY event_type ORDER BY event_type"""
+          .stripMargin.replace("\n", ""))),
 
     // CUBE grouping sets: all 4 grouping combinations in one pass.
     "q47_cube_orders" -> Q(

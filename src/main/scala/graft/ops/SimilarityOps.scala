@@ -86,10 +86,16 @@ object SimilarityOps {
         val scored = broadcast(q).join(n, col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id").as("cand_id"),
             cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cosine"))
-        scored
+        // Top-k via the custom TopKPerGroup operator: each map task
+        // pre-reduces to a k-heap per query, so the exchange carries
+        // k x queries-per-task rows, not every scored candidate. The
+        // rnk window then runs over the k survivors only — and the
+        // final phase already clustered by query_id, so it adds a local
+        // sort, never a second exchange.
+        graft.plans.TopKPerGroup(scored, Seq("query_id"),
+            Seq(("cosine", true), ("cand_id", false)), 5)
           .withColumn("rnk", row_number().over(Window.partitionBy("query_id")
             .orderBy(desc("cosine"), col("cand_id"))))
-          .where(col("rnk") <= 5)
           .select("query_id", "rnk", "cand_id", "cosine")
           .orderBy("query_id", "rnk")
       },
@@ -129,14 +135,16 @@ object SimilarityOps {
         val q = n.where(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("query_id"), col("v").as("qv"),
             col("nrm").as("qn"), col("bucket").as("qbucket"))
-        broadcast(q)
+        val scored = broadcast(q)
           .join(n, col("bucket") === col("qbucket") &&
             col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id").as("cand_id"),
             cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cosine"))
+        // Same answer-proportional top-k shape as q28 (see note there).
+        graft.plans.TopKPerGroup(scored, Seq("query_id"),
+            Seq(("cosine", true), ("cand_id", false)), 5)
           .withColumn("rnk", row_number().over(Window.partitionBy("query_id")
             .orderBy(desc("cosine"), col("cand_id"))))
-          .where(col("rnk") <= 5)
           .select("query_id", "rnk", "cand_id", "cosine")
           .orderBy("query_id", "rnk")
       },

@@ -259,19 +259,31 @@ object TrainDataOps {
   }
 
   /** One k-means assignment pass: nearest centroid by exact squared L2
-    * (left-fold over the element-difference array, ties -> lowest cid).
-    * Centroids broadcast; points never shuffle.
+    * (left-fold over squared element differences, ties -> lowest cid).
+    *
+    * ZERO-shuffle narrow plan: the k centroids collapse to a single
+    * sorted array-of-structs row (one tiny aggregate, broadcast), and
+    * each point computes its argmin in one projection — no N x k row
+    * expansion, no exchange, no sort. The previous formulation
+    * (cross join + row_number window over the expanded frame) forced a
+    * full exchange-and-sort of N x k rows per Lloyd iteration; a window
+    * can never partial-aggregate, a per-row fold has nothing to shuffle
+    * at all. dist2 accumulation is `0.0 + d0^2 + d1^2 + ...` — squares
+    * are non-negative so the leading 0.0 is exact, and the left fold
+    * order matches the oracle's list_reduce bit-for-bit.
     */
   private[graft] def kmeansAssign(points: DataFrame,
                                   cent: DataFrame): DataFrame =
-    points.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("v"), col("cid"),
-        zip_with(col("v"), col("c"), (x, y) => x - y).as("d"))
-      .select(col("vec_id"), col("v"), col("cid"),
-        graft.functions.VectorFunctions.dot(col("d"), col("d")).as("dist2"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("vec_id").orderBy("dist2", "cid")))
-      .where(col("rnk") === 1).drop("rnk")
+    points.crossJoin(broadcast(
+      cent.agg(sort_array(collect_list(struct(col("cid"), col("c"))))
+        .as("cs"))))
+      .select(col("vec_id"), col("v"),
+        expr("array_min(transform(cs, ct -> struct(" +
+          "aggregate(zip_with(v, ct.c, (x, y) -> (x - y) * (x - y)), " +
+          "cast(0 as double), (a, p) -> a + p) as dist2, " +
+          "ct.cid as cid)))").as("m"))
+      .select(col("vec_id"), col("v"),
+        col("m.cid").as("cid"), col("m.dist2").as("dist2"))
 
   /** One Lloyd update: per-cluster mean via q65's scaled-integer sums
     * (micros) — exact and accumulation-order-independent, so the new
@@ -295,14 +307,24 @@ object TrainDataOps {
     table(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
+  /** Default k for the catalog's q101/q102 entries. At 100 TB, k must
+    * grow with the corpus (SemDeDup cell cost is O(N^2/k)); readable
+    * from config so a deployment sets it per-cluster without a code
+    * change — the oracle replays whatever k the session declares.
+    */
+  private[graft] def kmeansK(s: SparkSession): Int =
+    s.conf.getOption("graft.kmeans.k").map(_.toInt).getOrElse(8)
+
   /** Centroids after two full Lloyd iterations from first-k init. Each
     * round's k-row centroid frame is materialized eagerly so the next
-    * assignment's plan starts from a flat 8-row input instead of
+    * assignment's plan starts from a flat k-row input instead of
     * re-optimizing the whole accumulated trajectory (sf0.1 best-of-2:
     * 1.89 s -> 1.53 s; same shape the dup-clustering loop uses).
     */
-  private[graft] def kmeansCentroids(points: DataFrame): DataFrame = {
-    val init = points.where(col("vec_id") < 8)
+  private[graft] def kmeansCentroids(points: DataFrame,
+                                     k: Int = 8): DataFrame = {
+    require(k > 0, s"k-means needs k > 0, got $k")
+    val init = points.where(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"), col("v").as("c"))
     (1 to 2).foldLeft(init) { case (c, _) =>
       kmeansUpdate(kmeansAssign(points, c)).localCheckpoint(eager = true)
@@ -310,9 +332,12 @@ object TrainDataOps {
   }
 
   /** The q101 trajectory as oracle CTEs (pts, c0, a1/c1, a2/c2, a3) —
-    * shared by the k-means and SemDeDup oracles.
+    * shared by the k-means and SemDeDup oracles. The oracle string is
+    * registered once at catalog build, so it pins the DEFAULT k (8);
+    * a session overriding `graft.kmeans.k` steps outside the hash gate
+    * (ScaleParamSpec pins the cell invariants at non-default k).
     */
-  private lazy val kmeansCteSql: String = {
+  private def kmeansCteSqlAt(k: Int): String = {
     val dist2 =
       "list_reduce(list_transform(list_zip(p.v, c.c), " +
         "q -> (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE)) * " +
@@ -330,11 +355,13 @@ object TrainDataOps {
          | c$i AS (SELECT cid, list(sm / (n * 1e6) ORDER BY pos) AS c
          |   FROM s$i GROUP BY cid)""".stripMargin
     s"""pts AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       | c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM pts WHERE vec_id < 8),
+       | c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM pts WHERE vec_id < $k),
        | ${assign(1, "c0")}, ${update(1)},
        | ${assign(2, "c1")}, ${update(2)},
        | ${assign(3, "c2")}""".stripMargin
   }
+
+  private lazy val kmeansCteSql: String = kmeansCteSqlAt(8)
 
   /** The sink side of the curation pipeline: keep-listed docs land
     * partitioned by split (metadata-level pruning for train/val/test
@@ -414,17 +441,21 @@ object TrainDataOps {
     // dimensionality-reduction step ahead of coarse quantization at
     // scale. Narrow codegen'd projection, zero shuffle; the seeded
     // matrix replays in the oracle from interpolated DOUBLE literals.
+    // Output is LONG-FORM (vec_id, k, dot) — one row per projected
+    // coordinate — because the correctness harness hashes scalar cells;
+    // a raw array<double> column is unhashable on the comparison side.
     "q91_random_projection" -> Q(
       (s, dir) => projectEmbeddings(table(s, dir, "embeddings"))
-        .orderBy("vec_id"),
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("k", "dot")))
+        .orderBy("vec_id", "k"),
       Some(
         s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
            | pr AS (SELECT k, list_transform(ps, x -> CAST(x AS DOUBLE)) AS p FROM (VALUES $projSqlValues) t(k, ps)),
            | d AS (SELECT vec_id, k,
            |   list_reduce(list_transform(list_zip(v, p), q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)), (x, y) -> x + y) AS dot
            |   FROM e CROSS JOIN pr)
-           | SELECT vec_id, list(dot ORDER BY k) AS proj FROM d
-           | GROUP BY vec_id ORDER BY vec_id""".stripMargin.replace("\n", ""))),
+           | SELECT vec_id, k, dot FROM d
+           | ORDER BY vec_id, k""".stripMargin.replace("\n", ""))),
 
     // PII redaction: email / phone / IPv4 scrubbing with per-kind counts
     // and a digest of the redacted text. The corpus is augmented with a
@@ -470,15 +501,20 @@ object TrainDataOps {
         val q = n.where(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
             col("v").as("qv"), col("nrm").as("qn"))
-        broadcast(q).join(n, col("label") =!= col("qlabel"))
+        val scored = broadcast(q).join(n, col("label") =!= col("qlabel"))
           .select(col("query_id"), col("vec_id").as("cand_id"),
             col("label").as("cand_label"),
             SimilarityOps.cosine(col("qv"), col("v"), col("qn"), col("nrm"))
               .as("cosine"))
+        // TopKPerGroup pre-reduces per map task, so the exchange sees
+        // 3 x queries-per-task rows instead of every scored candidate;
+        // the rnk window runs over the 3 survivors per query on the
+        // operator's own output partitioning (local sort, no exchange).
+        graft.plans.TopKPerGroup(scored, Seq("query_id"),
+            Seq(("cosine", true), ("cand_id", false)), 3)
           .withColumn("rnk",
             row_number().over(Window.partitionBy("query_id")
               .orderBy(desc("cosine"), col("cand_id"))))
-          .where(col("rnk") <= 3)
           .select("query_id", "rnk", "cand_id", "cand_label", "cosine")
           .orderBy("query_id", "rnk")
       },
@@ -725,7 +761,7 @@ object TrainDataOps {
     "q101_kmeans" -> Q(
       (s, dir) => {
         val points = embPoints(s, dir)
-        kmeansAssign(points, kmeansCentroids(points))
+        kmeansAssign(points, kmeansCentroids(points, kmeansK(s)))
           .select(col("vec_id"), col("cid"), col("dist2"))
           .orderBy("vec_id")
       },
@@ -746,7 +782,7 @@ object TrainDataOps {
     "q102_semantic_dedup" -> Q(
       (s, dir) => {
         val points = embPoints(s, dir)
-        val n = kmeansAssign(points, kmeansCentroids(points))
+        val n = kmeansAssign(points, kmeansCentroids(points, kmeansK(s)))
           .select(col("vec_id"), col("cid"), col("v"),
             graft.functions.VectorFunctions.l2norm(col("v")).as("nrm"))
         val cos = SimilarityOps.cosine(

@@ -83,6 +83,34 @@ class PlanSpec extends SparkSpec {
     assert(!optimized.contains("from_csv"))
   }
 
+  test("top-k queries run on TopKPerGroup, not a full-shuffle window") {
+    // q28/q30/q93/q54 rank with the custom operator: partial k-heaps
+    // ahead of the exchange make shuffle volume answer-proportional.
+    // The residual rnk window must reuse the final phase's clustering
+    // (one hashpartitioning exchange total on the scored side).
+    Seq("q28_cosine_topk", "q30_ann_lsh_topk", "q93_hard_negatives",
+      "q54_tfidf_topterms").foreach { name =>
+      val plan = executed(name)
+      assert(plan.contains("TopKPerGroupPartial") &&
+        plan.contains("TopKPerGroupFinal"),
+        s"$name not on the custom top-k operator:\n$plan")
+    }
+  }
+
+  test("k-means assignment is a narrow argmin — no window, no N x k shuffle") {
+    // The Lloyd trajectory materializes via eager localCheckpoints, so
+    // the executed plan of q101 is the FINAL assignment pass: it must
+    // fold over the broadcast centroid array in a projection — never
+    // expand N x k rows into a Window exchange-sort (VERDICT r3 #3).
+    val plan = executed("q101_kmeans")
+    assert(!plan.contains("Window"), s"window argmin crept back in:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning(vec_id") ||
+      plan.contains("Sort"), plan)
+    // exactly the output-sort exchanges; no hashpartitioning of points
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"assignment shuffles points:\n$plan")
+  }
+
   test("as-of join is a single shuffle by key (no range explosion)") {
     val plan = executed("q36_asof_join")
     // one exchange for the user_id window; the final orderBy adds range

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{DedupOps, TrainDataOps}
+
+/** The scale knobs (q27's tile count B, q101's k) are config-derived
+  * rather than hard-coded; these specs pin the SEMANTIC invariants that
+  * let the constants move with cluster size without re-validating the
+  * operators: tiling must return the identical pair set at any B, and
+  * k-means must keep its cell invariants at any k.
+  */
+class ScaleParamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def normed = {
+    val e = graft.ops.TestData.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    e.select(col("vec_id"), col("v"),
+      graft.functions.VectorFunctions.l2norm(col("v")).as("nrm"))
+  }
+
+  test("tiled near-dup pair set is IDENTICAL for B in {1, 3, 5, 8}") {
+    // B=1 is the degenerate single-tile case — the naive all-pairs
+    // reference the tiling must reproduce exactly (same pairs AND the
+    // same bit-exact cosine: the tile key never touches the arithmetic).
+    val n = normed
+    def pairs(b: Int): Map[(Long, Long), Double] =
+      DedupOps.tiledNearDupPairs(n, b, 0.3)
+        .as[(Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    val ref = pairs(1)
+    assert(ref.nonEmpty, "degenerate B=1 run found no pairs at all")
+    Seq(3, 5, 8).foreach { b =>
+      val got = pairs(b)
+      assert(got == ref, s"pair set at B=$b diverged from B=1: " +
+        s"${got.size} vs ${ref.size} pairs")
+    }
+  }
+
+  test("tiling emits every unordered pair exactly once (no threshold)") {
+    // With the threshold disabled, N vectors must yield exactly
+    // N*(N-1)/2 rows at every B — double-counted diagonals or dropped
+    // cross-tiles change the count even when the thresholded set hides
+    // them.
+    val n = normed.limit(40).localCheckpoint(true)
+    val cnt = n.count()
+    val want = cnt * (cnt - 1) / 2
+    Seq(1, 3, 5, 8).foreach { b =>
+      val got = DedupOps.tiledNearDupPairs(n, b, -2.0).count()
+      assert(got == want, s"B=$b emitted $got pairs, want $want")
+    }
+  }
+
+  test("k-means cell invariants hold at k in {3, 5, 8}") {
+    val points = graft.ops.TestData.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    Seq(3, 5, 8).foreach { k =>
+      val cent = TrainDataOps.kmeansCentroids(points, k)
+      val cents = cent.as[(Int, Seq[Double])].collect().toMap
+      assert(cents.size == k, s"k=$k produced ${cents.size} centroids")
+      assert(cents.keySet == (0 until k).toSet)
+      val assigned = TrainDataOps.kmeansAssign(points, cent)
+        .as[(Long, Seq[Double], Int, Double)].collect()
+      assert(assigned.map(_._1).distinct.length == assigned.length,
+        "a point was assigned to more than one cell")
+      // Every assignment is the true argmin over the k centroids with
+      // ties to the lowest cid (replayed here in plain Scala with the
+      // same left-fold order).
+      assigned.foreach { case (id, v, cid, dist2) =>
+        val d2 = (0 until k).map { c =>
+          c -> v.zip(cents(c)).foldLeft(0.0) {
+            case (a, (x, y)) => a + (x - y) * (x - y) }
+        }
+        val best = d2.minBy { case (c, d) => (d, c) }
+        assert(best._1 == cid && best._2 == dist2,
+          s"k=$k vec $id: got ($cid, $dist2), want $best")
+      }
+    }
+  }
+
+  test("q101/q102 read k from graft.kmeans.k (non-default k stays sane)") {
+    spark.conf.set("graft.kmeans.k", "5")
+    try {
+      val q101 = SparkEntry.queries("q101_kmeans")(spark, sf)
+      assert(q101.select(countDistinct("cid")).as[Long].head() == 5L)
+      val q102 = SparkEntry.queries("q102_semantic_dedup")(spark, sf)
+      // keep/dup partition the corpus; dup_of always names an earlier id.
+      val rows = q102.select("vec_id", "dup_of", "keep")
+        .as[(Long, Option[Long], Int)].collect()
+      assert(rows.forall { case (id, d, keep) =>
+        (keep == 1) == d.isEmpty && d.forall(_ < id) })
+    } finally spark.conf.unset("graft.kmeans.k")
+  }
+}
