@@ -26,5 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 8g was enough for any single query but starved the 103-query bench
+  // pass: accumulated heap pressure turned late queries into GC storms
+  // (q42 measured 14 s in-bench vs 1.8 s in a fresh JVM). The box has
+  // 128 GiB; give the forked JVM real headroom.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 103 queries x whole-stage codegen overflows the default 240 MB code
+  // cache; once full, HotSpot silently stops JIT-compiling and hot
+  // loops fall back to the interpreter mid-bench.
+  "-XX:ReservedCodeCacheSize=512m",
 )

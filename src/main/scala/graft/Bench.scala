@@ -63,6 +63,10 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
+      // Settle the heap between queries: without this, one query's
+      // garbage is collected DURING the next query's timed window and
+      // books its GC storm onto an innocent timing.
+      System.gc()
     }
     def loadavg1m(): Double =
       try scala.io.Source.fromFile("/proc/loadavg").getLines()
@@ -74,21 +78,33 @@ object Bench {
       case _ => None
     }
     def procCpuNanos(): Long = osBean.map(_.getProcessCpuTime).getOrElse(0L)
+    // Cumulative stop-the-world GC milliseconds: a query whose reported
+    // run spent a big fraction of wall in GC is flagged by the artifact
+    // itself (GC threads inflate cpu_wall, so the two together separate
+    // "parallel work" from "heap thrash").
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+    }
 
     val loadStart = loadavg1m()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // (wall seconds, cpu/wall ratio); wall = -1 marks a failed run.
-      def sample(): (Double, Double) = {
+      // (wall secs, cpu/wall, gc/wall); wall = -1 marks a failed run.
+      def sample(): (Double, Double, Double) = {
         clearState()
+        val g0 = gcMillis()
         val c0 = procCpuNanos()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
           val wall = (System.nanoTime() - t0) / 1e9
           val cpu = (procCpuNanos() - c0) / 1e9
-          (wall, if (wall > 0) cpu / wall else 0.0)
+          val gc = (gcMillis() - g0) / 1e3
+          (wall, if (wall > 0) cpu / wall else 0.0,
+            if (wall > 0) gc / wall else 0.0)
         } catch { // failure marker, never a time; fatal errors propagate
-          case scala.util.control.NonFatal(_) => (-1.0, 0.0)
+          case scala.util.control.NonFatal(_) => (-1.0, 0.0, 0.0)
         }
       }
       var samples = List(sample(), sample())
@@ -105,17 +121,19 @@ object Bench {
       // min over SUCCESSFUL runs; a query that failed every run reports
       // -1 so breakage can't masquerade as a speedup.
       (name, best.map(_._1).getOrElse(-1.0), best.map(_._2).getOrElse(0.0),
-        samples.count(_._1 >= 0))
+        best.map(_._3).getOrElse(0.0), samples.count(_._1 >= 0))
     }
     val loadEnd = loadavg1m()
-    val qs = results.map { case (k, v, _, _) => "\"" + k + f"\":$v%.3f" }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val cw = results.map { case (k, _, r, _) => "\"" + k + f"\":$r%.2f" }
+    val cw = results.map { case (k, _, r, _, _) => "\"" + k + f"\":$r%.2f" }
       .mkString("{", ",", "}")
-    val runs = results.map { case (k, _, _, n) => "\"" + k + s"""":$n""" }
+    val gw = results.map { case (k, _, _, g, _) => "\"" + k + f"\":$g%.2f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"cpu_wall":$cw,"runs":$runs}""")
+    val runs = results.map { case (k, _, _, _, n) => "\"" + k + s"""":$n""" }
+      .mkString("{", ",", "}")
+    val total = results.map { case (_, v, _, _, _) => v }.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"cpu_wall":$cw,"gc_wall":$gw,"runs":$runs}""")
     spark.stop()
   }
 }
