@@ -88,6 +88,17 @@ object Bench {
         .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
     }
 
+    // Idle-box gate (round-4 lesson: two rounds published floors off a
+    // box whose loadavg climbed to ~6 mid-run): wait for the 1-minute
+    // loadavg to drop below 2 before the timed pass, up to 10 minutes,
+    // then proceed regardless — the artifact records how long we waited
+    // and the start/end loadavg, so a still-loaded run is self-flagging.
+    var loadWaitSec = 0
+    while (loadavg1m() >= 2.0 && loadWaitSec < 600) {
+      Thread.sleep(15000)
+      loadWaitSec += 15
+    }
+
     val loadStart = loadavg1m()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // (wall secs, cpu/wall, gc/wall); wall = -1 marks a failed run.
@@ -108,12 +119,18 @@ object Bench {
         }
       }
       var samples = List(sample(), sample())
-      def ok = samples.map(_._1).filter(_ >= 0)
-      // Divergent pair = at least one sample was load-poisoned; take
-      // more until two agree within 2x or the retry budget (2) is gone.
+      def ok = samples.map(_._1).filter(_ >= 0).sorted
+      // Divergent = the two FASTEST successful samples disagree >2x; a
+      // load-poisoned outlier then triggers a re-run, but once two fresh
+      // samples agree the loop stops (comparing global max/min instead
+      // would burn the whole retry budget on every outlier, since the
+      // poisoned sample never leaves the list).
       var retries = 0
-      while (retries < 2 && ok.size >= 2 &&
-        ok.max / math.max(ok.min, 1e-9) > 2.0) {
+      def divergent = {
+        val s = ok
+        s.size >= 2 && s(1) / math.max(s(0), 1e-9) > 2.0
+      }
+      while (retries < 2 && divergent) {
         samples ::= sample()
         retries += 1
       }
@@ -133,7 +150,17 @@ object Bench {
     val runs = results.map { case (k, _, _, _, n) => "\"" + k + s"""":$n""" }
       .mkString("{", ",", "}")
     val total = results.map { case (_, v, _, _, _) => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"cpu_wall":$cw,"gc_wall":$gw,"runs":$runs}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"load_wait_sec":$loadWaitSec,"cpu_wall":$cw,"gc_wall":$gw,"runs":$runs}""")
+    // Tail-proof summary (round-4 lesson: the driver's tail-capture
+    // window kept only the END of the full line above, publishing
+    // `"parsed": null`). This second line is SHORT — total, slowest 10,
+    // load context, worst gc fraction — so any bounded tail window
+    // still contains one complete, parseable JSON object.
+    val slow10 = results.sortBy(-_._2).take(10)
+      .map { case (k, v, _, _, _) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val maxGc = results.map(_._4).foldLeft(0.0)(math.max)
+    println(f"""{"metric":"summary","value":$total%.3f,"unit":"sec","n_queries":${results.size},"slowest":$slow10,"sf":"$sfDir","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"load_wait_sec":$loadWaitSec,"max_gc_wall":$maxGc%.2f}""")
     spark.stop()
   }
 }

@@ -116,10 +116,44 @@ object DedupOps {
     // consumers re-optimize.
     jaccardPairsFromHashed(hashedShingles(docs).localCheckpoint(eager = true))
 
+  /** Optional document-frequency cap on shingles admitted to the exact
+    * pair join (`graft.shingle_df_cap`, unset by default). The blocked
+    * self-join's cost is Sum_shingles df^2, so ONE boilerplate shingle
+    * (license header, navigation chrome) appearing in 1% of a 10B-doc
+    * corpus contributes 10^14 candidate rows from a single key — AQE
+    * skew-split redistributes that work but cannot shrink it. Capping
+    * df is the standard production defuse: shingles above the cap are
+    * dropped from the shingle UNIVERSE (join AND counts — Jaccard is
+    * then computed over the capped universe), which changes a pair's
+    * similarity only when it rides ubiquitous shingles.
+    * PairSourceSpec pins keep-list equality on a hub-free corpus.
+    */
+  private[graft] def shingleDfCap(s: SparkSession): Option[Long] =
+    s.conf.getOption("graft.shingle_df_cap").map(_.toLong)
+
+  /** Drop shingles whose document frequency exceeds `cap`. The hub set
+    * is tiny by construction (df > cap), so it broadcasts into an
+    * anti-join; the count of dropped shingle keys is computed from the
+    * eagerly-materialized hub frame (one small job) and logged.
+    */
+  private[graft] def capHubShingles(sh: DataFrame, cap: Long): DataFrame = {
+    require(cap >= 1, s"shingle df cap must be >= 1, got $cap")
+    val hubs = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .where(col("df") > cap).select("s")
+      .localCheckpoint(eager = true)
+    val nHubs = hubs.count()
+    org.slf4j.LoggerFactory.getLogger(getClass)
+      .info(s"shingle_df_cap=$cap dropped $nHubs hub shingle(s) from the exact pair join")
+    sh.join(broadcast(hubs), Seq("s"), "left_anti")
+  }
+
   /** Pair generation over an already-materialized hashed-shingle frame
     * (callers that reuse the frame checkpoint it once themselves).
+    * Honors `graft.shingle_df_cap` when set.
     */
-  private[graft] def jaccardPairsFromHashed(sh: DataFrame): DataFrame = {
+  private[graft] def jaccardPairsFromHashed(sh0: DataFrame): DataFrame = {
+    val sh = shingleDfCap(sh0.sparkSession)
+      .map(capHubShingles(sh0, _)).getOrElse(sh0)
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a").join(sh.as("b"),
       col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -222,6 +256,109 @@ object DedupOps {
     sh.groupBy("doc_id").agg(
       graft.functions.MinHashAgg.minhashSig(col("s"), NumHashes).as("sig"))
 
+  /** Band-bucket candidate pairs from minhash signatures: band key =
+    * (band index, that band's signature slice), candidates = pairs
+    * sharing >= 1 bucket. The join is an equi-join on the bucket —
+    * bucket sizes bound the work, so a ubiquitous shingle (which moves
+    * at most one of the 16 min-hashes) can never produce a
+    * single-key quadratic blowup the way the exact shingle join can.
+    */
+  private[graft] def bandedCandidates(sig: DataFrame,
+                                      bandSize: Int): DataFrame = {
+    require(bandSize >= 1 && NumHashes % bandSize == 0,
+      s"band size must divide $NumHashes, got $bandSize")
+    val bandCols = (0 until NumHashes / bandSize).map { b =>
+      struct(lit(b).as("band"),
+        slice(col("sig"), b * bandSize + 1, bandSize).as("bucket"))
+    }
+    val banded = sig.select(col("doc_id"),
+      explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
+  /** Band width for the LSH PAIR SOURCE (8 bands x 2 rows): at jaccard
+    * 0.5 a pair shares a 2-row band with prob 0.25, so candidate recall
+    * is 1 - (1 - 0.25)^8 ~ 0.90 — tuned for dedup at threshold 0.5,
+    * where q25's 4x4 banding (recall ~0.23 at s=0.5) is tuned for
+    * high-similarity retrieval. False positives cost only rescore work,
+    * never correctness: every candidate is re-scored with EXACT Jaccard.
+    */
+  private val LshBandSize = 2
+
+  /** Exact-Jaccard rescore of an explicit candidate pair list:
+    * intersection counts are computed only FOR the candidates (cost ∝
+    * candidate pairs x shingles/doc — never Sum_shingles df^2), with
+    * denominators from the full per-doc shingle counts, so every score
+    * this emits is identical to what the exact all-candidates join
+    * would produce for the same pair.
+    */
+  private[graft] def rescoreJaccard(cand: DataFrame,
+                                    sh: DataFrame): DataFrame = {
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("a"), col("d1") === col("a.doc_id"))
+      .select(col("d1"), col("d2"), col("a.s").as("s1"))
+      .join(sh.as("b"),
+        col("s1") === col("b.s") && col("d2") === col("b.doc_id"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.as("ca"), col("d1") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("d2") === col("cb.doc_id"))
+      .select(col("d1"), col("d2"), col("inter"),
+        (col("inter") * lit(1.0) /
+          (col("ca.n") + col("cb.n") - col("inter"))).as("jaccard"))
+  }
+
+  /** The configured near-dup pair source (`graft.pair_source`):
+    * "exact" (default) = the blocked shingle self-join — every true
+    * pair, cost Sum df^2; "lsh" = q25's minhash band buckets + exact
+    * rescore — cost ∝ candidates, recall ~0.90 at threshold 0.5,
+    * hub-shingle-proof. The scale story: exact (optionally with
+    * `graft.shingle_df_cap`) while Sum df^2 is affordable; flip one
+    * config to LSH when a 10B-doc corpus makes it quadratic.
+    */
+  private[graft] def pairSource(s: SparkSession): String =
+    s.conf.getOption("graft.pair_source").getOrElse("exact")
+
+  /** (d1, d2) pairs with (exact) jaccard >= threshold, produced by the
+    * selected source. `shOpt` lets callers share an already-checkpointed
+    * hashed-shingle frame.
+    */
+  private[graft] def nearDupPairs(docs: DataFrame, source: String,
+                                  shOpt: Option[DataFrame] = None,
+                                  threshold: Double = 0.5): DataFrame = {
+    lazy val sh = shOpt.getOrElse(
+      hashedShingles(docs).localCheckpoint(eager = true))
+    val scored = source match {
+      case "exact" => jaccardPairsFromHashed(sh)
+      case "lsh" => rescoreJaccard(
+        bandedCandidates(minhashSignatures(shingles(docs)), LshBandSize), sh)
+      case other => throw new IllegalArgumentException(
+        s"unknown graft.pair_source '$other' (expected exact | lsh)")
+    }
+    scored.where(col("jaccard") >= threshold).select("d1", "d2")
+  }
+
+  /** The keep-list composition (pairs -> components -> canonical id)
+    * shared by q85 (configured source) and q105 (LSH source).
+    */
+  private[graft] def keepList(docs: DataFrame, source: String): DataFrame = {
+    val comp = connectedComponents(nearDupPairs(docs, source))
+    docs.select("doc_id")
+      .join(comp, col("doc_id") === col("v"), "left")
+      .select(col("doc_id"),
+        coalesce(col("c"), col("doc_id")).as("canonical_id"))
+      .withColumn("keep",
+        (col("doc_id") === col("canonical_id")).cast("int"))
+      .orderBy("doc_id")
+  }
+
   def all: Map[String, Q] = Map(
 
     // Exact dedup on full text: canonical id + multiplicity per group.
@@ -299,20 +436,12 @@ object DedupOps {
     // keep-list (cluster representative = min doc_id; singletons keep
     // themselves). This is the operator a training-data pipeline
     // actually runs — q24/q64 expose its stages.
+    // Pair source is CONFIG-SELECTABLE (`graft.pair_source`): the
+    // registered oracle pins the default exact source; a session
+    // flipping to "lsh" steps outside the hash gate and is covered by
+    // q105 (own oracle) + PairSourceSpec (keep-list recall).
     "q85_dedup_keeplist" -> Q(
-      (s, dir) => {
-        val docs = table(s, dir, "documents")
-        val jp = jaccardPairs(docs)
-          .where(col("jaccard") >= 0.5).select("d1", "d2")
-        val comp = connectedComponents(jp)
-        docs.select("doc_id")
-          .join(comp, col("doc_id") === col("v"), "left")
-          .select(col("doc_id"),
-            coalesce(col("c"), col("doc_id")).as("canonical_id"))
-          .withColumn("keep",
-            (col("doc_id") === col("canonical_id")).cast("int"))
-          .orderBy("doc_id")
-      },
+      (s, dir) => keepList(table(s, dir, "documents"), pairSource(s)),
       Some(
         s"""WITH RECURSIVE $jaccardCte,
            | jp AS (SELECT p.d1, p.d2 FROM p
@@ -327,6 +456,54 @@ object DedupOps {
            |   CAST(d.doc_id = coalesce(comp.c, d.doc_id) AS INT) AS keep
            | FROM documents d LEFT JOIN comp ON d.doc_id = comp.v
            | ORDER BY d.doc_id""".stripMargin.replace("\n", ""))),
+
+    // The LSH-sourced keep-list — q85's scale path as a FIRST-CLASS
+    // catalog entry with its own full oracle: minhash band-bucket
+    // candidates (8 bands x 2 rows; recall ~0.90 at jaccard 0.5) ->
+    // exact-Jaccard rescore of candidates only -> components ->
+    // keep-list. Cost is candidates x shingles/doc, immune to the
+    // hub-shingle Sum df^2 blowup; the whole path is deterministic
+    // (md5-affine hash family), so DuckDB replays EVERY stage —
+    // signatures, buckets, candidate set, rescore, clustering — and the
+    // hash gate checks the LSH path end-to-end, not just its recall.
+    "q105_keeplist_lsh" -> Q(
+      (s, dir) => keepList(table(s, dir, "documents"), "lsh"),
+      Some {
+        import graft.functions.MinHashAgg.{As, Bs, P}
+        val abValues = (0 until NumHashes)
+          .map(j => s"($j, ${As(j)}, ${Bs(j)})").mkString(", ")
+        val bandValues = (0 until NumHashes / LshBandSize)
+          .map(b => s"($b)").mkString(", ")
+        s"""WITH RECURSIVE s0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3),
+           | i0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM s0),
+           | sh0 AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM i0),
+           | shs AS (SELECT DISTINCT doc_id, s FROM sh0),
+           | hx AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS x FROM shs),
+           | ab AS (SELECT * FROM (VALUES $abValues) t(j, a, b)),
+           | hj AS (SELECT doc_id, j, min((a * x + b) % $P) AS h FROM hx CROSS JOIN ab GROUP BY doc_id, j),
+           | sig AS (SELECT doc_id, list(h ORDER BY j) AS sig FROM hj GROUP BY doc_id),
+           | band AS (SELECT doc_id, bnd, sig[bnd * $LshBandSize + 1 : bnd * $LshBandSize + $LshBandSize] AS bucket
+           |   FROM sig CROSS JOIN (VALUES $bandValues) t(bnd)),
+           | cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM band a
+           |   JOIN band b ON a.bnd = b.bnd AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+           | sh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS s FROM sh0),
+           | cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           | inter AS (SELECT c.d1, c.d2, count(*) AS inter FROM cand c
+           |   JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+           |   GROUP BY c.d1, c.d2),
+           | jp AS (SELECT i.d1, i.d2 FROM inter i
+           |   JOIN cnt ca ON i.d1 = ca.doc_id JOIN cnt cb ON i.d2 = cb.doc_id
+           |   WHERE i.inter * 1.0 / (ca.n + cb.n - i.inter) >= 0.5),
+           | edges AS (SELECT d1 AS a, d2 AS b FROM jp UNION ALL SELECT d2, d1 FROM jp),
+           | nodes AS (SELECT DISTINCT a AS v FROM edges),
+           | reach(v, m) AS (SELECT v, v FROM nodes
+           |   UNION SELECT e.a, r.m FROM edges e JOIN reach r ON r.v = e.b),
+           | comp AS (SELECT v, min(m) AS c FROM reach GROUP BY v)
+           | SELECT d.doc_id, coalesce(comp.c, d.doc_id) AS canonical_id,
+           |   CAST(d.doc_id = coalesce(comp.c, d.doc_id) AS INT) AS keep
+           | FROM documents d LEFT JOIN comp ON d.doc_id = comp.v
+           | ORDER BY d.doc_id""".stripMargin.replace("\n", "")
+      }),
 
     // Benchmark decontamination: flag corpus docs sharing any word-3-gram
     // with a held-out benchmark set (doc_id % 97 == 0 here) — the
@@ -362,19 +539,7 @@ object DedupOps {
     "q25_minhash_lsh" -> Q(
       (s, dir) => {
         val sig = minhashSignatures(shingles(table(s, dir, "documents")))
-        val bandCols = (0 until NumHashes / BandSize).map { b =>
-          struct(lit(b).as("band"),
-            slice(col("sig"), b * BandSize + 1, BandSize).as("bucket"))
-        }
-        val banded = sig.select(col("doc_id"),
-          explode(array(bandCols: _*)).as("bb"))
-          .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
-        val cand = banded.as("a").join(banded.as("b"),
-          col("a.band") === col("b.band") &&
-            col("a.bucket") === col("b.bucket") &&
-            col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-          .distinct()
+        val cand = bandedCandidates(sig, BandSize)
         val agree = aggregate(
           zip_with(col("sa.sig"), col("sb.sig"),
             (x, y) => when(x === y, 1).otherwise(0)),

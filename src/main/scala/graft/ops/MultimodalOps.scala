@@ -23,11 +23,15 @@ object MultimodalOps {
         lower(hex(substring(col("text").cast("binary"), 1, 8)))
           .as("head_hex"))
         .orderBy("doc_id"),
+      // Oracle works on the blob's OCTETS (encode -> UTF-8 bytes), not
+      // characters: CAST(text AS BLOB) errors on non-ASCII in DuckDB and
+      // substr() counts characters, so the character formulation only
+      // matched Spark's byte semantics on an all-ASCII corpus.
       Some(
         """SELECT doc_id,
-          | CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+          | CAST(octet_length(encode(text)) AS INT) AS n_bytes,
           | md5(text) AS digest,
-          | lower(hex(CAST(substr(text, 1, 8) AS BLOB))) AS head_hex
+          | lower(substr(hex(encode(text)), 1, 16)) AS head_hex
           | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", ""))),
 
     // Frame sampling: fixed-size chunks, keep every 2nd, digest each.
@@ -80,18 +84,52 @@ object MultimodalOps {
               .as("byte_cnt"))
           .orderBy("media_id", "j")
       },
-      Some(
-        """WITH b AS (SELECT doc_id AS media_id, 'text' AS modality,
-          |   CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-          |   md5(text) AS digest, text FROM documents),
-          | g AS (SELECT media_id, unnest(generate_series(0, 15)) AS j FROM b),
-          | i0 AS (SELECT media_id, text, unnest(generate_series(1, length(text))) AS i FROM b),
-          | h AS (SELECT media_id, ascii(substr(text, CAST(i AS INT), 1)) % 16 AS j, count(*) AS c
-          |   FROM i0 GROUP BY media_id, j)
-          | SELECT g.media_id, b.modality, b.n_bytes, b.digest,
-          |   CAST(g.j AS INT) AS j, CAST(coalesce(h.c, 0) AS BIGINT) AS byte_cnt
-          | FROM g JOIN b USING (media_id)
-          | LEFT JOIN h ON h.media_id = g.media_id AND h.j = g.j
-          | ORDER BY media_id, j""".stripMargin.replace("\n", "")))
+      // The oracle histogram runs over the blob's OCTETS — hex(encode())
+      // renders the UTF-8 bytes two chars each, and byte i is the hex
+      // pair at (i-1)*2+1 — matching the decoder's `content(i) & 0xff`
+      // exactly even for non-ASCII text (the previous per-CHARACTER
+      // ascii() formulation agreed only on an all-ASCII corpus).
+      Some(byteHistOracleSql(16))),
+
+    // The PER-RECORD decode seam (Multimodal.extractFeatures: one
+    // decode() call per row, decoder open/close per partition — the
+    // CPU-codec shape, vs q103's micro-batched GPU shape) gets its own
+    // catalog entry at a different feature width, so BOTH lifecycle
+    // paths sit under the hash gate independently. dim = 8 exercises
+    // the width-parameterized histogram: a stub that hard-coded 16
+    // would pass q103 and fail here.
+    "q104_media_features_perrec" -> Q(
+      (s, dir) => {
+        val feats = graft.multimodal.Multimodal.extractFeatures(
+          graft.multimodal.Multimodal.fromDocuments(
+            table(s, dir, "documents")),
+          new graft.multimodal.Multimodal.StubDecoder(8))
+        feats.toDF()
+          .select(col("media_id"), col("modality"), col("n_bytes"),
+            col("digest"), posexplode(col("features")).as(Seq("j", "f")))
+          .select(col("media_id"), col("modality"), col("n_bytes"),
+            col("digest"), col("j").cast("int").as("j"),
+            round(col("f").cast("double") * col("n_bytes")).cast("bigint")
+              .as("byte_cnt"))
+          .orderBy("media_id", "j")
+      },
+      Some(byteHistOracleSql(8)))
   )
+
+  /** Shared byte-histogram oracle for the two decode-seam entries; `dim`
+    * is the feature width (byte value mod dim buckets).
+    */
+  private def byteHistOracleSql(dim: Int): String =
+    s"""WITH b AS (SELECT doc_id AS media_id, 'text' AS modality,
+       |   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       |   md5(text) AS digest, hex(encode(text)) AS hx FROM documents),
+       | g AS (SELECT media_id, unnest(generate_series(0, ${dim - 1})) AS j FROM b),
+       | i0 AS (SELECT media_id, hx, unnest(generate_series(1, n_bytes)) AS i FROM b),
+       | h AS (SELECT media_id, ('0x' || substr(hx, CAST((i - 1) * 2 + 1 AS INT), 2))::BIGINT % $dim AS j, count(*) AS c
+       |   FROM i0 GROUP BY media_id, j)
+       | SELECT g.media_id, b.modality, b.n_bytes, b.digest,
+       |   CAST(g.j AS INT) AS j, CAST(coalesce(h.c, 0) AS BIGINT) AS byte_cnt
+       | FROM g JOIN b USING (media_id)
+       | LEFT JOIN h ON h.media_id = g.media_id AND h.j = g.j
+       | ORDER BY media_id, j""".stripMargin.replace("\n", "")
 }

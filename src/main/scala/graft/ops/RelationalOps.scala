@@ -83,35 +83,50 @@ object RelationalOps {
     // of raw estimates: the exact count next to within-bound flags
     // (|approx - exact| <= 3 x rsd x exact; the accuracy contract an
     // HLL++ consumer actually relies on) and a median flag pinning the
-    // quantile sketch between the exact p40/p60. The oracle computes
-    // the exact count and asserts every flag TRUE — a broken sketch
-    // (systematic bias, wrong register merge) flips a flag and fails
-    // the hash gate. SketchAndRecallSpec pins the tighter error bounds.
+    // quantile sketch inside the exact interquartile range. The oracle
+    // computes the exact count and asserts every flag TRUE — a broken
+    // sketch (systematic bias, wrong register merge) flips a flag and
+    // fails the hash gate. Note the benched time is this VALIDATION
+    // query (sketch + the exact references it is checked against), not
+    // the sketch-only path; SketchAndRecallSpec pins tighter bounds.
+    //
+    // Band choice: percentile_approx returns an actual data ELEMENT
+    // whose rank is within eps = 1e-4 of the true median, while exact
+    // percentile() INTERPOLATES — for tiny groups the discrete median
+    // can legitimately sit outside a narrow interpolated band (a 2-row
+    // group's elements both fall outside (p40, p60)). So the flag uses
+    // the exact p25/p75 band and bypasses groups under 20 rows (with
+    // n >= 20, the element at rank ~n/2 is >= the interpolation
+    // endpoints around rank n/4 and <= those around 3n/4 by order
+    // statistics alone — a CORRECT sketch can never flip it).
     "q51_sketches" -> Q(
       (s, dir) => table(s, dir, "events")
         .groupBy("event_type")
         .agg(
+          count(lit(1)).as("n_rows"),
           countDistinct(col("user_id")).as("exact_users"),
           approx_count_distinct(col("user_id")).as("a5"),
           approx_count_distinct(col("user_id"), 0.01).as("a1"),
           percentile_approx(col("value"), lit(0.5), lit(10000)).as("am"),
-          expr("percentile(value, 0.4)").as("p40"),
-          expr("percentile(value, 0.6)").as("p60"))
-        .select(col("event_type"), col("exact_users"),
+          expr("percentile(value, 0.25)").as("p25"),
+          expr("percentile(value, 0.75)").as("p75"))
+        .select(col("event_type"), col("n_rows"), col("exact_users"),
           (abs(col("a5") - col("exact_users")) <=
             lit(0.15) * col("exact_users")).cast("int")
             .as("hll_within_3rsd"),
           (abs(col("a1") - col("exact_users")) <=
             lit(0.03) * col("exact_users")).cast("int")
             .as("hll_1pct_within_3rsd"),
-          (col("am") >= col("p40") && col("am") <= col("p60")).cast("int")
-            .as("median_within_quintiles"))
+          (col("n_rows") < 20 ||
+            (col("am") >= col("p25") && col("am") <= col("p75"))).cast("int")
+            .as("median_within_iqr"))
         .orderBy("event_type"),
       Some(
-        """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        """SELECT event_type, count(*) AS n_rows,
+          | count(DISTINCT user_id) AS exact_users,
           | CAST(1 AS INT) AS hll_within_3rsd,
           | CAST(1 AS INT) AS hll_1pct_within_3rsd,
-          | CAST(1 AS INT) AS median_within_quintiles
+          | CAST(1 AS INT) AS median_within_iqr
           | FROM events GROUP BY event_type ORDER BY event_type"""
           .stripMargin.replace("\n", ""))),
 

@@ -32,8 +32,18 @@ object ScaleOps {
   /** Replication factor for the throughput query: sf0.01's 1,500
     * customers x 700 = 1.05M records — the reference's published
     * benchmark row count (README.md:133: 1M records in 252s).
+    * Config-derived (`graft.etl.replication`) like `graft.tiles` and
+    * `graft.kmeans.k`, defaulting to 700 to keep the published shape;
+    * the registered oracle pins the DEFAULT — a session overriding the
+    * factor steps outside the hash gate, and ScaleParamSpec pins the
+    * exact linear-scaling invariant (counts and decimal-exact sums
+    * scale by rep) at non-default values instead.
     */
-  private val EtlReplication = 700
+  private val DefaultEtlReplication = 700
+
+  private[graft] def etlReplication(s: org.apache.spark.sql.SparkSession): Int =
+    s.conf.getOption("graft.etl.replication").map(_.toInt)
+      .getOrElse(DefaultEtlReplication)
 
   def all: Map[String, Q] = Map(
 
@@ -48,7 +58,7 @@ object ScaleOps {
         // the cross join and the tiny bank frame is broadcast, so the
         // replicated rows are born spread across all cores (a real
         // multi-split file read would look the same).
-        val replicated = s.range(0, EtlReplication, 1, 32)
+        val replicated = s.range(0, etlReplication(s), 1, 32)
           .select(col("id").as("rep"))
           .crossJoin(broadcast(bank))
           .drop("id", "rep")
@@ -61,7 +71,7 @@ object ScaleOps {
           .orderBy("customer_segment", "wealth_segment")
       },
       Some(TestData.bankCte +
-        s""", rep AS (SELECT bank.* FROM bank, generate_series(1, $EtlReplication)),
+        s""", rep AS (SELECT bank.* FROM bank, generate_series(1, $DefaultEtlReplication)),
            | v AS (SELECT * FROM rep WHERE age BETWEEN 18 AND 100),
            | scored AS (SELECT v.*, ${TestData.recencySql("pdays")} AS r,
            |   ${TestData.frequencySql("previous")} AS f,
@@ -89,7 +99,7 @@ object ScaleOps {
           col("duration").cast("string"), col("campaign").cast("string"),
           col("pdays").cast("string"), col("previous").cast("string"),
           col("poutcome"), col("y"))
-        val lines = s.range(0, EtlReplication, 1, 32)
+        val lines = s.range(0, etlReplication(s), 1, 32)
           .select(col("id").as("rep"))
           .crossJoin(broadcast(bank.select(line.as("value"))))
           .drop("rep")
@@ -102,7 +112,7 @@ object ScaleOps {
           .orderBy("customer_segment", "wealth_segment")
       },
       Some(TestData.bankCte +
-        s""", rep AS (SELECT bank.* FROM bank, generate_series(1, $EtlReplication)),
+        s""", rep AS (SELECT bank.* FROM bank, generate_series(1, $DefaultEtlReplication)),
            | v AS (SELECT * FROM rep WHERE age BETWEEN 18 AND 100),
            | scored AS (SELECT v.*, ${TestData.recencySql("pdays")} AS r,
            |   ${TestData.frequencySql("previous")} AS f,

@@ -218,11 +218,13 @@ object TrainDataOps {
     val quality = docs.select(col("doc_id"),
       TextOps.gopherKeep.cast("int").as("q_keep"))
     // ONE materialization of the hashed shingle frame feeds both the
-    // Jaccard pair join (3 consumers inside) and decontamination (2) —
-    // the shingle scan+distinct runs once instead of twice.
+    // near-dup pair source (3 consumers inside) and decontamination (2)
+    // — the shingle scan+distinct runs once instead of twice. The pair
+    // source follows `graft.pair_source` (exact default | lsh), same
+    // selection q85 honors.
     val sh = DedupOps.hashedShingles(docs).localCheckpoint(eager = true)
-    val jp = DedupOps.jaccardPairsFromHashed(sh)
-      .where(col("jaccard") >= 0.5).select("d1", "d2")
+    val jp = DedupOps.nearDupPairs(docs,
+      DedupOps.pairSource(docs.sparkSession), Some(sh))
     val comp = DedupOps.connectedComponents(jp)
     val bench = sh.where(col("doc_id") % 97 === 0)
       .select("s").distinct()
@@ -315,17 +317,40 @@ object TrainDataOps {
   private[graft] def kmeansK(s: SparkSession): Int =
     s.conf.getOption("graft.kmeans.k").map(_.toInt).getOrElse(8)
 
-  /** Centroids after two full Lloyd iterations from first-k init. Each
-    * round's k-row centroid frame is materialized eagerly so the next
-    * assignment's plan starts from a flat k-row input instead of
+  /** The k seed vectors: distinct-by-value, hash-spread. First-k init
+    * (`vec_id < k`) degenerates when the head of the corpus contains
+    * near-duplicates — two seeds coincide, their cells collapse, and
+    * SemDeDup's O(N^2/k) cell bound skews (VERDICT r4 #6). Instead:
+    * dedup vectors BY VALUE (rep = min vec_id per distinct vector, so
+    * identical head vectors can never seed twice), then take the k reps
+    * with the smallest md5-spread rank — deterministic, corpus-order-
+    * independent, and exactly replayable in the oracle (the same
+    * md5-60-bit bridge every other operator uses). cid = rank among the
+    * chosen seeds. The rank window runs over k rows post-limit — the
+    * single-partition sort is k-sized, never corpus-sized.
+    */
+  private[graft] def kmeansSeeds(points: DataFrame, k: Int): DataFrame = {
+    val reps = points.groupBy("v").agg(min("vec_id").as("vec_id"))
+    reps
+      .select(col("v"), col("vec_id"),
+        DedupOps.md5Long60(col("vec_id").cast("string")).as("h"))
+      .orderBy("h", "vec_id").limit(k)
+      .select(
+        (row_number().over(Window.orderBy("h", "vec_id")) - 1)
+          .cast("int").as("cid"),
+        col("v").as("c"))
+  }
+
+  /** Centroids after two full Lloyd iterations from [[kmeansSeeds]].
+    * Each round's k-row centroid frame is materialized eagerly so the
+    * next assignment's plan starts from a flat k-row input instead of
     * re-optimizing the whole accumulated trajectory (sf0.1 best-of-2:
     * 1.89 s -> 1.53 s; same shape the dup-clustering loop uses).
     */
   private[graft] def kmeansCentroids(points: DataFrame,
                                      k: Int = 8): DataFrame = {
     require(k > 0, s"k-means needs k > 0, got $k")
-    val init = points.where(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cid"), col("v").as("c"))
+    val init = kmeansSeeds(points, k).localCheckpoint(eager = true)
     (1 to 2).foldLeft(init) { case (c, _) =>
       kmeansUpdate(kmeansAssign(points, c)).localCheckpoint(eager = true)
     }
@@ -355,7 +380,10 @@ object TrainDataOps {
          | c$i AS (SELECT cid, list(sm / (n * 1e6) ORDER BY pos) AS c
          |   FROM s$i GROUP BY cid)""".stripMargin
     s"""pts AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       | c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM pts WHERE vec_id < $k),
+       | c0r AS (SELECT min(vec_id) AS vec_id, v FROM pts GROUP BY v),
+       | c0h AS (SELECT vec_id, v, ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h FROM c0r),
+       | c0s AS (SELECT * FROM c0h ORDER BY h, vec_id LIMIT $k),
+       | c0 AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS cid, v AS c FROM c0s),
        | ${assign(1, "c0")}, ${update(1)},
        | ${assign(2, "c1")}, ${update(2)},
        | ${assign(3, "c2")}""".stripMargin
@@ -750,8 +778,9 @@ object TrainDataOps {
           |   n_dup * 1.0::DOUBLE / n_docs AS dup_rate
           | FROM g ORDER BY source, lang""".stripMargin.replace("\n", ""))),
 
-    // k-means over embeddings (k=8, two full Lloyd iterations, first-k
-    // init) — the clustering step behind SemDeDup-style semantic dedup
+    // k-means over embeddings (k=8, two full Lloyd iterations,
+    // hash-spread distinct-by-value seeds) — the clustering step behind
+    // SemDeDup-style semantic dedup
     // and diversity sampling. Centroids broadcast (points never
     // shuffle for assignment); the update's cluster means use scaled-
     // integer sums (q65's trick), so every iteration is bit-identical

@@ -104,9 +104,13 @@ class PlanSpec extends SparkSpec {
     // expand N x k rows into a Window exchange-sort (VERDICT r3 #3).
     val plan = executed("q101_kmeans")
     assert(!plan.contains("Window"), s"window argmin crept back in:\n$plan")
-    assert(!plan.contains("Exchange rangepartitioning(vec_id") ||
-      plan.contains("Sort"), plan)
-    // exactly the output-sort exchanges; no hashpartitioning of points
+    // The ONLY exchange allowed is the single range partitioning from
+    // the output orderBy — an N x k expansion would add more. (The old
+    // `!contains(range) || contains(Sort)` form was vacuous: orderBy
+    // always plants a Sort, so it could never fail.)
+    assert("Exchange rangepartitioning".r.findAllIn(plan).size == 1,
+      s"expected exactly the output orderBy's range exchange:\n$plan")
+    // no hashpartitioning of points anywhere in the assignment
     assert(!plan.contains("Exchange hashpartitioning"),
       s"assignment shuffles points:\n$plan")
   }

@@ -93,4 +93,60 @@ class ScaleParamSpec extends SparkSpec {
         (keep == 1) == d.isEmpty && d.forall(_ < id) })
     } finally spark.conf.unset("graft.kmeans.k")
   }
+
+  test("k-means seeds survive duplicate head vectors (VERDICT r4 #6)") {
+    // A corpus whose FIRST TWO vectors are identical: first-k init would
+    // seed two coincident centroids and collapse their cells. The
+    // distinct-by-value hash-spread seeds must still yield k DISTINCT
+    // seed vectors and k populated, non-degenerate cells.
+    val k = 4
+    val base = (0 until 40).map { i =>
+      val v = Seq.tabulate(8)(d => ((i * 7 + d * 3) % 11 - 5).toDouble)
+      (i.toLong, v)
+    }
+    val dupHead = base.updated(1, (1L, base.head._2)) // vec 1 == vec 0
+    val points = dupHead.toDF("vec_id", "v")
+    val seeds = TrainDataOps.kmeansSeeds(points, k)
+      .as[(Int, Seq[Double])].collect()
+    assert(seeds.map(_._1).toSet == (0 until k).toSet)
+    assert(seeds.map(_._2).distinct.length == k,
+      s"seed vectors not distinct: ${seeds.toSeq}")
+    val cent = TrainDataOps.kmeansCentroids(points, k)
+    val cells = TrainDataOps.kmeansAssign(points, cent)
+      .groupBy("cid").count().as[(Int, Long)].collect().toMap
+    assert(cells.values.sum == 40)
+    // no collapsed (empty) cell and no cell owning the whole corpus
+    assert(cells.size == k, s"expected $k populated cells, got $cells")
+    assert(cells.values.max < 40, s"degenerate clustering: $cells")
+  }
+
+  test("q41/q42 stay green at non-default graft.etl.replication") {
+    // The oracle pins the default 700; at any other factor the result
+    // must scale EXACTLY linearly (counts and the decimal-quantized
+    // engagement sums are replication-invariant per group) — the same
+    // invariant that lets a deployment resize the benchmark without
+    // re-deriving the oracle.
+    def run(name: String): Map[(String, String), (Long, Double)] =
+      SparkEntry.queries(name)(spark, sf)
+        .as[(String, String, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    Seq("q41_etl_throughput", "q42_csv_etl_throughput").foreach { name =>
+      spark.conf.set("graft.etl.replication", "3")
+      try {
+        val at3 = run(name)
+        spark.conf.set("graft.etl.replication", "7")
+        val at7 = run(name)
+        assert(at3.keySet == at7.keySet && at3.nonEmpty)
+        at3.foreach { case (seg, (n3, sum3)) =>
+          val (n7, sum7) = at7(seg)
+          assert(n7 * 3 == n3 * 7, s"$name $seg: counts not linear")
+          // engagement is quantized per ROW before summing, so the sums
+          // scale exactly (7 * sum3 / 3 in decimal space): compare via
+          // cross-multiplied exact decimals.
+          assert(math.abs(sum7 * 3 - sum3 * 7) < 1e-6,
+            s"$name $seg: sums not linear ($sum3 at 3 vs $sum7 at 7)")
+        }
+      } finally spark.conf.unset("graft.etl.replication")
+    }
+  }
 }

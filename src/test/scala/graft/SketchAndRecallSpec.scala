@@ -23,10 +23,11 @@ class SketchAndRecallSpec extends SparkSpec {
       count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
     assert(out.keySet == exact.keySet)
-    exact.foreach { case (et, (users, _)) =>
-      val r = out(et)
-      assert(r.getLong(1) == users, s"$et: exact_users ${r.getLong(1)}")
-      assert(r.getInt(2) == 1 && r.getInt(3) == 1 && r.getInt(4) == 1,
+    exact.foreach { case (et, (users, n)) =>
+      val r = out(et)   // (event_type, n_rows, exact_users, 3 flags)
+      assert(r.getLong(1) == n, s"$et: n_rows ${r.getLong(1)}")
+      assert(r.getLong(2) == users, s"$et: exact_users ${r.getLong(2)}")
+      assert(r.getInt(3) == 1 && r.getInt(4) == 1 && r.getInt(5) == 1,
         s"$et: a within-bound flag is false: $r")
     }
     // Tighter direct pins on the raw sketches (the query only publishes
