@@ -49,6 +49,19 @@ class PlanSpec extends SparkSpec {
       s"no equi-join on the tile key in:\n$plan")
   }
 
+  test("q105 LSH keep-list: candidate generation and rescore are equi-joins") {
+    // The hub-shingle-proof pair source must never degrade to a nested
+    // loop: band candidates join on the (band, bucket) key and the
+    // rescore joins candidates to shingles on doc_id/shingle keys.
+    val docs = TestData.table(spark, sf, "documents")
+    val plan = graft.ops.DedupOps.nearDupPairs(docs, "lsh")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"nested-loop join in:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"no equi-join in the LSH pair source:\n$plan")
+  }
+
   test("q83 LSH rescore joins candidates on the bucket key") {
     val plan = executed("q83_neardup_lsh_rescore")
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
