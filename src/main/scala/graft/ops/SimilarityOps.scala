@@ -169,6 +169,53 @@ object SimilarityOps {
     // property of the data/threshold (measured in NearDupRecallSpec);
     // CORRECTNESS is exact because the oracle replays the identical
     // seeded hyperplanes, so both engines compute the same blocked set.
+    // SEMANTIC decontamination: flag corpus vectors too close (cosine >
+    // 0.3) to any held-out benchmark vector (vec_id % 97 == 0) — the
+    // embedding-space complement of q86's n-gram decontamination, which
+    // catches paraphrased benchmark leakage that shares no 3-gram.
+    // ZERO-shuffle plan (the q101-argmin shape): the benchmark set
+    // collapses to one sorted array-of-structs row, broadcasts, and
+    // each corpus row folds its |bench| cosines in a single projection —
+    // no N x |bench| row expansion, no per-vec re-aggregation exchange;
+    // only the output sort shuffles. array_max / the hit count are
+    // order-independent, so scores oracle-compare exactly.
+    "q107_semantic_decontam" -> Q(
+      (s, dir) => {
+        val n = normed(s, dir)
+        val benchArr = n.where(col("vec_id") % 97 === 0)
+          .select(col("vec_id").as("bid"), col("v").as("bv"),
+            col("nrm").as("bn"))
+          .agg(sort_array(collect_list(
+            struct(col("bid"), col("bv"), col("bn")))).as("bs"))
+        n.where(col("vec_id") % 97 =!= 0)
+          .crossJoin(broadcast(benchArr))
+          .select(col("vec_id"),
+            expr("transform(bs, b -> graft_dot(v, b.bv) / (nrm * b.bn))")
+              .as("coss"))
+          .select(col("vec_id"),
+            array_max(col("coss")).as("max_cos"),
+            expr("aggregate(coss, cast(0 as bigint), " +
+              "(a, c) -> a + if(c > cast(0.3 as double), 1L, 0L))")
+              .as("n_hits"))
+          .select(col("vec_id"), col("max_cos"), col("n_hits"),
+            (col("n_hits") > 0).cast("int").as("contaminated"))
+          .orderBy("vec_id")
+      },
+      Some(
+        """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+          | n AS (SELECT vec_id, v,
+          |   sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm FROM e),
+          | b AS (SELECT vec_id AS bid, v AS bv, nrm AS bn FROM n WHERE vec_id % 97 = 0),
+          | p AS (SELECT n.vec_id,
+          |   list_reduce(list_transform(list_zip(n.v, b.bv), q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)), (x, y) -> x + y)
+          |     / (n.nrm * b.bn) AS cos
+          |   FROM n CROSS JOIN b WHERE n.vec_id % 97 <> 0)
+          | SELECT vec_id, max(cos) AS max_cos,
+          |   CAST(sum(CASE WHEN cos > 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+          |   CAST(max(cos) > 0.3 AS INT) AS contaminated
+          | FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin
+          .replace("\n", ""))),
+
     "q83_neardup_lsh_rescore" -> Q(
       (s, dir) => {
         val n = normed(s, dir).withColumn("bucket", lshBucket(col("v")))

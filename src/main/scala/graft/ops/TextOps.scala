@@ -224,6 +224,43 @@ object TextOps {
           |     AND mean_word_len <= 5.0 AND dup_word_frac <= 0.6 AS INT) AS keep
           | FROM m ORDER BY doc_id""".stripMargin.replace("\n", ""))),
 
+    // Vocabulary coverage / OOV rate: top-64 corpus terms by frequency
+    // (ties broken by term — deterministic in both engines), then each
+    // doc's fraction of tokens outside that vocabulary — the tokenizer-
+    // coverage diagnostic a training pipeline runs before committing to
+    // a vocab. Two aggregations: the corpus term count (map-side
+    // partials collapse the Zipf head before the shuffle) whose top-64
+    // result is a TakeOrdered (never a global sort), and the per-doc
+    // rate with the tiny vocab BROADCAST into the token stream.
+    "q108_vocab_coverage" -> Q(
+      (s, dir) => {
+        val words = table(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        val vocab = words.groupBy("word")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), col("word")).limit(64)
+          .select(col("word"), lit(1L).as("in_vocab"))
+        words.join(broadcast(vocab), Seq("word"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(coalesce(col("in_vocab"), lit(0L))).as("n_in_vocab"))
+          .select(col("doc_id"), col("n_tokens"), col("n_in_vocab"),
+            ((col("n_tokens") - col("n_in_vocab")) * lit(1.0) /
+              col("n_tokens")).as("oov_rate"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+          | v AS (SELECT word, 1 AS in_vocab FROM (
+          |   SELECT word, count(*) AS cnt FROM w GROUP BY word
+          |   ORDER BY cnt DESC, word LIMIT 64)),
+          | d AS (SELECT doc_id, count(*) AS n_tokens,
+          |   CAST(sum(coalesce(in_vocab, 0)) AS BIGINT) AS n_in_vocab
+          |   FROM w LEFT JOIN v USING (word) GROUP BY doc_id)
+          | SELECT doc_id, n_tokens, n_in_vocab,
+          |   (n_tokens - n_in_vocab) * 1.0 / n_tokens AS oov_rate
+          | FROM d ORDER BY doc_id""".stripMargin.replace("\n", ""))),
+
     "q21_rolling_hash" -> Q(
       (s, dir) => table(s, dir, "documents").select(
         col("doc_id"),

@@ -435,6 +435,41 @@ object TrainDataOps {
            | SELECT doc_id, n_chunks, n_dup, n_dup * 1.0::DOUBLE / n_chunks AS dup_frac
            | FROM a ORDER BY doc_id""".stripMargin.replace("\n", ""))),
 
+    // WITHIN-document repetition removal (the C4/Gopher cleaning step
+    // that precedes cross-doc dedup): drop every chunk that repeats an
+    // earlier chunk of the SAME document, emit the kept-chunk counts and
+    // the md5 of the cleaned text. ZERO shuffle — first-occurrence
+    // detection is a per-row higher-order filter (array_position over
+    // the doc's own chunk array, O(chunks^2) per doc with chunks <= 125
+    // at the 1000-word cap), so the operator scales as a narrow
+    // projection no matter the corpus size; only the output sort
+    // exchanges. Complements q89, which scores CROSS-corpus chunk
+    // duplication and needs the global shuffle.
+    "q106_repeat_removal" -> Q(
+      (s, dir) => table(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), expr(
+          s"transform(sequence(0, cast(ceil(size(w) / $ChunkWords.0) as int) - 1), " +
+            s"g -> array_join(slice(w, g * $ChunkWords + 1, $ChunkWords), ' '))")
+          .as("cs"))
+        .select(col("doc_id"), col("cs"),
+          expr("filter(cs, (ch, i) -> array_position(cs, ch) = i + 1)")
+            .as("kept"))
+        .select(col("doc_id"),
+          size(col("cs")).cast("bigint").as("n_chunks"),
+          size(col("kept")).cast("bigint").as("n_kept"),
+          md5(array_join(col("kept"), " ").cast("binary")).as("cleaned_md5"))
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           | c AS (SELECT doc_id, list_transform(generate_series(0, CAST(ceil(len(w) / $ChunkWords.0) AS INT) - 1),
+           |   g -> array_to_string(w[g * $ChunkWords + 1 : g * $ChunkWords + $ChunkWords], ' ')) AS cs FROM s),
+           | k AS (SELECT doc_id, cs, list_filter(cs, (ch, i) -> list_position(cs, ch) = i) AS kept FROM c)
+           | SELECT doc_id, CAST(len(cs) AS BIGINT) AS n_chunks,
+           |   CAST(len(kept) AS BIGINT) AS n_kept,
+           |   md5(array_to_string(kept, ' ')) AS cleaned_md5
+           | FROM k ORDER BY doc_id""".stripMargin.replace("\n", ""))),
+
     // BM25 retrieval: top-20 docs for a fixed 4-term query. Corpus stats
     // via one aggregate + broadcast; per-term contributions are added in
     // fixed column order so the double sum is order-identical in both
