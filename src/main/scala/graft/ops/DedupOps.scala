@@ -237,17 +237,20 @@ object DedupOps {
   }
 
   /** The shingle/count/pair CTE chain shared by the q24 and q64 oracles
-    * (DuckDB twin of [[jaccardPairs]]).
+    * (DuckDB twin of [[jaccardPairs]]), parameterized on the base table
+    * so q110 can run it over exact-dedup representatives.
     */
-  private[graft] val jaccardCte =
-    """s0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3),
-      | i0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM s0),
-      | sh0 AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM i0),
-      | sh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS s FROM sh0),
-      | cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      | p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-      |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)"""
+  private[graft] def jaccardCteOn(tbl: String): String =
+    s"""s0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM $tbl WHERE len(string_split(text, ' ')) >= 3),
+       | i0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM s0),
+       | sh0 AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM i0),
+       | sh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS s FROM sh0),
+       | cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       | p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)"""
       .stripMargin.replace("\n", "")
+
+  private[graft] val jaccardCte = jaccardCteOn("documents")
 
   /** MinHash signature (ARRAY<BIGINT> of NumHashes seeded-hash minima) per
     * doc, via the one-pass [[graft.functions.MinHashAgg]] aggregate.
@@ -504,6 +507,52 @@ object DedupOps {
            | FROM documents d LEFT JOIN comp ON d.doc_id = comp.v
            | ORDER BY d.doc_id""".stripMargin.replace("\n", "")
       }),
+
+    // The FULL production dedup composition: exact dedup FIRST (collapse
+    // identical texts to their min-id representative), near-dup
+    // keep-list over the REPRESENTATIVES only, then expand the verdict
+    // back over all documents. Running exact-collapse first is what a
+    // 100 TB pipeline actually does — it shrinks the quadratic near-dup
+    // problem to unique texts and, for the LSH source, bounds band-
+    // bucket skew (a million exact copies would otherwise share every
+    // bucket; after collapse a bucket's size tracks genuinely-similar
+    // UNIQUE docs, whose pairs the answer needs anyway). Honors
+    // `graft.pair_source` like q85/q96.
+    "q110_full_dedup" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val ex = docs.groupBy("text").agg(min("doc_id").as("rep_id"))
+        val reps = docs.as("d")
+          .join(ex.as("e"), col("d.doc_id") === col("e.rep_id"))
+          .select(col("d.doc_id"), col("d.text"))
+        val nd = keepList(reps, pairSource(s))
+          .select(col("doc_id").as("rep_id"), col("canonical_id"))
+        docs.select(col("doc_id"), col("text"))
+          .join(ex, "text")
+          .join(nd, "rep_id")
+          .select(col("doc_id"), col("rep_id"), col("canonical_id"),
+            (col("doc_id") === col("canonical_id")).cast("int").as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH RECURSIVE ex AS (SELECT text, min(doc_id) AS rep_id FROM documents GROUP BY text),
+           | reps AS (SELECT rep_id AS doc_id, text FROM ex),
+           | ${jaccardCteOn("reps")},
+           | jp AS (SELECT p.d1, p.d2 FROM p
+           |   JOIN cnt ca ON p.d1 = ca.doc_id JOIN cnt cb ON p.d2 = cb.doc_id
+           |   WHERE p.inter * 1.0 / (ca.n + cb.n - p.inter) >= 0.5),
+           | edges AS (SELECT d1 AS a, d2 AS b FROM jp UNION ALL SELECT d2, d1 FROM jp),
+           | nodes AS (SELECT DISTINCT a AS v FROM edges),
+           | reach(v, m) AS (SELECT v, v FROM nodes
+           |   UNION SELECT e.a, r.m FROM edges e JOIN reach r ON r.v = e.b),
+           | comp AS (SELECT v, min(m) AS c FROM reach GROUP BY v),
+           | nd AS (SELECT r.doc_id AS rep_id, coalesce(comp.c, r.doc_id) AS canonical_id
+           |   FROM reps r LEFT JOIN comp ON r.doc_id = comp.v),
+           | mm AS (SELECT d.doc_id, e.rep_id FROM documents d JOIN ex e USING (text))
+           | SELECT mm.doc_id, mm.rep_id, nd.canonical_id,
+           |   CAST(mm.doc_id = nd.canonical_id AS INT) AS keep
+           | FROM mm JOIN nd USING (rep_id) ORDER BY mm.doc_id"""
+          .stripMargin.replace("\n", ""))),
 
     // Benchmark decontamination: flag corpus docs sharing any word-3-gram
     // with a held-out benchmark set (doc_id % 97 == 0 here) — the
