@@ -113,7 +113,44 @@ object MultimodalOps {
               .as("byte_cnt"))
           .orderBy("media_id", "j")
       },
-      Some(byteHistOracleSql(8)))
+      Some(byteHistOracleSql(8))),
+
+    // JSONL round-trip — the training-data interchange format: render
+    // each document to its JSON line (to_json), parse it back typed
+    // (from_json with explicit schema — the jsonl ingest path), and
+    // prove losslessness by aggregating the PARSED side per
+    // (source, lang); the oracle computes the same aggregate from the
+    // raw table, so any escaping/typing defect in either direction
+    // breaks the hash. Render+parse are narrow codegen'd projections —
+    // the only shuffle is the aggregate itself. Same host-the-semantics
+    // pattern as q42's csv render->parse.
+    "q109_jsonl_roundtrip" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val lines = docs.select(to_json(struct(
+          col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))).as("value"))
+        val parsed = lines.select(from_json(col("value"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"))
+          .as("r"))
+          .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"),
+            col("r.lang").as("lang"), col("r.source").as("source"),
+            col("r.n_chars").as("n_chars"))
+        parsed.groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text")).cast("bigint")).as("n_text_chars"),
+            sum(col("n_chars")).as("n_chars_sum"),
+            min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+          .orderBy("source", "lang")
+      },
+      Some(
+        """SELECT source, lang, count(*) AS n_docs,
+          | CAST(sum(length(text)) AS BIGINT) AS n_text_chars,
+          | CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,
+          | min(doc_id) AS min_doc, max(doc_id) AS max_doc
+          | FROM documents GROUP BY source, lang
+          | ORDER BY source, lang""".stripMargin.replace("\n", "")))
   )
 
   /** Shared byte-histogram oracle for the two decode-seam entries; `dim`
