@@ -128,6 +128,23 @@ class PlanSpec extends SparkSpec {
       s"assignment shuffles points:\n$plan")
   }
 
+  test("q106 repetition removal is a narrow projection (only the output sort exchanges)") {
+    val plan = executed("q106_repeat_removal")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"within-doc cleaning should never shuffle:\n$plan")
+    assert("Exchange rangepartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("q107 semantic decontam folds over the broadcast benchmark (no corpus shuffle)") {
+    // The q101-argmin shape: benchmark collapses to one broadcast array
+    // row; the corpus side must not hash-exchange (no N x |bench|
+    // expansion feeding a re-aggregation).
+    val plan = executed("q107_semantic_decontam")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"corpus side shuffled:\n$plan")
+    assert(plan.contains("BroadcastExchange"), s"benchmark not broadcast:\n$plan")
+  }
+
   test("as-of join is a single shuffle by key (no range explosion)") {
     val plan = executed("q36_asof_join")
     // one exchange for the user_id window; the final orderBy adds range
