@@ -470,6 +470,49 @@ object TrainDataOps {
            |   md5(array_to_string(kept, ' ')) AS cleaned_md5
            | FROM k ORDER BY doc_id""".stripMargin.replace("\n", ""))),
 
+    // WINNOWING fingerprints (the MOSS local-fingerprinting scheme):
+    // per position, a 60-bit hash of the word 4-gram; per sliding window
+    // of 5 positions, keep the MINIMUM hash; the distinct minima are the
+    // doc's fingerprints. Guarantees any shared run of >= k + w - 1 = 8
+    // words yields a shared fingerprint, while selecting only ~1/w of
+    // positions — the candidate generator whose shuffle volume is a
+    // FRACTION of full shingling at the same detection floor. All
+    // per-doc work (hashes, window minima, dedup) is ONE narrow
+    // higher-order projection; only the fingerprint self-join and final
+    // aggregation shuffle, carrying fixed-width longs. Output: top-20
+    // doc pairs by shared fingerprint count (q24's reporting shape).
+    "q111_winnow_pairs" -> Q(
+      (s, dir) => {
+        val hs = expr(
+          "transform(sequence(1, size(w) - 3), " +
+            "i -> cast(conv(substring(md5(array_join(slice(w, i, 4), ' ')), 1, 15), 16, 10) as bigint))")
+        val fps = expr(
+          "array_distinct(transform(sequence(1, greatest(size(hs) - 4, 1)), " +
+            "j -> array_min(slice(hs, j, 5))))")
+        val f = table(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .where(size(col("w")) >= 4)
+          .select(col("doc_id"), hs.as("hs"))
+          .select(col("doc_id"), explode(fps).as("fp"))
+        f.as("a").join(f.as("b"),
+            col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(count(lit(1)).as("n_shared"))
+          .orderBy(desc("n_shared"), col("d1"), col("d2"))
+          .limit(20)
+      },
+      Some(
+        """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 4),
+          | h AS (SELECT doc_id, list_transform(generate_series(1, len(w) - 3),
+          |   i -> ('0x' || substr(md5(array_to_string(w[i : i + 3], ' ')), 1, 15))::BIGINT) AS hs FROM s),
+          | f0 AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(hs) - 4, 1)),
+          |   j -> list_min(hs[j : j + 4]))) AS fps FROM h),
+          | f AS (SELECT doc_id, unnest(fps) AS fp FROM f0)
+          | SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+          | FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          | GROUP BY 1, 2 ORDER BY n_shared DESC, d1, d2 LIMIT 20"""
+          .stripMargin.replace("\n", ""))),
+
     // BM25 retrieval: top-20 docs for a fixed 4-term query. Corpus stats
     // via one aggregate + broadcast; per-term contributions are added in
     // fixed column order so the double sum is order-identical in both
@@ -519,6 +562,47 @@ object TrainDataOps {
            |   FROM e CROSS JOIN pr)
            | SELECT vec_id, k, dot FROM d
            | ORDER BY vec_id, k""".stripMargin.replace("\n", ""))),
+
+    // TOKEN-BUDGET sampling: deterministically downsample each
+    // (source, lang) group to a token budget proportional to
+    // sqrt(group tokens) — the sub-linear allocation that keeps small
+    // sources represented (same temperature family as q88, sqrt because
+    // it is IEEE-exact cross-engine where pow(x, 0.7) is libm-bound).
+    // Docs are admitted in md5-hash order (deterministic shuffle) while
+    // the RUNNING token total stays within budget. One window per group
+    // — partitioned by the group key, never a global sort; cumulative
+    // sums are BIGINT (exact, order-pinned by the (hash, doc_id) sort).
+    "q112_token_budget_sample" -> Q(
+      (s, dir) => {
+        val toks = table(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("lang"),
+            size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
+            DedupOps.md5Long60(col("doc_id").cast("string")).as("h"))
+        val grp = Window.partitionBy("source", "lang")
+        val ord = grp.orderBy(col("h"), col("doc_id"))
+        toks
+          .withColumn("budget",
+            floor(sqrt(sum(col("n_tokens")).over(grp).cast("double")) *
+              lit(10.0)).cast("bigint"))
+          .withColumn("cum", sum(col("n_tokens")).over(
+            ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("doc_id"), col("source"), col("lang"),
+            col("n_tokens"), col("budget"), col("cum"),
+            (col("cum") <= col("budget")).cast("int").as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH t AS (SELECT doc_id, source, lang,
+          | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          | ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          | FROM documents),
+          | b AS (SELECT *,
+          |   CAST(floor(sqrt(CAST(sum(n_tokens) OVER (PARTITION BY source, lang) AS DOUBLE)) * 10.0::DOUBLE) AS BIGINT) AS budget,
+          |   CAST(sum(n_tokens) OVER (PARTITION BY source, lang ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          |   FROM t)
+          | SELECT doc_id, source, lang, n_tokens, budget, cum,
+          |   CAST(cum <= budget AS INT) AS keep
+          | FROM b ORDER BY doc_id""".stripMargin.replace("\n", ""))),
 
     // PII redaction: email / phone / IPv4 scrubbing with per-kind counts
     // and a digest of the redacted text. The corpus is augmented with a
