@@ -33,7 +33,11 @@ object DedupOps {
           "i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)))"))
         .as("s"))
 
-  /** Distinct word 3-gram shingles per document. */
+  /** Distinct word 3-gram shingles per document (spec-facing; the
+    * min-hash paths feed [[rawShingles]] directly since the per-bucket
+    * min is duplicate-insensitive and the distinct would shuffle full
+    * strings for nothing).
+    */
   private[graft] def shingles(docs: DataFrame): DataFrame =
     rawShingles(docs).distinct()
 
@@ -127,6 +131,13 @@ object DedupOps {
     * then computed over the capped universe), which changes a pair's
     * similarity only when it rides ubiquitous shingles.
     * PairSourceSpec pins keep-list equality on a hub-free corpus.
+    *
+    * SCOPE: the cap applies to EVERY consumer of the exact pair join —
+    * q24/q64 (via jaccardPairs) as well as q85/q96/q110 — because they
+    * are all the same source; a session setting it steps outside the
+    * hash gate for all of them (their registered oracles pin the
+    * uncapped universe), exactly like `graft.kmeans.k` or
+    * `graft.etl.replication` overrides.
     */
   private[graft] def shingleDfCap(s: SparkSession): Option[Long] =
     s.conf.getOption("graft.shingle_df_cap").map(_.toLong)
@@ -340,8 +351,13 @@ object DedupOps {
       hashedShingles(docs).localCheckpoint(eager = true))
     val scored = source match {
       case "exact" => jaccardPairsFromHashed(sh)
+      // rawShingles, NOT shingles(): the per-bucket MIN is duplicate-
+      // insensitive, so the distinct() would buy nothing while paying a
+      // wide shuffle of full shingle STRINGS — raw shingles feed the
+      // one-pass aggregate narrowly and only fixed-width signature
+      // buffers cross the wire.
       case "lsh" => rescoreJaccard(
-        bandedCandidates(minhashSignatures(shingles(docs)), LshBandSize), sh)
+        bandedCandidates(minhashSignatures(rawShingles(docs)), LshBandSize), sh)
       case other => throw new IllegalArgumentException(
         s"unknown graft.pair_source '$other' (expected exact | lsh)")
     }
@@ -521,7 +537,11 @@ object DedupOps {
     "q110_full_dedup" -> Q(
       (s, dir) => {
         val docs = table(s, dir, "documents")
+        // ex feeds BOTH the reps branch and the final expansion join —
+        // checkpoint it eagerly so the corpus-wide text groupBy (the
+        // heaviest shuffle here) runs once, not once per consumer.
         val ex = docs.groupBy("text").agg(min("doc_id").as("rep_id"))
+          .localCheckpoint(eager = true)
         val reps = docs.as("d")
           .join(ex.as("e"), col("d.doc_id") === col("e.rep_id"))
           .select(col("d.doc_id"), col("d.text"))
@@ -587,7 +607,9 @@ object DedupOps {
     // MinHashAgg.As/Bs).
     "q25_minhash_lsh" -> Q(
       (s, dir) => {
-        val sig = minhashSignatures(shingles(table(s, dir, "documents")))
+        // raw shingles: min-hash is duplicate-insensitive (see the lsh
+        // pair source) — same signatures, no string-distinct shuffle.
+        val sig = minhashSignatures(rawShingles(table(s, dir, "documents")))
         val cand = bandedCandidates(sig, BandSize)
         val agree = aggregate(
           zip_with(col("sa.sig"), col("sb.sig"),

@@ -104,6 +104,9 @@ object RelationalOps {
         .groupBy("event_type")
         .agg(
           count(lit(1)).as("n_rows"),
+          // the band guard must count the rows the percentiles SEE —
+          // non-null values — not the group's total row count
+          count(col("value")).as("n_vals"),
           countDistinct(col("user_id")).as("exact_users"),
           approx_count_distinct(col("user_id")).as("a5"),
           approx_count_distinct(col("user_id"), 0.01).as("a1"),
@@ -117,7 +120,7 @@ object RelationalOps {
           (abs(col("a1") - col("exact_users")) <=
             lit(0.03) * col("exact_users")).cast("int")
             .as("hll_1pct_within_3rsd"),
-          (col("n_rows") < 20 ||
+          (col("n_vals") < 20 ||
             (col("am") >= col("p25") && col("am") <= col("p75"))).cast("int")
             .as("median_within_iqr"))
         .orderBy("event_type"),

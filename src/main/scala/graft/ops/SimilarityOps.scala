@@ -161,14 +161,6 @@ object SimilarityOps {
           | SELECT query_id, rnk, cand_id, cosine FROM r WHERE rnk <= 5
           | ORDER BY query_id, rnk""".stripMargin.replace("\n", ""))),
 
-    // Approximate near-dup: LSH bucket blocking + exact cosine rescore —
-    // the sub-quadratic scale path beside q27's exact tiled join.
-    // Candidate pairs are bucket-mates (hash equi-join on the 6-bit
-    // bucket, ~N^2/2^planes comparisons), each rescored with exact
-    // cosine and thresholded. Recall vs the exact pair set is a
-    // property of the data/threshold (measured in NearDupRecallSpec);
-    // CORRECTNESS is exact because the oracle replays the identical
-    // seeded hyperplanes, so both engines compute the same blocked set.
     // SEMANTIC decontamination: flag corpus vectors too close (cosine >
     // 0.3) to any held-out benchmark vector (vec_id % 97 == 0) — the
     // embedding-space complement of q86's n-gram decontamination, which
@@ -189,6 +181,11 @@ object SimilarityOps {
             struct(col("bid"), col("bv"), col("bn")))).as("bs"))
         n.where(col("vec_id") % 97 =!= 0)
           .crossJoin(broadcast(benchArr))
+          // Empty-benchmark parity: the global collect_list still emits
+          // ONE row (empty array) where the oracle's CROSS JOIN against
+          // an empty bench emits none — drop the degenerate case so
+          // both engines agree the result is empty.
+          .where(size(col("bs")) > 0)
           .select(col("vec_id"),
             expr("transform(bs, b -> graft_dot(v, b.bv) / (nrm * b.bn))")
               .as("coss"))
@@ -216,6 +213,14 @@ object SimilarityOps {
           | FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin
           .replace("\n", ""))),
 
+    // Approximate near-dup: LSH bucket blocking + exact cosine rescore —
+    // the sub-quadratic scale path beside q27's exact tiled join.
+    // Candidate pairs are bucket-mates (hash equi-join on the 6-bit
+    // bucket, ~N^2/2^planes comparisons), each rescored with exact
+    // cosine and thresholded. Recall vs the exact pair set is a
+    // property of the data/threshold (measured in SketchAndRecallSpec);
+    // CORRECTNESS is exact because the oracle replays the identical
+    // seeded hyperplanes, so both engines compute the same blocked set.
     "q83_neardup_lsh_rescore" -> Q(
       (s, dir) => {
         val n = normed(s, dir).withColumn("bucket", lshBucket(col("v")))
