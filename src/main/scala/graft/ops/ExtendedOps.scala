@@ -23,7 +23,9 @@ import TestData._
   */
 object ExtendedOps {
 
-  def all: Map[String, Q] = Map(
+  def all: Map[String, Q] = base ++ warehouseOps
+
+  private def base: Map[String, Q] = Map(
 
     // Semi-structured projection: JSON property extraction + grouped
     // integer stats. from_json with an explicit schema (not
@@ -770,6 +772,169 @@ object ExtendedOps {
           | SELECT lang, max(n_docs) AS n_docs, max(p_keep) AS p_keep,
           |   CAST(sum(keep) AS BIGINT) AS n_kept
           | FROM k GROUP BY lang ORDER BY lang""".stripMargin
+          .replace("\n", "")))
+  )
+
+  /** Warehouse / time-series extensions (round 5): SCD type-2 history
+    * build, gap-filled resampling with forward fill, and robust
+    * (median/MAD) outlier detection.
+    *
+    * Scale notes (100 TB posture):
+    *  - q113 is the classic gaps-and-islands collapse: ONE exchange by
+    *    customer serves both windows (lag/running-sum and the lead over
+    *    runs) AND the run aggregation — HashPartitioning(custkey)
+    *    satisfies the (custkey, island) clustering, so the whole SCD2
+    *    build is a single shuffle regardless of history depth;
+    *  - q114 generates the hourly grid per entity with sequence() AFTER
+    *    aggregating to (user, hour) — the explode multiplies the small
+    *    per-user span table, never the raw event stream, and the
+    *    forward-fill window rides the same user partitioning;
+    *  - q115 computes median and MAD as DISCRETE order statistics
+    *    (lower-median row via row_number, as q48) — no interpolation, so
+    *    the doubles that cross the hash gate are actual data values;
+    *    the two tiny per-group statistics frames join back broadcast.
+    */
+  private def warehouseOps: Map[String, Q] = Map(
+
+    // SCD type-2: collapse each customer's consecutive equal-priority
+    // order runs into validity intervals [valid_from, valid_to), open
+    // (-1) for the current run. Gaps-and-islands: change-flag via lag,
+    // island id via running sum, one window partitioning throughout.
+    "q113_scd2_history" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val marked = table(s, dir, "orders")
+          .withColumn("chg",
+            when(lag("o_orderpriority", 1).over(w) ===
+              col("o_orderpriority"), 0L).otherwise(1L))
+          .withColumn("island", sum("chg").over(w))
+        val runs = marked
+          .groupBy(col("o_custkey"), col("island"),
+            col("o_orderpriority").as("priority"))
+          .agg(min(unix_timestamp(col("o_orderdate"))).as("valid_from"),
+            count(lit(1)).as("n_orders"))
+        val w2 = Window.partitionBy("o_custkey").orderBy("island")
+        runs
+          .withColumn("valid_to",
+            coalesce(lead("valid_from", 1).over(w2), lit(-1L)))
+          .withColumn("is_current",
+            (col("valid_to") === -1L).cast("int"))
+          .select(col("o_custkey"), col("priority"), col("valid_from"),
+            col("valid_to"), col("is_current"), col("n_orders"))
+          .orderBy("o_custkey", "valid_from", "priority")
+      },
+      Some(
+        """WITH m AS (SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+          |   CASE WHEN lag(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) = o_orderpriority
+          |     THEN 0 ELSE 1 END AS chg
+          |   FROM orders),
+          | i AS (SELECT *, sum(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM m),
+          | r AS (SELECT o_custkey, island, o_orderpriority AS priority,
+          |     CAST(min(epoch(o_orderdate)) AS BIGINT) AS valid_from,
+          |     count(*) AS n_orders
+          |   FROM i GROUP BY o_custkey, island, o_orderpriority)
+          | SELECT o_custkey, priority, valid_from,
+          |   coalesce(lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY island), -1) AS valid_to,
+          |   CASE WHEN lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY island) IS NULL
+          |     THEN 1 ELSE 0 END AS is_current,
+          |   n_orders
+          | FROM r ORDER BY o_custkey, valid_from, priority""".stripMargin
+          .replace("\n", ""))),
+
+    // Gap-filled hourly resample per user: aggregate to (user, hour),
+    // explode the per-user hour span, left-join the actuals back, and
+    // forward-fill the last observed hourly sum. DECIMAL sums so the
+    // filled values are exact cross-engine.
+    "q114_resample_fill" -> Q(
+      (s, dir) => {
+        val hourly = table(s, dir, "events")
+          .groupBy(col("user_id"),
+            unix_timestamp(date_trunc("hour", col("ts"))).as("h"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(DecimalType(18, 4))).as("vsum"))
+        val grid = hourly.groupBy("user_id")
+          .agg(min("h").as("h0"), max("h").as("h1"))
+          .select(col("user_id"),
+            explode(sequence(col("h0"), col("h1"), lit(3600L))).as("h"))
+        val wF = Window.partitionBy("user_id").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(hourly, Seq("user_id", "h"), "left")
+          .select(col("user_id"), col("h").as("hour_epoch"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"),
+            col("n_events").isNull.cast("int").as("is_gap"),
+            last("vsum", ignoreNulls = true).over(wF)
+              .cast(DecimalType(18, 4)).cast("double").as("value_ffill"))
+          .orderBy("user_id", "hour_epoch")
+      },
+      Some(
+        """WITH hourly AS (SELECT user_id,
+          |     CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+          |     count(*) AS n_events,
+          |     sum(CAST(value AS DECIMAL(18,4))) AS vsum
+          |   FROM events GROUP BY 1, 2),
+          | span AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+          | grid AS (SELECT user_id, unnest(generate_series(h0, h1, 3600)) AS h FROM span)
+          | SELECT g.user_id, g.h AS hour_epoch,
+          |   CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+          |   CASE WHEN n_events IS NULL THEN 1 ELSE 0 END AS is_gap,
+          |   CAST(CAST(last_value(vsum IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.h
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS DOUBLE) AS value_ffill
+          | FROM grid g LEFT JOIN hourly ON g.user_id = hourly.user_id AND g.h = hourly.h
+          | ORDER BY g.user_id, hour_epoch""".stripMargin
+          .replace("\n", ""))),
+
+    // Robust outlier detection: per-priority lower-median + MAD (median
+    // absolute deviation), flag |x - med| > 3 * MAD. Both statistics are
+    // discrete order statistics (data values, not interpolations) so the
+    // output doubles hash-match; the per-group stats broadcast back.
+    "q115_mad_outliers" -> Q(
+      (s, dir) => {
+        val orders = table(s, dir, "orders")
+        val wCnt = Window.partitionBy("o_orderpriority")
+        val wMed = wCnt.orderBy(col("o_totalprice"), col("o_orderkey"))
+        val med = orders
+          .withColumn("rn", row_number().over(wMed))
+          .withColumn("cnt", count(lit(1)).over(wCnt))
+          .where(col("rn") === expr("(cnt + 1) div 2"))
+          .select(col("o_orderpriority"), col("o_totalprice").as("med"))
+        val dev = orders.join(broadcast(med), "o_orderpriority")
+          .withColumn("adev", abs(col("o_totalprice") - col("med")))
+        val wMad = wCnt.orderBy(col("adev"), col("o_orderkey"))
+        val mad = dev
+          .withColumn("rn", row_number().over(wMad))
+          .withColumn("cnt", count(lit(1)).over(wCnt))
+          .where(col("rn") === expr("(cnt + 1) div 2"))
+          .select(col("o_orderpriority"), col("adev").as("mad"))
+        dev.join(broadcast(mad), "o_orderpriority")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            max("med").as("med"), max("mad").as("mad"),
+            sum(when(col("adev") > lit(3.0) * col("mad"), 1L)
+              .otherwise(0L)).as("n_outliers"),
+            max("adev").as("max_abs_dev"))
+          .orderBy("o_orderpriority")
+      },
+      Some(
+        """WITH med AS (SELECT o_orderpriority, o_totalprice AS med FROM (
+          |     SELECT o_orderpriority, o_totalprice,
+          |       row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn,
+          |       count(*) OVER (PARTITION BY o_orderpriority) AS cnt
+          |     FROM orders) WHERE rn = (cnt + 1) // 2),
+          | dev AS (SELECT o.o_orderpriority, o.o_orderkey, o.o_totalprice, med.med,
+          |     abs(o.o_totalprice - med.med) AS adev
+          |   FROM orders o JOIN med USING (o_orderpriority)),
+          | mad AS (SELECT o_orderpriority, adev AS mad FROM (
+          |     SELECT o_orderpriority, adev, o_orderkey,
+          |       row_number() OVER (PARTITION BY o_orderpriority ORDER BY adev, o_orderkey) AS rn,
+          |       count(*) OVER (PARTITION BY o_orderpriority) AS cnt
+          |     FROM dev) WHERE rn = (cnt + 1) // 2)
+          | SELECT o_orderpriority, count(*) AS n, max(med) AS med, max(mad) AS mad,
+          |   CAST(sum(CASE WHEN adev > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+          |   max(adev) AS max_abs_dev
+          | FROM dev JOIN mad USING (o_orderpriority)
+          | GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
           .replace("\n", "")))
   )
 }
