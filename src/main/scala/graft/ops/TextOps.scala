@@ -274,6 +274,122 @@ object TextOps {
         """SELECT doc_id,
           | list_reduce(list_transform(string_split_regex(text, ''), c -> CAST(ord(c) AS BIGINT)),
           |   (a, b) -> (a * 31 + b) % 1000000007) AS rhash
-          | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", "")))
+          | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", ""))),
+
+    // PMI collocations: bigrams ranked by pointwise mutual information,
+    // PMI = ln( p(x,y) / (p(x) p(y)) ). ln is monotone, so ranking by
+    // the RATIO c_xy * N_uni^2 / (N_big * c_x * c_y) avoids libm (no
+    // cross-engine log) — numerator/denominator are exact BIGINTs
+    // (bounded: max token count × max pair count ≪ 2^53 at gate SFs;
+    // at larger scale the ratio would move to DOUBLE products, same
+    // ordering) and the ratio is ONE IEEE division, bit-identical in
+    // both engines. Two token-keyed shuffles (bigram + unigram counts);
+    // the unigram side joins back keyed by word — the Zipf head
+    // collapses map-side. Top-100 by (ratio, w1, w2) is a TakeOrdered.
+    "q116_pmi_bigrams" -> Q(
+      (s, dir) => {
+        val docsW = table(s, dir, "documents")
+          .select(split(col("text"), " ").as("w"))
+          .where(size(col("w")) >= 2)
+        val trans = docsW.select(explode(expr(
+          """transform(sequence(1, size(w) - 1),
+            | i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"""
+            .stripMargin.replace("\n", ""))).as("b"))
+          .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val uni = docsW.select(explode(col("w")).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("c_w"))
+        val big = trans.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+        val totals = uni.agg(sum("c_w").as("n_uni"))
+          .crossJoin(big.agg(sum("c_xy").as("n_big")))
+        big
+          .join(uni.withColumnRenamed("word", "w1")
+            .withColumnRenamed("c_w", "c_x"), Seq("w1"))
+          .join(uni.withColumnRenamed("word", "w2")
+            .withColumnRenamed("c_w", "c_y"), Seq("w2"))
+          .crossJoin(broadcast(totals))
+          .where(col("c_xy") >= 5)
+          .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+            (col("c_xy") * col("n_uni") * col("n_uni"))
+              .cast("double").as("num"),
+            (col("n_big") * col("c_x") * col("c_y"))
+              .cast("double").as("den"))
+          .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+            (col("num") / col("den")).as("pmi_ratio"))
+          .orderBy(desc("pmi_ratio"), col("w1"), col("w2"))
+          .limit(100)
+      },
+      Some(
+        """WITH s AS (SELECT string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 2),
+          | i0 AS (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM s),
+          | tr AS (SELECT w[i] AS w1, w[i+1] AS w2 FROM i0),
+          | uni AS (SELECT unnest(w) AS word FROM s),
+          | cu AS (SELECT word, count(*) AS c_w FROM uni GROUP BY word),
+          | cb AS (SELECT w1, w2, count(*) AS c_xy FROM tr GROUP BY w1, w2),
+          | t AS (SELECT (SELECT CAST(sum(c_w) AS BIGINT) FROM cu) AS n_uni,
+          |   (SELECT CAST(sum(c_xy) AS BIGINT) FROM cb) AS n_big)
+          | SELECT cb.w1, cb.w2, cb.c_xy, cx.c_w AS c_x, cy.c_w AS c_y,
+          |   CAST(cb.c_xy * t.n_uni * t.n_uni AS DOUBLE)
+          |     / CAST(t.n_big * cx.c_w * cy.c_w AS DOUBLE) AS pmi_ratio
+          | FROM cb JOIN cu cx ON cb.w1 = cx.word
+          | JOIN cu cy ON cb.w2 = cy.word CROSS JOIN t
+          | WHERE cb.c_xy >= 5
+          | ORDER BY pmi_ratio DESC, w1, w2 LIMIT 100""".stripMargin
+          .replace("\n", ""))),
+
+    // Self-trained bigram LM as a perplexity-proxy quality filter
+    // (CCNet-style, with the corpus itself as the LM): per transition,
+    // p(w2 | w1) = c(w1 w2) / c(w1 ·) — one exact IEEE division of two
+    // BIGINTs; per doc, the DISCRETE lower-median and min transition
+    // probability (order statistics of identical value sets on both
+    // engines — no interpolation, no order-dependent float sums, where
+    // mean log-prob would diverge on summation order). Formulaic docs
+    // (templated text) score high, unusual token sequences score low.
+    // Shuffles: bigram count, first-token count, then one doc_id window.
+    "q117_lm_quality" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docsW = table(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .where(size(col("w")) >= 2)
+        val trans = docsW.select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(w) - 1),
+            | i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"""
+            .stripMargin.replace("\n", ""))).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val cxy = trans.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+        val cx = trans.groupBy("w1").agg(count(lit(1)).as("c_x"))
+        val probs = trans
+          .join(cxy, Seq("w1", "w2")).join(cx, Seq("w1"))
+          .select(col("doc_id"),
+            (col("c_xy").cast("double") / col("c_x").cast("double"))
+              .as("p"))
+        val wCnt = Window.partitionBy("doc_id")
+        val wMed = wCnt.orderBy("p")
+        probs
+          .withColumn("rn", row_number().over(wMed))
+          .withColumn("cnt", count(lit(1)).over(wCnt))
+          .withColumn("min_p", min("p").over(wCnt))
+          .where(col("rn") === expr("(cnt + 1) div 2"))
+          .select(col("doc_id"), col("cnt").as("n_trans"),
+            col("p").as("median_p"), col("min_p"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 2),
+          | i0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM s),
+          | tr AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM i0),
+          | cxy AS (SELECT w1, w2, count(*) AS c_xy FROM tr GROUP BY w1, w2),
+          | cx AS (SELECT w1, count(*) AS c_x FROM tr GROUP BY w1),
+          | pr AS (SELECT tr.doc_id,
+          |   CAST(cxy.c_xy AS DOUBLE) / CAST(cx.c_x AS DOUBLE) AS p
+          |   FROM tr JOIN cxy USING (w1, w2) JOIN cx USING (w1)),
+          | r AS (SELECT doc_id, p,
+          |   row_number() OVER (PARTITION BY doc_id ORDER BY p) AS rn,
+          |   count(*) OVER (PARTITION BY doc_id) AS cnt,
+          |   min(p) OVER (PARTITION BY doc_id) AS min_p
+          | FROM pr)
+          | SELECT doc_id, cnt AS n_trans, p AS median_p, min_p
+          | FROM r WHERE rn = (cnt + 1) // 2
+          | ORDER BY doc_id""".stripMargin.replace("\n", "")))
   )
 }
