@@ -247,6 +247,46 @@ object DedupOps {
     comp
   }
 
+  /** PageRank over an undirected pair graph, FIXED-POINT BIGINT
+    * arithmetic so the trajectory is exactly replayable by the DuckDB
+    * oracle (like q101's k-means): ranks are integers scaled by 1e12,
+    * every division floors, damping 0.85 is the rational 85/100 — no
+    * float accumulation anywhere, so iteration order cannot matter.
+    *
+    * Distribution shape (the join-based PageRank that runs on a
+    * 1000-executor cluster): edges are materialized ONCE, eagerly
+    * checkpointed pre-partitioned by src; each round's contribution
+    * join is then exchange-free on the edge side (ranks arrive already
+    * hash(v)-partitioned from the previous round's groupBy), and the
+    * only shuffle per round is the rank transfer (groupBy dst). The
+    * symmetric graph has no dangling nodes (deg >= 1 by construction),
+    * so no dangling-mass term. One scalar (node count) comes to the
+    * driver, as in q64.
+    */
+  private[graft] def pageRank(pairs: DataFrame, iters: Int): DataFrame = {
+    val scale = 1000000000000L
+    val edges = pairs.toDF("d1", "d2").unionByName(
+      pairs.toDF("d2", "d1").select(col("d1"), col("d2")))
+      .toDF("src", "dst")
+      .repartition(col("src"))
+      .localCheckpoint(eager = true)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val n = deg.count()
+    require(n > 0, "pagerank on an empty graph")
+    val base = 15L * scale / (100L * n)
+    var ranks = deg.select(col("src").as("v"), lit(scale / n).as("r"),
+      col("deg"))
+    for (_ <- 1 to iters) {
+      val contrib = edges.join(ranks, edges("src") === ranks("v"))
+        .select(col("dst"), expr("r div deg").as("c"))
+      ranks = contrib.groupBy("dst").agg(sum("c").as("m"))
+        .select(col("dst").as("v"),
+          (lit(base) + expr("(85 * m) div 100")).as("r"))
+        .join(deg.select(col("src").as("v"), col("deg")), "v")
+    }
+    ranks.select(col("v").as("doc_id"), col("deg"), col("r").as("rank_fp"))
+  }
+
   /** The shingle/count/pair CTE chain shared by the q24 and q64 oracles
     * (DuckDB twin of [[jaccardPairs]]), parameterized on the base table
     * so q110 can run it over exact-dedup representatives.
@@ -573,6 +613,42 @@ object DedupOps {
            |   CAST(mm.doc_id = nd.canonical_id AS INT) AS keep
            | FROM mm JOIN nd USING (rep_id) ORDER BY mm.doc_id"""
           .stripMargin.replace("\n", ""))),
+
+    // PageRank (3 iterations, damping 0.85) over the near-dup pair
+    // graph — centrality within duplicate clusters identifies the
+    // "canonical-est" representative (the doc most near-dup'd by
+    // others), a better keep-list policy than min-id when duplicates
+    // differ in quality. Fixed-point BIGINT trajectory (see pageRank)
+    // so the oracle replays all three iterations exactly, unrolled as
+    // chained CTEs (no recursion needed for a fixed depth).
+    "q118_pagerank" -> Q(
+      (s, dir) => {
+        val jp = jaccardPairs(table(s, dir, "documents"))
+          .where(col("jaccard") >= 0.5).select("d1", "d2")
+        pageRank(jp, iters = 3).orderBy("doc_id")
+      },
+      Some {
+        def round(prev: String, out: String): String =
+          s""" $out AS (SELECT e.dst AS v, CAST(b.base + (85 * sum($prev.r // d.deg)) // 100 AS BIGINT) AS r
+             |   FROM edges e JOIN $prev ON $prev.v = e.src
+             |   JOIN deg d ON d.src = e.src CROSS JOIN b
+             |   GROUP BY e.dst, b.base)""".stripMargin
+        s"""WITH $jaccardCte,
+           | jp AS (SELECT p.d1, p.d2 FROM p
+           |   JOIN cnt ca ON p.d1 = ca.doc_id JOIN cnt cb ON p.d2 = cb.doc_id
+           |   WHERE p.inter * 1.0 / (ca.n + cb.n - p.inter) >= 0.5),
+           | edges AS (SELECT d1 AS src, d2 AS dst FROM jp UNION ALL SELECT d2, d1 FROM jp),
+           | deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+           | nn AS (SELECT count(*) AS n FROM deg),
+           | b AS (SELECT (15 * 1000000000000) // (100 * nn.n) AS base FROM nn),
+           | r0 AS (SELECT deg.src AS v, 1000000000000 // nn.n AS r FROM deg CROSS JOIN nn),
+           |${round("r0", "r1")},
+           |${round("r1", "r2")},
+           |${round("r2", "r3")}
+           | SELECT r3.v AS doc_id, d.deg, r3.r AS rank_fp
+           | FROM r3 JOIN deg d ON d.src = r3.v ORDER BY doc_id"""
+          .stripMargin.replace("\n", "")
+      }),
 
     // Benchmark decontamination: flag corpus docs sharing any word-3-gram
     // with a held-out benchmark set (doc_id % 97 == 0 here) — the
