@@ -150,6 +150,39 @@ object MultimodalOps {
           | CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,
           | min(doc_id) AS min_doc, max(doc_id) AS max_doc
           | FROM documents GROUP BY source, lang
+          | ORDER BY source, lang""".stripMargin.replace("\n", ""))),
+
+    // ORC round-trip: the second columnar interchange format (Spark's
+    // built-in ORC writer/reader beside parquet). Write documents as
+    // ORC, read back, and aggregate — losslessness is gated by exact
+    // counts, sums, AND a bit_xor over 60-bit content hashes (order-
+    // independent, overflow-free; any corrupted/dropped/duplicated text
+    // flips it). The oracle computes the same digest from the parquet
+    // originals, so the gate checks the full write->read cycle.
+    "q120_orc_roundtrip" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        // Fixed scratch path + overwrite: repeated verify/bench runs
+        // reuse the directory instead of accumulating temp dirs.
+        val path = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft_orc_rt", "documents_orc")
+          .toString
+        docs.write.mode("overwrite").orc(path)
+        s.read.orc(path)
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text")).cast("bigint")).as("n_text_chars"),
+            sum(col("n_chars")).as("n_chars_sum"),
+            expr("bit_xor(cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint))")
+              .as("text_digest"))
+          .orderBy("source", "lang")
+      },
+      Some(
+        """SELECT source, lang, count(*) AS n_docs,
+          | CAST(sum(length(text)) AS BIGINT) AS n_text_chars,
+          | CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,
+          | CAST(bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT) AS BIGINT) AS text_digest
+          | FROM documents GROUP BY source, lang
           | ORDER BY source, lang""".stripMargin.replace("\n", "")))
   )
 

@@ -962,6 +962,109 @@ object TrainDataOps {
            |   CAST(dup.dup_of IS NULL AS INT) AS keep
            | FROM n LEFT JOIN dup ON n.vec_id = dup.vid
            | ORDER BY n.vec_id""".stripMargin.replace("\n", "")
+      }),
+
+    // Product quantization + asymmetric-distance top-k: the 64-d
+    // embedding splits into 4 x 16-d subspaces, each with an 8-entry
+    // codebook (hash-spread seeds — q101's Lloyd machinery refines them
+    // orthogonally), so every vector compresses to 4 small codes
+    // (4 bytes vs 256 — the 64x memory cut that keeps a 100 TB corpus'
+    // index RAM-resident). Search never touches raw candidate vectors:
+    // per query, a 4x8 distance table is precomputed, the scan is code
+    // lookups + THREE fixed-order additions (no float SUM aggregate, so
+    // accumulation order cannot diverge cross-engine), and top-k runs
+    // through TopKPerGroup (map-side k-heaps). Encode is ZERO-shuffle:
+    // all 4 codebooks broadcast as sorted struct arrays, the argmin is
+    // q101's per-row fold. The oracle replays seeds, codes, distance
+    // tables, and ranking end-to-end.
+    "q119_pq_adc_topk" -> Q(
+      (s, dir) => {
+        val points = embPoints(s, dir)
+        val cbs = (0 until PqM).map { m =>
+          kmeansSeeds(points.select(col("vec_id"),
+            slice(col("v"), m * PqSubDim + 1, PqSubDim).as("v")), PqK)
+            .localCheckpoint(eager = true)
+        }
+        val coded0 = cbs.zipWithIndex.foldLeft(points) { case (df, (cb, m)) =>
+          df.crossJoin(broadcast(cb.agg(sort_array(
+            collect_list(struct(col("cid"), col("c")))).as(s"cs$m"))))
+        }
+        val coded = coded0.select(col("vec_id") +:
+          (0 until PqM).map { m =>
+            expr(s"array_min(transform(cs$m, ct -> struct(" +
+              s"aggregate(zip_with(slice(v, ${m * PqSubDim + 1}, $PqSubDim), ct.c, " +
+              "(x, y) -> (x - y) * (x - y)), cast(0 as double), (a, p) -> a + p) as dist2, " +
+              s"ct.cid as cid))).cid").as(s"code$m")
+          }: _*)
+        val qs = points.where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        val dts = cbs.zipWithIndex.map { case (cb, m) =>
+          qs.crossJoin(broadcast(cb))
+            .select(col("qid").as(s"qid$m"), col("cid").as(s"cid$m"),
+              expr(s"aggregate(zip_with(slice(qv, ${m * PqSubDim + 1}, $PqSubDim), c, " +
+                "(x, y) -> (x - y) * (x - y)), cast(0 as double), (a, p) -> a + p)")
+                .as(s"d$m"))
+        }
+        val fanned = coded.join(broadcast(dts(0)),
+          col("code0") === col("cid0"))
+        val adc = (1 until PqM).foldLeft(fanned) { case (df, m) =>
+          df.join(broadcast(dts(m)),
+            col("qid0") === col(s"qid$m") && col(s"code$m") === col(s"cid$m"))
+        }
+          .where(col("vec_id") =!= col("qid0"))
+          .select(col("qid0").as("query_id"), col("vec_id").as("cand_id"),
+            (col("d0") + col("d1") + col("d2") + col("d3")).as("adist"))
+        graft.plans.TopKPerGroup(adc, Seq("query_id"),
+            Seq(("adist", false), ("cand_id", false)), 5)
+          .withColumn("rnk", row_number().over(Window.partitionBy("query_id")
+            .orderBy(col("adist"), col("cand_id"))))
+          .select("query_id", "rnk", "cand_id", "adist")
+          .orderBy("query_id", "rnk")
+      },
+      Some {
+        def d2(ve: String) =
+          s"list_reduce(list_transform(list_zip($ve, c.c), " +
+            "q -> (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE)) * " +
+            "(CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE))), (x, y) -> x + y)"
+        def sub(m: Int) =
+          s"""sub$m AS (SELECT vec_id, v[${m * PqSubDim + 1}:${m * PqSubDim + PqSubDim}] AS v FROM pts),
+             | cb$m AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS cid, v AS c
+             |   FROM (SELECT vec_id, v, ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
+             |     FROM (SELECT min(vec_id) AS vec_id, v FROM sub$m GROUP BY v)
+             |     ORDER BY h, vec_id LIMIT $PqK)),
+             | a$m AS (SELECT vec_id, cid,
+             |   row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rnk
+             |   FROM (SELECT p.vec_id, c.cid, ${d2("p.v")} AS dist2 FROM sub$m p CROSS JOIN cb$m c)),
+             | dt$m AS (SELECT q.qid, c.cid, ${d2(s"q.v[${m * PqSubDim + 1}:${m * PqSubDim + PqSubDim}]")} AS d
+             |   FROM qs q CROSS JOIN cb$m c)""".stripMargin
+        s"""WITH pts AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+           | qs AS (SELECT vec_id AS qid, v FROM pts WHERE vec_id % 100 = 0),
+           |${sub(0)},
+           |${sub(1)},
+           |${sub(2)},
+           |${sub(3)},
+           | code AS (SELECT a0.vec_id, a0.cid AS code0, a1.cid AS code1, a2.cid AS code2, a3.cid AS code3
+           |   FROM a0 JOIN a1 USING (vec_id) JOIN a2 USING (vec_id) JOIN a3 USING (vec_id)
+           |   WHERE a0.rnk = 1 AND a1.rnk = 1 AND a2.rnk = 1 AND a3.rnk = 1),
+           | adc AS (SELECT dt0.qid AS query_id, code.vec_id AS cand_id,
+           |     dt0.d + dt1.d + dt2.d + dt3.d AS adist
+           |   FROM code
+           |   JOIN dt0 ON dt0.cid = code.code0
+           |   JOIN dt1 ON dt1.qid = dt0.qid AND dt1.cid = code.code1
+           |   JOIN dt2 ON dt2.qid = dt0.qid AND dt2.cid = code.code2
+           |   JOIN dt3 ON dt3.qid = dt0.qid AND dt3.cid = code.code3
+           |   WHERE code.vec_id <> dt0.qid),
+           | rk AS (SELECT query_id, cand_id, adist,
+           |   CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist, cand_id) AS INT) AS rnk FROM adc)
+           | SELECT query_id, rnk, cand_id, adist FROM rk WHERE rnk <= 5
+           | ORDER BY query_id, rnk""".stripMargin.replace("\n", "")
       })
   )
+
+  /** Product-quantization geometry: 4 subspaces x 16 dims over the 64-d
+    * embeddings, 8-entry codebook per subspace (codes fit a byte).
+    */
+  private[graft] val PqM = 4
+  private[graft] val PqSubDim = 16
+  private[graft] val PqK = 8
 }
