@@ -270,7 +270,16 @@ object DedupOps {
       .toDF("src", "dst")
       .repartition(col("src"))
       .localCheckpoint(eager = true)
+    // deg and each round's ranks are ALSO checkpointed: without it,
+    // one round's tree references `edges` several times (contrib join,
+    // deg derivation, prior rounds), Catalyst's self-join attribute
+    // dedup re-instances the LogicalRDD, and the re-instanced copy
+    // loses its outputPartitioning — every round then re-exchanges the
+    // edge side (observed in the physical plan). Truncating per round
+    // keeps each executed tree referencing edges exactly once, so the
+    // checkpoint partitioning survives — the q64/q101 pattern.
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = true)
     val n = deg.count()
     require(n > 0, "pagerank on an empty graph")
     val base = 15L * scale / (100L * n)
@@ -283,6 +292,7 @@ object DedupOps {
         .select(col("dst").as("v"),
           (lit(base) + expr("(85 * m) div 100")).as("r"))
         .join(deg.select(col("src").as("v"), col("deg")), "v")
+        .localCheckpoint(eager = true)
     }
     ranks.select(col("v").as("doc_id"), col("deg"), col("r").as("rank_fp"))
   }

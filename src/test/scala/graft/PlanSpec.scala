@@ -153,4 +153,47 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("q113 SCD2 build is ONE customer shuffle end to end") {
+    // lag window, island running sum, run aggregation, and the lead
+    // window must all ride the same hashpartitioning(o_custkey) —
+    // HashPartitioning(custkey) satisfies the (custkey, island)
+    // clustering, so history depth never adds exchanges.
+    val plan = executed("q113_scd2_history")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert("Exchange rangepartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("q114 gap-fill explodes the aggregated span, not the event stream") {
+    val plan = executed("q114_resample_fill")
+    // the sequence() Generate must sit ABOVE an aggregation (per-user
+    // span), never directly over the events scan
+    val gen = plan.indexOf("Generate explode(sequence")
+    assert(gen >= 0, s"no sequence explode in:\n$plan")
+    assert(plan.substring(gen).contains("HashAggregate"),
+      s"explode feeds from a raw scan, not the aggregated span:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 3, plan)
+  }
+
+  test("q118 PageRank rounds truncate to a checkpoint scan") {
+    // per-round localCheckpoint keeps each executed tree referencing
+    // the pre-partitioned edges exactly once (attribute dedup would
+    // otherwise drop the checkpoint partitioning and re-exchange edges
+    // every round); the final plan is just the last round's checkpoint
+    // plus the output sort.
+    val plan = executed("q118_pagerank")
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert("Exchange rangepartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("q119 PQ search shuffles only the top-k survivors") {
+    // encode + distance-table lookups are all broadcast joins; the one
+    // hash exchange is TopKPerGroup's k-heap survivor transfer.
+    val plan = executed("q119_pq_adc_topk")
+    assert(plan.contains("TopKPerGroupPartial") &&
+      plan.contains("TopKPerGroupFinal"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
 }

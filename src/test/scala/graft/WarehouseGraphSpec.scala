@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{DedupOps, TestData}
+
+/** Behavioral invariants for the round-5 warehouse / graph / PQ
+  * additions (q113-q120). The DuckDB oracle pins exact values; these
+  * specs pin the SEMANTIC contracts that must hold for any corpus —
+  * interval partitioning, gap-fill totality, rank mass conservation,
+  * ADC ranking laws — plus hand-computed fixed-point PageRank on a
+  * tiny injected graph (the one case small enough to verify by hand).
+  */
+class WarehouseGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q113 SCD2 intervals partition each customer's history") {
+    val rows = run("q113_scd2_history")
+      .select("o_custkey", "valid_from", "valid_to", "is_current", "n_orders")
+      .as[(Long, Long, Long, Int, Long)].collect()
+    val byCust = rows.groupBy(_._1)
+    val orderCounts = TestData.table(spark, sf, "orders")
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    byCust.foreach { case (cust, rs) =>
+      // chained: row i's valid_to == row i+1's valid_from, last is open
+      rs.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 == b._2,
+          s"gap/overlap in customer $cust: ${a._3} != ${b._2}")
+        case _ =>
+      }
+      assert(rs.last._3 == -1L && rs.last._4 == 1,
+        s"customer $cust last interval not open/current")
+      assert(rs.init.forall(_._4 == 0), s"customer $cust has >1 current")
+      assert(rs.map(_._5).sum == orderCounts(cust),
+        s"customer $cust run sizes don't sum to order count")
+    }
+  }
+
+  test("q114 resample covers the full hourly span with total forward fill") {
+    val rows = run("q114_resample_fill")
+      .select("user_id", "hour_epoch", "n_events", "is_gap", "value_ffill")
+      .as[(Long, Long, Long, Int, Double)].collect()
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      val hours = rs.map(_._2)
+      assert(hours.max - hours.min == 3600L * (rs.length - 1) &&
+        hours.distinct.length == rs.length,
+        s"user $u grid is not a dense hourly sequence")
+      assert(rs.minBy(_._2)._4 == 0, s"user $u first hour cannot be a gap")
+      rs.foreach { r =>
+        assert((r._4 == 1) == (r._3 == 0L), s"user $u is_gap/n_events disagree")
+        assert(!r._5.isNaN, s"user $u has unfilled value")
+      }
+    }
+  }
+
+  test("q115 MAD statistics are internally consistent") {
+    val rows = run("q115_mad_outliers")
+      .select("o_orderpriority", "n", "med", "mad", "n_outliers", "max_abs_dev")
+      .as[(String, Long, Double, Double, Long, Double)].collect()
+    val sizes = TestData.table(spark, sf, "orders")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(rows.map(_._1).toSet == sizes.keySet)
+    rows.foreach { r =>
+      assert(r._2 == sizes(r._1))
+      assert(r._4 >= 0 && r._6 >= r._4, s"${r._1}: mad/max_abs_dev order")
+      assert(r._5 <= r._2 / 2, // an outlier set can never reach the median
+        s"${r._1}: ${r._5} outliers of ${r._2} rows is not 'robust'")
+    }
+  }
+
+  test("q116 PMI ranking is descending with the support floor applied") {
+    val rows = run("q116_pmi_bigrams")
+      .select("c_xy", "pmi_ratio").as[(Long, Double)].collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    assert(rows.forall(_._1 >= 5), "support floor violated")
+    assert(rows.map(_._2).sliding(2).forall {
+      case Array(a, b) => a >= b; case _ => true
+    }, "pmi_ratio not descending")
+  }
+
+  test("q117 LM transition counts and probability bounds") {
+    val rows = run("q117_lm_quality")
+      .select("doc_id", "n_trans", "median_p", "min_p")
+      .as[(Long, Long, Double, Double)].collect()
+    val expected = TestData.table(spark, sf, "documents")
+      .select(col("doc_id"), (size(split(col("text"), " ")) - 1).cast("long").as("n"))
+      .where(col("n") >= 1).as[(Long, Long)].collect().toMap
+    assert(rows.map(_._1).toSet == expected.keySet)
+    rows.foreach { r =>
+      assert(r._2 == expected(r._1), s"doc ${r._1} transition count")
+      assert(r._4 > 0 && r._4 <= r._3 && r._3 <= 1.0,
+        s"doc ${r._1}: probability bounds 0 < min <= median <= 1 violated")
+    }
+  }
+
+  test("q118 fixed-point PageRank matches hand math on a path graph") {
+    // 1 - 2 - 3: degrees (1, 2, 1). An independent in-test replay of
+    // the integer recurrence (not a copy of the SQL/DataFrame code)
+    // must agree exactly after every iteration count.
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("d1", "d2")
+    val scale = 1000000000000L
+    def replay(iters: Int): Map[Long, Long] = {
+      val edges = Seq(1L -> 2L, 2L -> 3L, 2L -> 1L, 3L -> 2L)
+      val deg = edges.groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+      val n = deg.size
+      val base = 15L * scale / (100L * n)
+      var r = deg.map { case (v, _) => v -> scale / n }
+      for (_ <- 1 to iters) {
+        val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+          dst -> es.map { case (src, _) => r(src) / deg(src) }.sum
+        }
+        r = contrib.map { case (v, m) => v -> (base + (85L * m) / 100L) }
+      }
+      r
+    }
+    for (iters <- Seq(1, 3)) {
+      val got = DedupOps.pageRank(pairs, iters)
+        .select("doc_id", "rank_fp").as[(Long, Long)].collect().toMap
+      assert(got == replay(iters), s"iters=$iters: $got vs ${replay(iters)}")
+    }
+  }
+
+  test("q118 on the corpus: rank mass conserved, floor respected") {
+    val rows = run("q118_pagerank")
+      .select("doc_id", "deg", "rank_fp").as[(Long, Long, Long)].collect()
+    val scale = 1000000000000L
+    val n = rows.length
+    val base = 15L * scale / (100L * n)
+    val total = rows.map(_._3).sum
+    // every floor division loses < 1 unit; 3 iterations over n nodes
+    // and e edges lose a vanishing fraction of the 1e12 mass
+    assert(total <= scale && total >= scale - 100L * n,
+      s"mass $total drifted from $scale (n=$n)")
+    assert(rows.forall(_._3 >= base), "a node fell below the teleport floor")
+    val degrees = DedupOps
+      .jaccardPairs(TestData.table(spark, sf, "documents"))
+      .where(col("jaccard") >= 0.5)
+      .select(explode(array(col("d1"), col("d2"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { r => assert(r._2 == degrees(r._1), s"degree of ${r._1}") }
+  }
+
+  test("q119 ADC output is a complete deterministic per-query ranking") {
+    val out = run("q119_pq_adc_topk")
+      .select("query_id", "rnk", "cand_id", "adist")
+      .as[(Long, Int, Long, Double)].collect()
+    val nq = TestData.table(spark, sf, "embeddings")
+      .where(col("vec_id") % 100 === 0).count()
+    assert(out.length == 5 * nq)
+    out.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to 5), s"query $q ranks")
+      assert(sorted.map(_._4).sliding(2).forall {
+        case Array(a, b) => a <= b; case _ => true
+      }, s"query $q adist not nondecreasing")
+      assert(rs.forall(_._4 >= 0) && rs.forall(_._3 != q))
+    }
+    // determinism: a second run (fresh seeds/codebooks) is identical
+    val again = run("q119_pq_adc_topk")
+      .select("query_id", "rnk", "cand_id", "adist")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(out.sortBy(r => (r._1, r._2)).toSeq ==
+      again.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
+  test("q120 ORC round-trip digest equals the parquet-direct digest") {
+    val direct = TestData.table(spark, sf, "documents")
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("bit_xor(cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint))")
+          .as("text_digest"))
+      .select("source", "lang", "n_docs", "text_digest")
+      .as[(String, String, Long, Long)].collect().toSet
+    val viaOrc = run("q120_orc_roundtrip")
+      .select("source", "lang", "n_docs", "text_digest")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(viaOrc == direct)
+  }
+}
