@@ -935,6 +935,131 @@ object ExtendedOps {
           |   max(adev) AS max_abs_dev
           | FROM dev JOIN mad USING (o_orderpriority)
           | GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+          .replace("\n", ""))),
+
+    // Entity resolution: blocked fuzzy candidate pairs (same
+    // nation+segment block, Levenshtein <= 2 on the name) -> connected
+    // components -> canonical entity id + cluster size. The warehouse
+    // twin of the document keep-list (q85): candidates come from an
+    // EQUI-join on the blocking key (never all-pairs — at 100 TB the
+    // block bounds the quadratic term exactly like LSH buckets bound
+    // near-dup), and the clustering is the same distributed
+    // min-label-propagation operator q64 uses.
+    "q121_entity_resolution" -> Q(
+      (s, dir) => {
+        val c = table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"),
+            col("c_nationkey"), col("c_mktsegment"))
+        val pairs = c.as("a").join(c.as("b"),
+            col("a.c_nationkey") === col("b.c_nationkey") &&
+              col("a.c_mktsegment") === col("b.c_mktsegment") &&
+              col("a.c_custkey") < col("b.c_custkey") &&
+              levenshtein(col("a.c_name"), col("b.c_name")) <= 2)
+          .select(col("a.c_custkey").as("d1"), col("b.c_custkey").as("d2"))
+        val comp = DedupOps.connectedComponents(pairs)
+          .select(col("v"), col("c"))
+        c.join(comp, col("c_custkey") === col("v"), "left")
+          .select(col("c_custkey"),
+            coalesce(col("c"), col("c_custkey")).as("entity_id"))
+          .withColumn("cluster_size",
+            count(lit(1)).over(Window.partitionBy("entity_id")))
+          .orderBy("c_custkey")
+      },
+      Some(
+        """WITH RECURSIVE cand AS (SELECT a.c_custkey AS d1, b.c_custkey AS d2
+          |   FROM customer a JOIN customer b
+          |   ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+          |     AND a.c_custkey < b.c_custkey
+          |     AND levenshtein(a.c_name, b.c_name) <= 2),
+          | edges AS (SELECT d1 AS a, d2 AS b FROM cand UNION ALL SELECT d2, d1 FROM cand),
+          | nodes AS (SELECT DISTINCT a AS v FROM edges),
+          | reach(v, m) AS (SELECT v, v FROM nodes
+          |   UNION SELECT e.a, r.m FROM edges e JOIN reach r ON r.v = e.b),
+          | comp AS (SELECT v, min(m) AS c FROM reach GROUP BY v),
+          | ent AS (SELECT c_custkey, coalesce(comp.c, c_custkey) AS entity_id
+          |   FROM customer LEFT JOIN comp ON c_custkey = comp.v)
+          | SELECT c_custkey, entity_id,
+          |   count(*) OVER (PARTITION BY entity_id) AS cluster_size
+          | FROM ent ORDER BY c_custkey""".stripMargin.replace("\n", ""))),
+
+    // Grouped OLS trend: least-squares slope/intercept of order value
+    // over time per priority, from EXACT integer sums — x is days
+    // centered on the group minimum, y is whole-dollar integers (bounded so n*Sxy
+    // keeps int64 headroom at sf0.1 — measured 2.7e19 with cents, 
+    // 7x under the limit in dollars), so every
+    // accumulated moment (Sx, Sy, Sxy, Sxx) is a BIGINT (order-
+    // independent); the closed-form numerator/denominator stay integer
+    // and only the final divisions run in IEEE (int64->double
+    // conversion is correctly rounded in both engines). Magnitudes are
+    // bounded by centering; at larger SFs the moments would move to
+    // DECIMAL(38) with the same shape.
+    "q122_trend_ols" -> Q(
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+          .select(col("o_orderpriority"),
+            expr("unix_timestamp(o_orderdate) div 86400").as("day"),
+            expr("cast(round(o_totalprice) as bigint)").as("dollars"))
+        val mins = o.groupBy("o_orderpriority")
+          .agg(min("day").as("day0"))
+        o.join(broadcast(mins), "o_orderpriority")
+          .select(col("o_orderpriority"),
+            (col("day") - col("day0")).as("x"), col("dollars").as("y"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("o_orderpriority"), col("n"),
+            (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+            (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+          .withColumn("slope_dollars_per_day",
+            col("slope_num").cast("double") / col("slope_den").cast("double"))
+          .orderBy("o_orderpriority")
+      },
+      Some(
+        """WITH o AS (SELECT o_orderpriority,
+          |     CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS day,
+          |     CAST(round(o_totalprice) AS BIGINT) AS dollars
+          |   FROM orders),
+          | m AS (SELECT o_orderpriority, min(day) AS day0 FROM o GROUP BY 1),
+          | xy AS (SELECT o.o_orderpriority, o.day - m.day0 AS x, o.dollars AS y
+          |   FROM o JOIN m USING (o_orderpriority)),
+          | s AS (SELECT o_orderpriority, count(*) AS n,
+          |     CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          |     CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+          |   FROM xy GROUP BY 1)
+          | SELECT o_orderpriority, n,
+          |   n * sxy - sx * sy AS slope_num,
+          |   n * sxx - sx * sx AS slope_den,
+          |   CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_dollars_per_day
+          | FROM s ORDER BY o_orderpriority""".stripMargin
+          .replace("\n", ""))),
+
+    // Equi-width value histogram per priority: 10 buckets between the
+    // group min/max (bounds broadcast back), integer bucket index from
+    // one deterministic double expression. Distribution profiling —
+    // the per-group shape a warehouse checks before choosing join/sort
+    // strategies.
+    "q123_value_histogram" -> Q(
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+        val bounds = o.groupBy("o_orderpriority")
+          .agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+        o.join(broadcast(bounds), "o_orderpriority")
+          .select(col("o_orderpriority"),
+            least(lit(9), floor((col("o_totalprice") - col("lo")) * lit(10.0) /
+              (col("hi") - col("lo"))).cast("int")).as("bucket"))
+          .groupBy("o_orderpriority", "bucket")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("o_orderpriority", "bucket")
+      },
+      Some(
+        """WITH b AS (SELECT o_orderpriority, min(o_totalprice) AS lo,
+          |     max(o_totalprice) AS hi FROM orders GROUP BY 1)
+          | SELECT o.o_orderpriority,
+          |   CAST(least(9, CAST(floor((o.o_totalprice - b.lo) * 10.0 / (b.hi - b.lo)) AS INT)) AS INT) AS bucket,
+          |   count(*) AS n
+          | FROM orders o JOIN b USING (o_orderpriority)
+          | GROUP BY 1, 2 ORDER BY o_orderpriority, bucket""".stripMargin
           .replace("\n", "")))
   )
 }

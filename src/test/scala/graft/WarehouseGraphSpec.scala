@@ -168,6 +168,49 @@ class WarehouseGraphSpec extends SparkSpec {
       again.sortBy(r => (r._1, r._2)).toSeq)
   }
 
+  test("q121 entity clusters are closed and canonically labeled") {
+    val rows = run("q121_entity_resolution")
+      .select("c_custkey", "entity_id", "cluster_size")
+      .as[(Long, Long, Long)].collect()
+    val byEntity = rows.groupBy(_._2)
+    rows.foreach { r =>
+      assert(r._2 <= r._1, s"entity label ${r._2} above member ${r._1}")
+      assert(byEntity(r._2).length == r._3,
+        s"cluster_size ${r._3} != actual ${byEntity(r._2).length}")
+    }
+    // the canonical id is itself a member of its cluster
+    byEntity.foreach { case (e, members) =>
+      assert(members.exists(_._1 == e), s"entity $e not among its members")
+    }
+  }
+
+  test("q122 OLS moments: positive spread, full coverage, exact ratio") {
+    val rows = run("q122_trend_ols")
+      .select("o_orderpriority", "n", "slope_num", "slope_den",
+        "slope_dollars_per_day")
+      .as[(String, Long, Long, Long, Double)].collect()
+    val total = TestData.table(spark, sf, "orders").count()
+    assert(rows.map(_._2).sum == total)
+    rows.foreach { r =>
+      assert(r._4 > 0, s"${r._1}: degenerate x spread")
+      assert(r._5 == r._3.toDouble / r._4.toDouble, s"${r._1}: ratio")
+    }
+  }
+
+  test("q123 histogram buckets cover every row within [0, 9]") {
+    val rows = run("q123_value_histogram")
+      .select("o_orderpriority", "bucket", "n")
+      .as[(String, Int, Long)].collect()
+    val sizes = TestData.table(spark, sf, "orders")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(rows.forall(r => r._2 >= 0 && r._2 <= 9))
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      assert(rs.map(_._3).sum == sizes(g), s"$g: histogram drops rows")
+      assert(rs.map(_._2).distinct.length == rs.length, s"$g: dup buckets")
+    }
+  }
+
   test("q120 ORC round-trip digest equals the parquet-direct digest") {
     val direct = TestData.table(spark, sf, "documents")
       .groupBy("source", "lang")
