@@ -31,8 +31,42 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // (q42 measured 14 s in-bench vs 1.8 s in a fresh JVM). The box has
   // 128 GiB; give the forked JVM real headroom.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-  // 103 queries x whole-stage codegen overflows the default 240 MB code
+  // 123 queries x whole-stage codegen overflows the default 240 MB code
   // cache; once full, HotSpot silently stops JIT-compiling and hot
   // loops fall back to the interpreter mid-bench.
-  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:ReservedCodeCacheSize=1g",
+  // This box's kernel (Firecracker guest) commits anonymous memory at
+  // ~150 MB/s: a measured `java -Xms8g -XX:+AlwaysPreTouch -version`
+  // took 53 s wall / 759 s SYSTEM CPU (~95 us per 4 KiB fault), and THP
+  // commits at the same ~150 MB/s — the host, not the page size, is the
+  // limit. That made page faults the round-5 "q42 pathology": G1 grows/
+  // uncommits heap between runs, so allocation-heavy queries re-fault
+  // pages at ~100 us each from 32 mutator threads contending on
+  // mmap_lock (measured 98% system time, 84->7806 CPU-s swings for one
+  // identical plan; JIT churn was a symptom, not the cause). madvise'd
+  // THP cuts the fault count 512x and with it the lock contention.
+  "-XX:+UseTransparentHugePages",
+) ++
+  // Ad-hoc JVM diagnostics for the forked run JVM without editing the
+  // build, e.g. GRAFT_EXTRA_JVM="-XX:+PrintCompilation".
+  sys.env.get("GRAFT_EXTRA_JVM").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))
+
+// Bench/Verify (sbt runMain) additionally pin the heap: -Xms == -Xmx so
+// G1 can never uncommit (committed pages stay faulted for the JVM's
+// lifetime), and AlwaysPreTouch so the entire fault-in cost is paid
+// once, serially, at JVM startup — BEFORE warmup and the idle-gate —
+// instead of landing inside timed queries (validated: the 48M-row md5
+// repro went from 465 s/11831 CPU-s first-run + escalating re-runs to
+// stable ~1.0 s steady-state with these flags). The heap is 16g, not
+// the tests' 24g: the faulted footprint is THE startup cost on this
+// box (~2-18 min for 24 GB at the host's fluctuating 14-200 MB/s
+// commit rate), and the r4 "8g starved the bench" finding was the
+// uncommit/refault disease itself — with a pinned heap, sf0.1 fits
+// comfortably in 16g. The trailing -Xmx overrides the global 24g
+// (HotSpot takes the last occurrence). Tests keep a growable heap:
+// suites never approach the limit and pretouch would add minutes.
+run / javaOptions ++= Seq(
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  "-XX:+AlwaysPreTouch",
 )

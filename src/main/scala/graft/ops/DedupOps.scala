@@ -586,19 +586,32 @@ object DedupOps {
     // `graft.pair_source` like q85/q96.
     "q110_full_dedup" -> Q(
       (s, dir) => {
+        // Exact-collapse keyed on a 120-bit md5 fingerprint (two 60-bit
+        // halves), NOT raw text: the corpus-wide collapse groupBy and
+        // the map-back join then shuffle (long, long) keys instead of
+        // full document bytes — at 100 TB that is the difference
+        // between shuffling kilobyte texts twice and shuffling 16-byte
+        // keys. 120 bits makes accidental collision astronomically
+        // unlikely (birthday bound ~2^60 docs); semantics stay
+        // byte-exact vs the GROUP BY text oracle.
         val docs = table(s, dir, "documents")
+        val fp = docs
+          .withColumn("h", md5(col("text")))
+          .select(col("doc_id"),
+            conv(substring(col("h"), 1, 15), 16, 10).cast("long").as("fp1"),
+            conv(substring(col("h"), 16, 15), 16, 10).cast("long").as("fp2"))
         // ex feeds BOTH the reps branch and the final expansion join —
-        // checkpoint it eagerly so the corpus-wide text groupBy (the
-        // heaviest shuffle here) runs once, not once per consumer.
-        val ex = docs.groupBy("text").agg(min("doc_id").as("rep_id"))
+        // checkpoint it eagerly so the corpus-wide collapse shuffle
+        // (the heaviest exchange here) runs once, not once per consumer.
+        val ex = fp.groupBy("fp1", "fp2").agg(min("doc_id").as("rep_id"))
           .localCheckpoint(eager = true)
         val reps = docs.as("d")
           .join(ex.as("e"), col("d.doc_id") === col("e.rep_id"))
           .select(col("d.doc_id"), col("d.text"))
         val nd = keepList(reps, pairSource(s))
           .select(col("doc_id").as("rep_id"), col("canonical_id"))
-        docs.select(col("doc_id"), col("text"))
-          .join(ex, "text")
+        fp.select(col("doc_id"), col("fp1"), col("fp2"))
+          .join(ex, Seq("fp1", "fp2"))
           .join(nd, "rep_id")
           .select(col("doc_id"), col("rep_id"), col("canonical_id"),
             (col("doc_id") === col("canonical_id")).cast("int").as("keep"))

@@ -196,4 +196,44 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
     assert(plan.contains("BroadcastExchange"), plan)
   }
+
+  test("q110 map-back join is keyed on the 120-bit fingerprint, not text") {
+    // the exact-collapse result (checkpointed, so it appears as the
+    // ExistingRDD scan) re-joins documents on (fp1, fp2) — the join
+    // moves/broadcasts 16-byte keys; document text only travels the
+    // narrow reps branch (joined on doc_id). The collapse groupBy
+    // itself runs inside the eager checkpoint, pinned by the
+    // fingerprint grouping in DedupOps.
+    val plan = executed("q110_full_dedup")
+    assert("Join \\[fp1#\\d+L, fp2#\\d+L\\]".r.findAllIn(plan).nonEmpty, plan)
+    assert(!plan.linesIterator.filter(_.contains("Exchange"))
+      .exists(_.contains("text#")),
+      s"an exchange still carries text:\n$plan")
+  }
+
+  test("q121 candidates equi-join on hashed deletion variants (no quadratic block)") {
+    // candidate generation joins on the variant hash with the
+    // (nation, segment) conjunct; Levenshtein never appears inside a
+    // nested-loop join condition. Asserted on the candidate stage
+    // directly: the full query executes its CC loop eagerly, so the
+    // final plan truncates at the checkpoint scan.
+    val c = TestData.table(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_mktsegment"))
+    val v = c.select(col("c_custkey"), col("c_nationkey"),
+      col("c_mktsegment"),
+      explode(graft.ops.ExtendedOps.deletionNeighborhood(col("c_name")))
+        .as("vh"))
+    val cand = v.as("a").join(v.as("b"),
+        col("a.vh") === col("b.vh") &&
+          col("a.c_nationkey") === col("b.c_nationkey") &&
+          col("a.c_mktsegment") === col("b.c_mktsegment") &&
+          col("a.c_custkey") < col("b.c_custkey"))
+      .select(col("a.c_custkey").as("d1"), col("b.c_custkey").as("d2"))
+      .distinct()
+    val plan = cand.queryExecution.executedPlan.toString
+    assert("Join \\[vh#".r.findAllIn(plan).nonEmpty, plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }

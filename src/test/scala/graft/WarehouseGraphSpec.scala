@@ -184,6 +184,42 @@ class WarehouseGraphSpec extends SparkSpec {
     }
   }
 
+  test("q121 deletion-neighborhood blocking loses no Levenshtein<=2 pair") {
+    // Fixture exercising every edit shape the FastSS guarantee covers:
+    // 0/1/2 substitutions, insertions, deletions, mixed indel+sub, at
+    // the head, middle, and tail — plus distance-3 near-misses that the
+    // verifier must reject. Candidate source = equi-join on hashed
+    // deletion variants; truth = brute-force all-pairs Levenshtein.
+    val names = Seq(
+      1L -> "Customer#000000001", 2L -> "Customer#000000002", // 1 sub
+      3L -> "Customer#000010001", // 2 subs vs id 1
+      4L -> "Customer#00000001", // 1 deletion vs id 1
+      5L -> "XCustomer#000000001", // 1 insertion at head vs id 1
+      6L -> "Customer#0000000012", // insertion at tail vs id 1
+      7L -> "ustomer#00000000155", // distance >2 from all
+      8L -> "Cstomer#00000001", // del head + del mid vs id 1 (ed 2)
+      9L -> "abc", 10L -> "acb", 11L -> "a", 12L -> "abcde",
+      13L -> "", 14L -> "ab")
+    val df = names.toDF("id", "name")
+    val truth = df.as("a").join(df.as("b"),
+        $"a.id" < $"b.id" &&
+          levenshtein($"a.name", $"b.name") <= 2)
+      .select($"a.id".as("d1"), $"b.id".as("d2"))
+      .as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty && truth.contains((1L, 2L)))
+    val v = df.select($"id",
+      explode(graft.ops.ExtendedOps.deletionNeighborhood($"name")).as("vh"))
+    val candidates = v.as("a").join(v.as("b"),
+        $"a.vh" === $"b.vh" && $"a.id" < $"b.id")
+      .select($"a.id".as("d1"), $"b.id".as("d2")).distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(truth.subsetOf(candidates), // recall-complete: no pair lost
+      s"lost true pairs: ${truth.diff(candidates)}")
+    // and the verifier restores exactness: candidates can overshoot
+    // (shared variants at ed 3-4), never undershoot
+    assert(!truth.contains((1L, 7L)) && !candidates.contains((13L, 12L)))
+  }
+
   test("q122 OLS moments: positive spread, full coverage, exact ratio") {
     val rows = run("q122_trend_ols")
       .select("o_orderpriority", "n", "slope_num", "slope_den",
