@@ -70,3 +70,15 @@ run / javaOptions ++= Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   "-XX:+AlwaysPreTouch",
 )
+
+// Tests pin a SMALLER heap the same way: a measured suite run on a
+// sick-host day took 41:46 with the growable 24g heap (G1 grow/uncommit
+// re-faulting pages at ~95 us each throughout), vs ~3 min when the host
+// is healthy. Suites peak well under 4 GB of live heap; 6g pinned +
+// pretouch costs ~1 min of startup at the host's worst commit rate and
+// removes heap faults from every test thereafter.
+Test / javaOptions ++= Seq(
+  s"-Xms${sys.env.getOrElse("SPARK_TEST_MEM", "6g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_TEST_MEM", "6g")}",
+  "-XX:+AlwaysPreTouch",
+)

@@ -21,7 +21,9 @@ object SparkEntry {
     ScaleOps.all,
     RelationalOps.all,
     ExtendedOps.all,
-    TrainDataOps.all
+    TrainDataOps.all,
+    SketchOps.all,
+    WarehouseOps.all
   )
 
   private lazy val catalog: Map[String, Q] = {

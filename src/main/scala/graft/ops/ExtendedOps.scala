@@ -1108,6 +1108,99 @@ object ExtendedOps {
           |   count(*) AS n
           | FROM orders o JOIN b USING (o_orderpriority)
           | GROUP BY 1, 2 ORDER BY o_orderpriority, bucket""".stripMargin
-          .replace("\n", "")))
+          .replace("\n", ""))),
+
+    // Deterministic HyperLogLog (m=256 registers, p=8) per event type —
+    // the sketch q51 only bounds, here built register-by-register from
+    // the md5-60-bit hash bridge so DuckDB replays the ENTIRE sketch:
+    // index = h mod 256, rho = leading-zero rank of the remaining 52
+    // bits (integer-exact via length(bin(x)) in both engines), register
+    // state = max(rho), and the harmonic sum is kept as an exact BIGINT
+    // (sum of 1 << (53 - M), empties contributing 1 << 53) so the only
+    // IEEE step is the final constant/BIGINT division — the q116/q122
+    // exactness pattern applied to a sketch. 100 TB posture: registers
+    // max-combine map-side, the shuffle carries at most m rows per
+    // group, and the sketch state is mergeable across any partitioning
+    // — the same layout a 1000-executor rollup would use.
+    "q124_hll_registers" -> Q(
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+        val h = conv(substring(md5(col("user_id").cast("string")), 1, 15),
+          16, 10).cast("long")
+        val rest = expr("shiftright(h, 8)")
+        val regs = ev.select(col("event_type"), h.as("h"))
+          .select(col("event_type"), (col("h") % 256).as("idx"),
+            when(rest === 0, lit(53))
+              .otherwise(lit(53) - length(bin(rest))).as("rho"))
+          .groupBy("event_type", "idx").agg(max("rho").as("m_reg"))
+        val sums = regs.groupBy("event_type").agg(
+          sum(expr("shiftleft(cast(1 as bigint), cast(53 - m_reg as int))"))
+            .as("s_used"),
+          count(lit(1)).as("used"))
+        val exact = ev.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+        val sTotal = col("s_used") +
+          (lit(256L) - col("used")) * lit(1L << 53)
+        val raw = lit(HllNumerator) / sTotal.cast("double")
+        val v = (lit(256L) - col("used")).cast("int")
+        // linear-counting branch (n << m): m * ln(m/V), taken from the
+        // SHARED literal table so neither engine evaluates ln at query
+        // time — the branch predicate compares the bit-identical raw
+        // estimate, so both engines always take the same arm.
+        val lut = array(HllLinearCount.map(lit): _*)
+        val est = when(v > 0 && raw <= lit(640.0), element_at(lut, v))
+          .otherwise(raw)
+        exact.join(sums, "event_type")
+          .select(col("event_type"), col("exact_users"),
+            sTotal.cast("long").as("hll_sum_scaled"),
+            v.as("empty_registers"),
+            raw.as("hll_raw"),
+            est.as("hll_estimate"),
+            (abs(est - col("exact_users").cast("double")) <=
+              lit(0.1625) * col("exact_users").cast("double"))
+              .cast("int").as("within_2p5_rsd"))
+          .orderBy("event_type")
+      },
+      Some {
+        val lutValues = HllLinearCount.zipWithIndex
+          .map { case (lc, i) => s"(${i + 1}, $lc)" }.mkString(", ")
+        s"""WITH h AS (SELECT event_type, ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h FROM events),
+          | r AS (SELECT event_type, h % 256 AS idx,
+          |   CASE WHEN (h >> 8) = 0 THEN 53 ELSE 53 - length(bin(h >> 8)) END AS rho FROM h),
+          | m AS (SELECT event_type, idx, max(rho) AS m_reg FROM r GROUP BY 1, 2),
+          | s AS (SELECT event_type, CAST(sum(1::BIGINT << CAST(53 - m_reg AS INT)) AS BIGINT) AS s_used,
+          |   count(*) AS used FROM m GROUP BY 1),
+          | e AS (SELECT event_type, count(DISTINCT user_id) AS exact_users FROM events GROUP BY 1),
+          | lut(v, lc) AS (SELECT * FROM (VALUES $lutValues)),
+          | t AS (SELECT e.event_type, e.exact_users,
+          |   CAST(s.s_used + (256 - s.used) * (1::BIGINT << 53) AS BIGINT) AS hll_sum_scaled,
+          |   CAST(256 - s.used AS INT) AS empty_registers FROM e JOIN s USING (event_type)),
+          | t2 AS (SELECT t.*, $HllNumerator / CAST(hll_sum_scaled AS DOUBLE) AS hll_raw,
+          |   CASE WHEN empty_registers > 0 AND $HllNumerator / CAST(hll_sum_scaled AS DOUBLE) <= 640.0
+          |     THEN lut.lc ELSE $HllNumerator / CAST(hll_sum_scaled AS DOUBLE) END AS hll_estimate
+          |   FROM t LEFT JOIN lut ON lut.v = t.empty_registers)
+          | SELECT event_type, exact_users, hll_sum_scaled, empty_registers, hll_raw, hll_estimate,
+          |   CAST(abs(hll_estimate - CAST(exact_users AS DOUBLE))
+          |     <= 0.1625 * CAST(exact_users AS DOUBLE) AS INT) AS within_2p5_rsd
+          | FROM t2 ORDER BY event_type""".stripMargin.replace("\n", "")
+      })
   )
+
+  /** alpha_256 * 256^2 * 2^53: the HLL estimate's constant numerator
+    * (alpha_m = 0.7213 / (1 + 1.079/m) for m >= 128, Flajolet et al.
+    * 2007). Computed once in IEEE and embedded in BOTH engines' plans
+    * via its exact decimal rendering, so the estimate division is
+    * bit-identical.
+    */
+  private val HllNumerator: Double =
+    0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0
+
+  /** m * ln(m / V) for V = 1..256 — the HLL linear-counting estimates,
+    * evaluated ONCE here and embedded as the same literal table in both
+    * the Spark plan and the DuckDB oracle: ln is the one function whose
+    * last bit is not guaranteed identical across libm implementations,
+    * so neither engine is allowed to compute it.
+    */
+  private val HllLinearCount: Seq[Double] =
+    (1 to 256).map(v => 256.0 * math.log(256.0 / v))
 }

@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import TestData._
+import DedupOps.md5Long60
+
+/** Probabilistic-structure operators with fully deterministic, DuckDB-
+  * replayable state: a Count-Min sketch (heavy-hitter frequency
+  * estimation) and a Bloom filter (set-membership decontamination).
+  * Companion to q124's HyperLogLog (ExtendedOps) and q51's bounded
+  * sketches: here the ENTIRE structure — every register/bit — is built
+  * from the md5-60-bit hash bridge, so the oracle replays the sketch
+  * bit-for-bit rather than merely bounding it.
+  *
+  * 100 TB posture (both): the sketch state is a FIXED-SIZE aggregate
+  * (d x w counters / m bits), built map-side-combinable and mergeable
+  * across any partitioning — the layout a 1000-executor rollup needs.
+  * Estimation joins broadcast the sketch, never shuffle the corpus.
+  */
+object SketchOps {
+
+  /** Row-j CMS bucket for a key: md5-60-bit of "j-key" mod width.
+    * Independent-enough hash rows come from salting the same base hash
+    * family with the row index, the standard CMS construction.
+    */
+  private def cmsBucket(key: Column, j: Int, width: Int): Column =
+    md5Long60(concat_ws("-", lit(j), key)) % width
+
+  private val CmsDepth = 4
+  private val CmsWidth = 512
+
+  /** Bloom bit position i for a text: md5-60-bit of "i:text" mod m. */
+  private def bloomBit(text: Column, i: Int, m: Int): Column =
+    md5Long60(concat_ws(":", lit(i), text)) % m
+
+  private val BloomK = 5
+  private val BloomM = 8192
+
+  def all: Map[String, Q] = Map(
+
+    // Count-Min sketch heavy hitters: d=4 rows x w=512 counters over
+    // events.user_id; per-key estimate = min over rows of the counter
+    // at that key's bucket (Cormode & Muthukrishnan 2005). The top-20
+    // heaviest users (by exact count; tie-broken by id) are reported
+    // with both exact and CMS counts, so the one-sided overestimate
+    // guarantee (cms_est >= exact, always) is value-pinned by the
+    // oracle. At scale the 2048-counter sketch replaces a full
+    // groupBy-key pass for frequency screening: counters max out the
+    // shuffle at d*w rows regardless of corpus size, and two sketches
+    // merge by elementwise addition.
+    "q126_cms_heavy_hitters" -> Q(
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+        val rows = posexplode(array((0 until CmsDepth).map(j =>
+          cmsBucket(col("user_id"), j, CmsWidth)): _*))
+        val sketch = ev.select(col("user_id"))
+          .select(rows)
+          .groupBy(col("pos").as("j"), col("col").as("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+        val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+        val est = exact.select(col("user_id"), col("exact_cnt"), rows)
+          .join(broadcast(sketch),
+            col("pos") === col("j") && col("col") === col("bucket"))
+          .groupBy("user_id", "exact_cnt")
+          .agg(min("cnt").as("cms_est"))
+        est
+          .orderBy(col("exact_cnt").desc, col("user_id"))
+          .limit(20)
+          .select(col("user_id"), col("exact_cnt"), col("cms_est"),
+            (col("cms_est") - col("exact_cnt")).as("overcount"))
+          .orderBy(col("exact_cnt").desc, col("user_id"))
+      },
+      Some(
+        s"""WITH j AS (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS j),
+           | h AS (SELECT e.user_id, j.j,
+           |   ('0x' || substr(md5(j.j::VARCHAR || '-' || e.user_id::VARCHAR), 1, 15))::BIGINT % $CmsWidth AS bucket
+           |   FROM events e CROSS JOIN j),
+           | sk AS (SELECT j, bucket, count(*) AS cnt FROM h GROUP BY 1, 2),
+           | ex AS (SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY 1),
+           | kb AS (SELECT ex.user_id, ex.exact_cnt, j.j,
+           |   ('0x' || substr(md5(j.j::VARCHAR || '-' || ex.user_id::VARCHAR), 1, 15))::BIGINT % $CmsWidth AS bucket
+           |   FROM ex CROSS JOIN j),
+           | est AS (SELECT kb.user_id, kb.exact_cnt, min(sk.cnt) AS cms_est
+           |   FROM kb JOIN sk USING (j, bucket) GROUP BY 1, 2),
+           | top AS (SELECT * FROM est ORDER BY exact_cnt DESC, user_id LIMIT 20)
+           | SELECT user_id, exact_cnt, cms_est, cms_est - exact_cnt AS overcount
+           | FROM top ORDER BY exact_cnt DESC, user_id""".stripMargin
+          .replace("\n", ""))),
+
+    // Bloom-filter decontamination: the q86 benchmark set (doc_id % 97
+    // == 0) is compressed to an m=8192-bit / k=5 filter; every corpus
+    // doc tests its 5 bit positions against the filter. bloom_maybe=1
+    // for every true member (no false negatives — pinned by the oracle
+    // on every row) plus a hash-determined set of false positives,
+    // reported explicitly. At 100 TB this is THE membership-check
+    // layout: the filter is a kilobyte-scale broadcast no matter how
+    // big the benchmark suite, vs q86's broadcast of the full distinct
+    // shingle set; the corpus side stays a per-row codegen'd probe with
+    // no shuffle at all.
+    "q127_bloom_decontam" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val bench = docs.where(col("doc_id") % 97 === 0)
+        val bits = bench
+          .select(explode(array((0 until BloomK).map(i =>
+            bloomBit(col("text"), i, BloomM)): _*)).as("bit"))
+          .distinct()
+        val probes = docs.select(col("doc_id"),
+            explode(array((0 until BloomK).map(i =>
+              bloomBit(col("text"), i, BloomM)): _*)).as("bit"))
+          .join(broadcast(bits.withColumn("hit", lit(1))), Seq("bit"), "left")
+          .groupBy("doc_id")
+          .agg((sum(coalesce(col("hit"), lit(0))) === BloomK)
+            .cast("int").as("bloom_maybe"))
+        val exact = docs.alias("d")
+          .join(bench.select(col("text").as("btext")).distinct().alias("b"),
+            col("d.text") === col("b.btext"), "left")
+          .select(col("d.doc_id"),
+            when(col("b.btext").isNotNull, 1).otherwise(0).as("exact_member"))
+        probes.join(exact, "doc_id")
+          .select(col("doc_id"), col("bloom_maybe"), col("exact_member"),
+            (col("bloom_maybe") === 1 && col("exact_member") === 0)
+              .cast("int").as("false_positive"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH i AS (SELECT unnest(generate_series(0, ${BloomK - 1})) AS i),
+           | bench AS (SELECT text FROM documents WHERE doc_id % 97 = 0),
+           | bits AS (SELECT DISTINCT
+           |   ('0x' || substr(md5(i.i::VARCHAR || ':' || b.text), 1, 15))::BIGINT % $BloomM AS bit
+           |   FROM bench b CROSS JOIN i),
+           | pr AS (SELECT d.doc_id,
+           |   ('0x' || substr(md5(i.i::VARCHAR || ':' || d.text), 1, 15))::BIGINT % $BloomM AS bit
+           |   FROM documents d CROSS JOIN i),
+           | bm AS (SELECT pr.doc_id,
+           |   CAST(sum(CASE WHEN bits.bit IS NOT NULL THEN 1 ELSE 0 END) = $BloomK AS INT) AS bloom_maybe
+           |   FROM pr LEFT JOIN bits USING (bit) GROUP BY 1),
+           | ex AS (SELECT d.doc_id,
+           |   CASE WHEN EXISTS (SELECT 1 FROM bench b WHERE b.text = d.text)
+           |     THEN 1 ELSE 0 END AS exact_member FROM documents d)
+           | SELECT bm.doc_id, bm.bloom_maybe, ex.exact_member,
+           |   CAST(bm.bloom_maybe = 1 AND ex.exact_member = 0 AS INT) AS false_positive
+           | FROM bm JOIN ex USING (doc_id) ORDER BY doc_id""".stripMargin
+          .replace("\n", "")))
+  )
+}

@@ -1058,7 +1058,100 @@ object TrainDataOps {
            |   CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist, cand_id) AS INT) AS rnk FROM adc)
            | SELECT query_id, rnk, cand_id, adist FROM rk WHERE rnk <= 5
            | ORDER BY query_id, rnk""".stripMargin.replace("\n", "")
-      })
+      }),
+
+    // Cross-document repeated-span statistics (the measurement half of
+    // exact substring dedup, Lee et al. 2022): word-8-grams occurring in
+    // more than one document mark their token spans as boilerplate; the
+    // per-doc answer is how many token positions any repeated span
+    // covers, after merging overlaps (island detection over [i, i+7]
+    // intervals — running max-end, integer-only). Complements q106
+    // (within-doc repetition) and q110 (whole-doc dedup): this is the
+    // operator that finds PARTIAL duplication — shared headers, quoted
+    // passages, licenses. 100 TB posture: 8-gram df is a fixed-width
+    // 60-bit-hash aggregate (map-side combinable), the span merge is one
+    // window per doc over positions that survive the df >= 2 semi-join
+    // — never a self-join, never string shuffles.
+    "q125_repeated_spans" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val grams = docs
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .where(size(col("w")) >= 8)
+          .select(col("doc_id"), size(col("w")).cast("bigint").as("n_tokens"),
+            posexplode(expr(
+              "transform(sequence(1, size(w) - 7), " +
+                "i -> concat_ws(' ', slice(w, i, 8)))")))
+          .select(col("doc_id"), col("n_tokens"),
+            (col("pos") + 1).as("i"), DedupOps.md5Long60(col("col")).as("g"))
+        val hub = grams.groupBy("g")
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .where(col("df") >= 2).select("g")
+        val marked = grams.join(hub, "g")
+          .select(col("doc_id"), col("n_tokens"), col("i"),
+            (col("i") + 7).as("e"))
+        val w = Window.partitionBy("doc_id").orderBy("i")
+        val islands = marked
+          .withColumn("prev_max_e",
+            max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("new_island",
+            (col("prev_max_e").isNull || col("i") > col("prev_max_e"))
+              .cast("int"))
+          .withColumn("island", sum(col("new_island")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("doc_id", "island")
+          .agg(first("n_tokens").as("n_tokens"),
+            count(lit(1)).as("n_positions"),
+            (max("e") - min("i") + 1).as("covered"))
+        val perDoc = islands.groupBy("doc_id")
+          .agg(first("n_tokens").as("n_tokens"),
+            sum("n_positions").as("n_repeated_grams"),
+            count(lit(1)).cast("int").as("n_spans"),
+            sum("covered").as("covered_tokens"))
+        docs.select(col("doc_id"),
+            size(split(col("text"), " ")).cast("bigint").as("all_tokens"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("all_tokens"),
+            coalesce(col("n_repeated_grams"), lit(0L)).as("n_repeated_grams"),
+            coalesce(col("n_spans"), lit(0)).as("n_spans"),
+            coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+            // div, not /: Spark's / on BIGINT is IEEE; basis points stay
+            // integer-exact in both engines
+            expr("coalesce(covered_tokens, 0L) * 10000L div all_tokens")
+              .as("covered_bps"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          | g AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+          |   unnest(generate_series(1, len(w) - 7)) AS i, w FROM t WHERE len(w) >= 8),
+          | gh AS (SELECT doc_id, n_tokens, i,
+          |   ('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15))::BIGINT AS gr FROM g),
+          | hub AS (SELECT gr FROM gh GROUP BY gr HAVING count(DISTINCT doc_id) >= 2),
+          | mk AS (SELECT doc_id, n_tokens, i, i + 7 AS e FROM gh JOIN hub USING (gr)),
+          | isl AS (SELECT doc_id, n_tokens, i, e,
+          |   CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY i
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+          |     OR i > max(e) OVER (PARTITION BY doc_id ORDER BY i
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          |     THEN 1 ELSE 0 END AS new_island FROM mk),
+          | isl2 AS (SELECT *, sum(new_island) OVER (PARTITION BY doc_id ORDER BY i
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM isl),
+          | spans AS (SELECT doc_id, island, max(n_tokens) AS n_tokens,
+          |   count(*) AS n_positions, max(e) - min(i) + 1 AS covered
+          |   FROM isl2 GROUP BY doc_id, island),
+          | pd AS (SELECT doc_id, max(n_tokens) AS n_tokens,
+          |   CAST(sum(n_positions) AS BIGINT) AS n_repeated_grams,
+          |   CAST(count(*) AS INT) AS n_spans,
+          |   CAST(sum(covered) AS BIGINT) AS covered_tokens FROM spans GROUP BY doc_id),
+          | alltok AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS all_tokens FROM documents)
+          | SELECT a.doc_id, a.all_tokens,
+          |   coalesce(pd.n_repeated_grams, 0) AS n_repeated_grams,
+          |   coalesce(pd.n_spans, 0) AS n_spans,
+          |   coalesce(pd.covered_tokens, 0) AS covered_tokens,
+          |   CAST(coalesce(pd.covered_tokens, 0) * 10000 // a.all_tokens AS BIGINT) AS covered_bps
+          | FROM alltok a LEFT JOIN pd USING (doc_id) ORDER BY a.doc_id"""
+          .stripMargin.replace("\n", "")))
   )
 
   /** Product-quantization geometry: 4 subspaces x 16 dims over the 64-d
