@@ -178,9 +178,11 @@ object Bench {
     // collect(), not count(): count() over the agg lets Catalyst prune
     // the aggregate expression away and the control does no work.
     val controls: Seq[(String, () => Long)] = Seq(
+      // id % 7, not id: sum(id) over 8e9 rows is ~3.2e19, past BIGINT —
+      // ANSI mode throws and the control silently records -1 (r6 bug).
       "cal_range_sum" -> (() =>
         spark.range(0, 8L * 1000 * 1000 * 1000, 1, cpus.toInt)
-          .agg(sum(col("id"))).collect().length.toLong),
+          .agg(sum(col("id") % 7)).collect().length.toLong),
       "cal_md5_alloc" -> (() =>
         spark.range(0, 48L * 1000 * 1000, 1, cpus.toInt)
           .select(md5(concat_ws("-", lit("cal"), col("id"))).as("h"))
