@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -25,34 +26,52 @@ object ExtendedOps {
 
   def all: Map[String, Q] = base ++ warehouseOps
 
-  /** All strings reachable from `name` by deleting at most 2
-    * characters, each hashed to a 60-bit long (so the blocking join
-    * shuffles fixed-width keys, never name bytes; hash collisions only
-    * ADD candidates, which the Levenshtein verifier discards). For an
-    * entity name of length L this is 1 + L + C(L,2) variants — ~170 for
-    * typical short names; this operator targets entity NAMES, not
-    * documents (for long text the LSH/winnowing family in DedupOps is
-    * the right tool). Codegen'd higher-order functions: zero shuffle,
-    * no UDF.
+  /** The FastSS deletion neighborhood as a DataFrame: one row per
+    * (carry..., vh) where vh ranges over the hashes of every string
+    * reachable from `name` by deleting at most 2 characters — 1 + L +
+    * C(L,2) variants for length L, ~170 for typical short entity names
+    * (for long text the LSH/winnowing family in DedupOps is the right
+    * tool). Built from three chained codegen'd Generate stages (0-, 1-,
+    * 2-deletion), NOT a nested higher-order-function array: HOFs are
+    * CodegenFallback, and the interpreted per-element expression tree
+    * measured ~3.5 s per evaluation over sf0.1's 1.6M variants where
+    * the exploded form runs fused. The second explode enumerates only
+    * j >= i, so each unordered deletion pair appears once.
+    *
+    * Hashing is xxhash64, not the md5-60-bit bridge: the variant hash
+    * never reaches the oracle (DuckDB verifies with the full quadratic
+    * Levenshtein), identical variant strings still collide by
+    * construction, and a stray 64-bit collision only ADDS a candidate
+    * the verifier discards — so the cheapest codegen'd hash wins.
     */
-  private[graft] def deletionNeighborhood(name: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.Column = {
-    val L = length(name)
-    // delete position i (1-based)
-    val d1 = transform(sequence(lit(1), greatest(L, lit(1))),
-      i => concat(name.substr(lit(1), i - 1),
-        name.substr(i + 1, lit(Int.MaxValue))))
-    // delete positions i < j
-    val d2 = flatten(transform(sequence(lit(2), greatest(L, lit(2))),
-      j => transform(sequence(lit(1), j - 1),
-        i => concat(name.substr(lit(1), i - 1),
-          name.substr(i + 1, j - i - 1),
-          name.substr(j + 1, lit(Int.MaxValue))))))
-    val all = when(L >= 2, concat(array(name), d1, d2))
-      .when(L === 1, concat(array(name), d1))
-      .otherwise(array(name))
-    transform(array_distinct(all),
-      v => conv(substring(md5(v), 1, 15), 16, 10).cast("long"))
+  private[graft] def deletionVariants(rows: DataFrame, name: String,
+      carry: Seq[String]): DataFrame = {
+    val cs = carry.map(col)
+    val base = rows.select(cs :+ col(name).as("s0"): _*)
+    val v0 = base.select(cs :+ col("s0").as("v"): _*)
+    // one deletion at position i; keep (s1, i) so the second deletion
+    // can restrict to original positions j > i
+    val d1x = base.where(length(col("s0")) >= 1)
+      .select(cs :+ col("s0") :+
+        explode(sequence(lit(1), length(col("s0")))).as("i"): _*)
+      .select(cs :+ col("i") :+
+        concat(col("s0").substr(lit(1), col("i") - 1),
+          col("s0").substr(col("i") + 1, lit(Int.MaxValue))).as("s1"): _*)
+    val d1 = d1x.select(cs :+ col("s1").as("v"): _*)
+    // deleting position j' of s1 for j' in [i, len(s1)] removes
+    // original position j = j'+1 > i — each unordered {i, j} once
+    val d2 = d1x.where(length(col("s1")) >= col("i"))
+      .select(cs :+ col("s1") :+
+        explode(sequence(col("i"), length(col("s1")))).as("j"): _*)
+      .select(cs :+
+        concat(col("s1").substr(lit(1), col("j") - 1),
+          col("s1").substr(col("j") + 1, lit(Int.MaxValue))).as("v"): _*)
+    // distinct: equal variants of one entity ("aab" losing position 1
+    // or 2 both yield "ab") would otherwise multiply candidate-join
+    // output before ITS distinct
+    v0.unionAll(d1).unionAll(d2)
+      .select(cs :+ xxhash64(col("v")).as("vh"): _*)
+      .distinct()
   }
 
   private def base: Map[String, Q] = Map(
@@ -988,9 +1007,13 @@ object ExtendedOps {
         val c = table(s, dir, "customer")
           .select(col("c_custkey"), col("c_name"),
             col("c_nationkey"), col("c_mktsegment"))
-        val variants = c.select(col("c_custkey"), col("c_nationkey"),
-          col("c_mktsegment"),
-          explode(deletionNeighborhood(col("c_name"))).as("vh"))
+        // Materialize the variant table ONCE: the self-join otherwise
+        // re-evaluates the deletion-neighborhood generation on both
+        // sides (measured ~2x the whole candidate stage at sf0.1). Same
+        // checkpoint-the-expensive-leaf discipline as q110/q118.
+        val variants = deletionVariants(c, "c_name",
+            Seq("c_custkey", "c_nationkey", "c_mktsegment"))
+          .localCheckpoint(eager = true)
         val cand = variants.as("a").join(variants.as("b"),
             col("a.vh") === col("b.vh") &&
               col("a.c_nationkey") === col("b.c_nationkey") &&

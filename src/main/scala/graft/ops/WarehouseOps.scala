@@ -74,10 +74,15 @@ object WarehouseOps {
         val li = table(s, dir, "lineitem")
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
           .distinct()
+        // pairs feeds deg AND e; e feeds all three legs of the wedge
+        // join — checkpoint both so the order self-join runs once and
+        // the oriented edge list is a materialized leaf, not a lineage
+        // replayed three times (q110/q118 discipline).
         val pairs = li.alias("a").join(li.alias("b"),
             col("a.o") === col("b.o") && col("a.p") < col("b.p"))
           .select(col("a.p").as("u"), col("b.p").as("v"))
           .distinct()
+          .localCheckpoint(eager = true)
         val deg = pairs.select(col("u").as("n"))
           .unionAll(pairs.select(col("v").as("n")))
           .groupBy("n").agg(count(lit(1)).as("deg"))
@@ -91,11 +96,18 @@ object WarehouseOps {
             when(col("du") < col("dv") ||
               (col("du") === col("dv") && col("u") < col("v")),
               col("v")).otherwise(col("u")).as("dst"))
-        val tri = e.alias("ab").join(e.alias("bc"),
+          .localCheckpoint(eager = true)
+        // Broadcast the edge list into both wedge legs: the oriented
+        // edges are fixed-width longs (~19 MB at sf0.1), so wedges are
+        // generated AND closed inside one pipelined codegen stage — the
+        // 49M intermediate wedge rows (measured at sf0.1) never hit a
+        // shuffle. Past broadcast size (E >~ 10^8) drop the hints and
+        // the same plan degrades gracefully to two shuffled hash joins.
+        val tri = e.alias("ab").join(broadcast(e.alias("bc")),
             col("ab.dst") === col("bc.src"))
           .select(col("ab.src").as("ta"), col("ab.dst").as("tb"),
             col("bc.dst").as("tc"))
-          .join(e.alias("ac"),
+          .join(broadcast(e.alias("ac")),
             col("ta") === col("ac.src") && col("tc") === col("ac.dst"),
             "left_semi")
         tri.select(explode(array(col("ta"), col("tb"), col("tc"))).as("part"))

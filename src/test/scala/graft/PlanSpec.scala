@@ -220,10 +220,8 @@ class PlanSpec extends SparkSpec {
     val c = TestData.table(spark, sf, "customer")
       .select(col("c_custkey"), col("c_name"),
         col("c_nationkey"), col("c_mktsegment"))
-    val v = c.select(col("c_custkey"), col("c_nationkey"),
-      col("c_mktsegment"),
-      explode(graft.ops.ExtendedOps.deletionNeighborhood(col("c_name")))
-        .as("vh"))
+    val v = graft.ops.ExtendedOps.deletionVariants(c, "c_name",
+      Seq("c_custkey", "c_nationkey", "c_mktsegment"))
     val cand = v.as("a").join(v.as("b"),
         col("a.vh") === col("b.vh") &&
           col("a.c_nationkey") === col("b.c_nationkey") &&

@@ -207,8 +207,7 @@ class WarehouseGraphSpec extends SparkSpec {
       .select($"a.id".as("d1"), $"b.id".as("d2"))
       .as[(Long, Long)].collect().toSet
     assert(truth.nonEmpty && truth.contains((1L, 2L)))
-    val v = df.select($"id",
-      explode(graft.ops.ExtendedOps.deletionNeighborhood($"name")).as("vh"))
+    val v = graft.ops.ExtendedOps.deletionVariants(df, "name", Seq("id"))
     val candidates = v.as("a").join(v.as("b"),
         $"a.vh" === $"b.vh" && $"a.id" < $"b.id")
       .select($"a.id".as("d1"), $"b.id".as("d2")).distinct()
