@@ -235,6 +235,351 @@ object WarehouseOps {
           |   UNION ALL
           |   SELECT 'last_touch', lt, count(*), sum(cents) FROM p GROUP BY 2)
           | SELECT model, channel, conversions, CAST(value_cents AS BIGINT) AS value_cents
-          | FROM m ORDER BY model, channel""".stripMargin.replace("\n", "")))
+          | FROM m ORDER BY model, channel""".stripMargin.replace("\n", ""))),
+
+    // Data-quality audit — the pre-flight every warehouse load runs:
+    // referential integrity (orders->customer, lineitem->{orders, part,
+    // supplier}, customer/supplier->nation) and domain rules
+    // (l_quantity > 0, l_discount in [0,1], o_totalprice > 0), one
+    // result row per check. 100 TB posture: ONE pass per fact table —
+    // all of lineitem's FK targets join broadcast (dimension key sets),
+    // and every rule on that table folds into the same aggregate, so
+    // the audit costs three scans and zero fact-side shuffles, not one
+    // job per rule.
+    "q132_dq_audit" -> Q(
+      (s, dir) => {
+        def keys(t: String, k: String) =
+          table(s, dir, t).select(col(k)).distinct()
+        val li = table(s, dir, "lineitem")
+          .join(broadcast(keys("orders", "o_orderkey")
+              .withColumn("ok_o", lit(1))),
+            col("l_orderkey") === col("o_orderkey"), "left")
+          .join(broadcast(keys("part", "p_partkey")
+              .withColumn("ok_p", lit(1))),
+            col("l_partkey") === col("p_partkey"), "left")
+          .join(broadcast(keys("supplier", "s_suppkey")
+              .withColumn("ok_s", lit(1))),
+            col("l_suppkey") === col("s_suppkey"), "left")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("ok_o").isNull, 1).otherwise(0)).as("fk_orders"),
+            sum(when(col("ok_p").isNull, 1).otherwise(0)).as("fk_part"),
+            sum(when(col("ok_s").isNull, 1).otherwise(0)).as("fk_supplier"),
+            sum(when(col("l_quantity") <= 0, 1).otherwise(0)).as("dom_qty"),
+            sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1)
+              .otherwise(0)).as("dom_disc"))
+          .select(explode(map(
+            lit("lineitem_orderkey_fk"), col("fk_orders"),
+            lit("lineitem_partkey_fk"), col("fk_part"),
+            lit("lineitem_suppkey_fk"), col("fk_supplier"),
+            lit("lineitem_quantity_positive"), col("dom_qty"),
+            lit("lineitem_discount_range"), col("dom_disc")))
+            .as(Seq("check_name", "n_violations")), col("n"))
+        val o = table(s, dir, "orders")
+          .join(broadcast(keys("customer", "c_custkey")
+              .withColumn("ok_c", lit(1))),
+            col("o_custkey") === col("c_custkey"), "left")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("ok_c").isNull, 1).otherwise(0)).as("fk_cust"),
+            sum(when(col("o_totalprice") <= 0, 1).otherwise(0)).as("dom_tp"))
+          .select(explode(map(
+            lit("orders_custkey_fk"), col("fk_cust"),
+            lit("orders_totalprice_positive"), col("dom_tp")))
+            .as(Seq("check_name", "n_violations")), col("n"))
+        def dimNation(t: String, k: String, name: String) =
+          table(s, dir, t)
+            .join(broadcast(keys("nation", "n_nationkey")
+                .withColumn("ok_n", lit(1))),
+              col(k) === col("n_nationkey"), "left")
+            .agg(count(lit(1)).as("n"),
+              sum(when(col("ok_n").isNull, 1).otherwise(0)).as("v"))
+            .select(lit(name).as("check_name"), col("v").as("n_violations"),
+              col("n"))
+        li.unionByName(o)
+          .unionByName(dimNation("customer", "c_nationkey",
+            "customer_nationkey_fk"))
+          .unionByName(dimNation("supplier", "s_nationkey",
+            "supplier_nationkey_fk"))
+          .select(col("check_name"), col("n").as("n_rows"),
+            col("n_violations").cast("long").as("n_violations"),
+            expr("n_violations * 10000 div n").as("violation_bps"))
+          .orderBy("check_name")
+      },
+      Some(
+        """WITH li AS (SELECT count(*) AS n,
+          |   sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS fk_orders,
+          |   sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS fk_part,
+          |   sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS fk_supplier,
+          |   sum(CASE WHEN l.l_quantity <= 0 THEN 1 ELSE 0 END) AS dom_qty,
+          |   sum(CASE WHEN l.l_discount < 0 OR l.l_discount > 1 THEN 1 ELSE 0 END) AS dom_disc
+          |   FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |   LEFT JOIN part p ON l.l_partkey = p.p_partkey
+          |   LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+          | o AS (SELECT count(*) AS n,
+          |   sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS fk_cust,
+          |   sum(CASE WHEN o.o_totalprice <= 0 THEN 1 ELSE 0 END) AS dom_tp
+          |   FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
+          | cn AS (SELECT count(*) AS n,
+          |   sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS v
+          |   FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey),
+          | sn AS (SELECT count(*) AS n,
+          |   sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS v
+          |   FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey),
+          | rows_(check_name, n_rows, n_violations) AS (
+          |   SELECT 'lineitem_orderkey_fk', n, fk_orders FROM li
+          |   UNION ALL SELECT 'lineitem_partkey_fk', n, fk_part FROM li
+          |   UNION ALL SELECT 'lineitem_suppkey_fk', n, fk_supplier FROM li
+          |   UNION ALL SELECT 'lineitem_quantity_positive', n, dom_qty FROM li
+          |   UNION ALL SELECT 'lineitem_discount_range', n, dom_disc FROM li
+          |   UNION ALL SELECT 'orders_custkey_fk', n, fk_cust FROM o
+          |   UNION ALL SELECT 'orders_totalprice_positive', n, dom_tp FROM o
+          |   UNION ALL SELECT 'customer_nationkey_fk', n, v FROM cn
+          |   UNION ALL SELECT 'supplier_nationkey_fk', n, v FROM sn)
+          | SELECT check_name, n_rows, CAST(n_violations AS BIGINT) AS n_violations,
+          |   CAST(n_violations * 10000 // n_rows AS BIGINT) AS violation_bps
+          | FROM rows_ ORDER BY check_name""".stripMargin.replace("\n", ""))),
+
+    // Sequential pattern mining over user event streams: every
+    // consecutive event-type trigram (per user, (ts, event_id) order),
+    // ranked by global frequency with the distinct-user reach of each
+    // pattern — the funnel-discovery primitive (which 3-step paths
+    // actually happen) that complements q79's fixed funnel. 100 TB
+    // posture: ONE user-key exchange serves both lead() windows, the
+    // trigram aggregate is map-side combinable over a tiny pattern
+    // domain (|types|^3), and reach rides the same aggregate via an
+    // exact distinct over (pattern, user) pre-collapse.
+    "q135_event_trigrams" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val tri = table(s, dir, "events")
+          .select(col("user_id"), col("event_type").as("t1"),
+            lead(col("event_type"), 1).over(w).as("t2"),
+            lead(col("event_type"), 2).over(w).as("t3"))
+          .where(col("t2").isNotNull && col("t3").isNotNull)
+          .select(col("user_id"),
+            concat_ws(">", col("t1"), col("t2"), col("t3")).as("pattern"))
+        tri.groupBy("pattern")
+          .agg(count(lit(1)).as("occurrences"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("occurrences").desc, col("pattern"))
+          .limit(20)
+          .select(col("pattern"), col("occurrences"), col("n_users"))
+          .orderBy(col("occurrences").desc, col("pattern"))
+      },
+      Some(
+        """WITH t AS (SELECT user_id, event_type AS t1,
+          |   lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+          |   lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t3
+          |   FROM events),
+          | tri AS (SELECT user_id, t1 || '>' || t2 || '>' || t3 AS pattern
+          |   FROM t WHERE t2 IS NOT NULL AND t3 IS NOT NULL),
+          | top AS (SELECT pattern, count(*) AS occurrences,
+          |   count(DISTINCT user_id) AS n_users FROM tri GROUP BY 1
+          |   ORDER BY occurrences DESC, pattern LIMIT 20)
+          | SELECT pattern, occurrences, n_users FROM top
+          | ORDER BY occurrences DESC, pattern""".stripMargin.replace("\n", ""))),
+
+    // Join-key skew profile — the pre-flight that decides whether a
+    // shuffle needs salting or AQE skew-split: per-key counts for
+    // lineitem.l_partkey, reduced to the top-10 heaviest keys each
+    // annotated with corpus-level concentration stats (key count, total
+    // rows, max/avg ratio x100, each key's share in bps). All integer-
+    // exact. 100 TB posture: the per-key count is ONE map-side-
+    // combinable aggregate over the natural key (the same exchange the
+    // production join would make anyway), the stats reduce the per-key
+    // frame to one broadcast row, and top-10 is a TakeOrdered — no
+    // second fact-table pass, no full sort.
+    "q133_skew_profile" -> Q(
+      (s, dir) => {
+        val cnt = table(s, dir, "lineitem")
+          .groupBy(col("l_partkey").as("key"))
+          .agg(count(lit(1)).as("cnt"))
+        val stats = cnt.agg(count(lit(1)).as("n_keys"),
+          sum("cnt").as("total_rows"), max("cnt").as("max_cnt"))
+        cnt.crossJoin(broadcast(stats))
+          .orderBy(col("cnt").desc, col("key"))
+          .limit(10)
+          .select(col("key"), col("cnt"), col("n_keys"), col("total_rows"),
+            expr("max_cnt * 100 * n_keys div total_rows")
+              .as("max_over_avg_x100"),
+            expr("cnt * 10000 div total_rows").as("share_bps"))
+          .orderBy(col("cnt").desc, col("key"))
+      },
+      Some(
+        """WITH c AS (SELECT l_partkey AS key, count(*) AS cnt
+          |   FROM lineitem GROUP BY 1),
+          | st AS (SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS total_rows,
+          |   max(cnt) AS max_cnt FROM c),
+          | top AS (SELECT c.key, c.cnt, st.n_keys, st.total_rows,
+          |   CAST(st.max_cnt * 100 * st.n_keys // st.total_rows AS BIGINT) AS max_over_avg_x100,
+          |   CAST(c.cnt * 10000 // st.total_rows AS BIGINT) AS share_bps
+          |   FROM c CROSS JOIN st ORDER BY c.cnt DESC, c.key LIMIT 10)
+          | SELECT key, cnt, n_keys, total_rows, max_over_avg_x100, share_bps
+          | FROM top ORDER BY cnt DESC, key""".stripMargin.replace("\n", ""))),
+
+    // Z-order layout planning: each lineitem row gets a 16-bit Morton
+    // code interleaving 8-bit buckets of (l_partkey, l_suppkey), rows
+    // are binned into 64 equal z-ranges ("files"), and the plan reports
+    // each file's row count and per-dimension bucket spans with the
+    // covered rectangle area in bps of the full 256x256 domain — the
+    // locality metric that shows why a z-sorted layout serves BOTH
+    // part- and supplier-predicates (each file covers a compact ~32x32
+    // rectangle instead of a full-width stripe). The interleave is 16
+    // codegen'd shift/mask terms, exact in both engines. 100 TB
+    // posture: the z-value is a per-row projection; binning is ONE
+    // aggregate by file id — the real rewrite would range-partition by
+    // z with these same bounds, so the plan is also its shuffle spec.
+    "q136_zorder_layout" -> Q(
+      (s, dir) => {
+        val interleave = (0 until 8).map(i =>
+          s"(shiftleft(cast(shiftright(px, $i) & 1 as bigint), ${2 * i})" +
+            s" + shiftleft(cast(shiftright(sx, $i) & 1 as bigint), ${2 * i + 1}))")
+          .mkString(" + ")
+        table(s, dir, "lineitem")
+          .select((col("l_partkey") % 256).cast("int").as("px"),
+            (col("l_suppkey") % 256).cast("int").as("sx"))
+          .withColumn("z", expr(interleave))
+          .withColumn("file_id", expr("z div 1024").cast("int"))
+          .groupBy("file_id")
+          .agg(count(lit(1)).as("n_rows"),
+            min("px").as("px_min"), max("px").as("px_max"),
+            min("sx").as("sx_min"), max("sx").as("sx_max"))
+          .withColumn("rect_bps", expr(
+            "(px_max - px_min + 1) * (sx_max - sx_min + 1) * 10000 div 65536"))
+          .orderBy("file_id")
+      },
+      Some {
+        val interleave = (0 until 8).map(i =>
+          s"(((px >> $i) & 1)::BIGINT << ${2 * i}" +
+            s") + (((sx >> $i) & 1)::BIGINT << ${2 * i + 1})")
+          .mkString(" + ")
+        s"""WITH b AS (SELECT CAST(l_partkey % 256 AS INT) AS px,
+          |   CAST(l_suppkey % 256 AS INT) AS sx FROM lineitem),
+          | z AS (SELECT px, sx, $interleave AS z FROM b),
+          | f AS (SELECT px, sx, CAST(z // 1024 AS INT) AS file_id FROM z)
+          | SELECT file_id, count(*) AS n_rows,
+          |   min(px) AS px_min, max(px) AS px_max,
+          |   min(sx) AS sx_min, max(sx) AS sx_max,
+          |   CAST((max(px) - min(px) + 1) * (max(sx) - min(sx) + 1) * 10000 // 65536 AS BIGINT) AS rect_bps
+          | FROM f GROUP BY 1 ORDER BY file_id""".stripMargin.replace("\n", "")
+      }),
+
+    // Peak concurrent sessions per hour — capacity-planning sweep over
+    // the 5-minute-gap sessions of q50: each session is an interval
+    // [start, end] in whole epoch seconds; per hour we take the
+    // carried-in active count (sessions begun earlier and still open)
+    // plus the max prefix of a +1/-1 boundary sweep ordered (t, +1
+    // first — a session ending the instant another starts counts as
+    // concurrent). 100 TB posture: the global sweep is PARTITIONED by
+    // hour (the classic single-ordering trap avoided): per-session hour
+    // fanout is bounded by session length, every window is per-hour,
+    // and carried-in counts come from the same exploded frame — no
+    // total-order window anywhere.
+    "q134_peak_concurrency" -> Q(
+      (s, dir) => {
+        val wu = Window.partitionBy("user_id").orderBy("t")
+        val sess = table(s, dir, "events")
+          .select(col("user_id"), unix_timestamp(col("ts")).as("t"))
+          .withColumn("prev", lag(col("t"), 1).over(wu))
+          .withColumn("new_s",
+            when(col("prev").isNull || col("t") - col("prev") >= 300, 1)
+              .otherwise(0))
+          .withColumn("sid", sum("new_s").over(
+            wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "sid")
+          .agg(min("t").as("st"), max("t").as("en"))
+        val sh = sess.select(col("st"), col("en"),
+          explode(sequence(expr("st div 3600"), expr("en div 3600")))
+            .as("hr"))
+        val base = sh.groupBy("hr")
+          .agg(count(lit(1)).as("n_overlapping"),
+            sum(when(col("st") < col("hr") * 3600, 1).otherwise(0))
+              .as("base_active"))
+        val evts = sh.where(expr("st div 3600") === col("hr"))
+          .select(col("hr"), col("st").as("t"), lit(1).as("delta"))
+          .unionAll(sh.where(expr("en div 3600") === col("hr"))
+            .select(col("hr"), col("en").as("t"), lit(-1).as("delta")))
+        val wh = Window.partitionBy("hr")
+          .orderBy(col("t"), col("delta").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val peaks = evts.withColumn("run", sum("delta").over(wh))
+          .groupBy("hr").agg(max("run").as("max_run"))
+        base.join(peaks, Seq("hr"), "left")
+          .select((col("hr") * 3600).as("hour_epoch"), col("n_overlapping"),
+            col("base_active"),
+            (col("base_active") +
+              greatest(coalesce(col("max_run"), lit(0L)), lit(0L)))
+              .as("peak_concurrency"))
+          .orderBy("hour_epoch")
+      },
+      Some(
+        """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+          | o AS (SELECT user_id, t,
+          |   CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+          |     OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) >= 300
+          |   THEN 1 ELSE 0 END AS new_s FROM e),
+          | g AS (SELECT user_id, t, sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+          |   ROWS UNBOUNDED PRECEDING) AS sid FROM o),
+          | sess AS (SELECT user_id, sid, min(t) AS st, max(t) AS en FROM g GROUP BY 1, 2),
+          | sh AS (SELECT st, en, unnest(generate_series(st // 3600, en // 3600)) AS hr FROM sess),
+          | base AS (SELECT hr, count(*) AS n_overlapping,
+          |   sum(CASE WHEN st < hr * 3600 THEN 1 ELSE 0 END) AS base_active FROM sh GROUP BY 1),
+          | ev2 AS (SELECT hr, st AS t, 1 AS delta FROM sh WHERE st // 3600 = hr
+          |   UNION ALL SELECT hr, en, -1 FROM sh WHERE en // 3600 = hr),
+          | run AS (SELECT hr, sum(delta) OVER (PARTITION BY hr ORDER BY t, delta DESC
+          |   ROWS UNBOUNDED PRECEDING) AS run FROM ev2),
+          | pk AS (SELECT hr, max(run) AS max_run FROM run GROUP BY 1)
+          | SELECT hr * 3600 AS hour_epoch, n_overlapping,
+          |   CAST(base_active AS BIGINT) AS base_active,
+          |   CAST(base_active + greatest(coalesce(max_run, 0), 0) AS BIGINT) AS peak_concurrency
+          | FROM base LEFT JOIN pk USING (hr) ORDER BY hour_epoch"""
+          .stripMargin.replace("\n", ""))),
+
+    // Inverted-index postings for the 100 highest-df terms: per term,
+    // document frequency, total term frequency, the first 10 doc_ids of
+    // the sorted posting list, and an order-independent checksum over
+    // the FULL posting (sum of distinct doc_ids) standing in for the
+    // list a real index would write. 100 TB posture: per-group state is
+    // bounded — the head is selected by a per-term row_number BEFORE
+    // any collect (never collect-then-slice, which would buffer a
+    // stopword's full posting), df/tf/checksum are plain combinable
+    // aggregates, and top-100 is a TakeOrdered.
+    "q137_inverted_index" -> Q(
+      (s, dir) => {
+        val tok = table(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .where(col("term") =!= "")
+        val dist = tok.select("term", "doc_id").distinct()
+        val wr = Window.partitionBy("term").orderBy("doc_id")
+        val heads = dist.withColumn("rn", row_number().over(wr))
+          .where(col("rn") <= 10)
+          .groupBy("term")
+          .agg(sort_array(collect_list(col("doc_id"))).as("posting_head"))
+        val stats = dist.groupBy("term")
+          .agg(count(lit(1)).as("df"), sum("doc_id").as("posting_checksum"))
+        val tf = tok.groupBy("term").agg(count(lit(1)).as("tf"))
+        stats.join(tf, "term").join(heads, "term")
+          .orderBy(col("df").desc, col("term"))
+          .limit(100)
+          .select(col("term"), col("df"), col("tf"),
+            col("posting_checksum"), col("posting_head"))
+          .orderBy(col("df").desc, col("term"))
+      },
+      Some(
+        """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          |   FROM documents),
+          | tk AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+          | dist AS (SELECT DISTINCT term, doc_id FROM tk),
+          | hd AS (SELECT term, list(doc_id ORDER BY doc_id) AS posting_head FROM
+          |   (SELECT term, doc_id, row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+          |    FROM dist) WHERE rn <= 10 GROUP BY term),
+          | st AS (SELECT term, count(*) AS df,
+          |   CAST(sum(doc_id) AS BIGINT) AS posting_checksum FROM dist GROUP BY term),
+          | tf AS (SELECT term, count(*) AS tf FROM tk GROUP BY term),
+          | top AS (SELECT st.term, st.df, tf.tf, st.posting_checksum, hd.posting_head
+          |   FROM st JOIN tf USING (term) JOIN hd USING (term)
+          |   ORDER BY st.df DESC, st.term LIMIT 100)
+          | SELECT term, df, tf, posting_checksum, posting_head FROM top
+          | ORDER BY df DESC, term""".stripMargin.replace("\n", "")))
   )
 }

@@ -117,4 +117,97 @@ class SketchWarehouseSpec extends SparkSpec {
     val ltVal = rows.filter(_._1 == "last_touch").map(_._4).sum
     assert(ftVal == ltVal, "models must settle identical total value")
   }
+
+  test("q132 audit covers all nine checks with consistent ratios") {
+    val rows = run("q132_dq_audit")
+      .select("check_name", "n_rows", "n_violations", "violation_bps")
+      .as[(String, Long, Long, Long)].collect()
+    val expected = Set("lineitem_orderkey_fk", "lineitem_partkey_fk",
+      "lineitem_suppkey_fk", "lineitem_quantity_positive",
+      "lineitem_discount_range", "orders_custkey_fk",
+      "orders_totalprice_positive", "customer_nationkey_fk",
+      "supplier_nationkey_fk")
+    assert(rows.map(_._1).toSet == expected, "check inventory drifted")
+    rows.foreach { case (c, n, v, bps) =>
+      assert(n > 0 && v >= 0 && v <= n, s"$c: counts inconsistent")
+      assert(bps == v * 10000 / n, s"$c: bps not derived from counts")
+    }
+  }
+
+  test("q133 skew profile: descending shares, max dominates average") {
+    val rows = run("q133_skew_profile")
+      .select("key", "cnt", "n_keys", "total_rows", "max_over_avg_x100",
+        "share_bps")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length == 10)
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sortBy(-_).toSeq)
+    val (nKeys, total) = (rows.head._3, rows.head._4)
+    rows.foreach { case (k, cnt, nk, t, moa, share) =>
+      assert(nk == nKeys && t == total, s"key $k: stats rows disagree")
+      assert(moa >= 100, s"key $k: max below average is impossible")
+      assert(share == cnt * 10000 / total, s"key $k: share inconsistent")
+    }
+    // top key IS the max the ratio was computed from
+    assert(rows.head._5 == rows.head._2 * 100 * nKeys / total)
+  }
+
+  test("q134 peak concurrency bounded by overlap count and carry-in") {
+    val rows = run("q134_peak_concurrency")
+      .select("hour_epoch", "n_overlapping", "base_active",
+        "peak_concurrency")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (h, n, base, peak) =>
+      assert(h % 3600 == 0, s"hour $h not on an hour boundary")
+      assert(base >= 0 && base <= n, s"hour $h: carry-in exceeds overlap")
+      assert(peak >= base && peak >= 1 && peak <= n,
+        s"hour $h: peak $peak outside [$base, $n]")
+    }
+  }
+
+  test("q135 trigram ranking is consistent and user-bounded") {
+    val rows = run("q135_event_trigrams")
+      .select("pattern", "occurrences", "n_users")
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sortBy(-_).toSeq)
+    rows.foreach { case (p, occ, users) =>
+      assert(p.split(">").length == 3, s"pattern $p not a trigram")
+      assert(occ >= users && users >= 1, s"$p: more users than occurrences")
+    }
+  }
+
+  test("q136 z-order files conserve rows and cover compact rectangles") {
+    val rows = run("q136_zorder_layout")
+      .select("file_id", "n_rows", "px_min", "px_max", "sx_min", "sx_max",
+        "rect_bps")
+      .as[(Int, Long, Int, Int, Int, Int, Long)].collect()
+    assert(rows.nonEmpty && rows.length <= 64)
+    val lineitems = TestData.table(spark, sf, "lineitem").count()
+    assert(rows.map(_._2).sum == lineitems, "rows not conserved")
+    rows.foreach { case (f, n, pmin, pmax, smin, smax, bps) =>
+      assert(pmin >= 0 && pmax <= 255 && smin >= 0 && smax <= 255, s"$f")
+      assert(pmin <= pmax && smin <= smax, s"file $f: inverted span")
+      assert(bps == (pmax - pmin + 1).toLong * (smax - smin + 1) * 10000 / 65536,
+        s"file $f: rectangle area inconsistent")
+      // each z-file of 1024 codes covers at most a 32x32 cell
+      assert(pmax - pmin <= 31 || smax - smin <= 63,
+        s"file $f: span ${pmax - pmin}x${smax - smin} too wide for one z-range")
+    }
+  }
+
+  test("q137 postings: heads sorted, sizes bounded by df, checksums add up") {
+    val rows = run("q137_inverted_index")
+      .select("term", "df", "tf", "posting_checksum", "posting_head")
+      .as[(String, Long, Long, Long, Seq[Long])].collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sortBy(-_).toSeq)
+    rows.foreach { case (t, df, tf, sum, head) =>
+      assert(tf >= df && df >= 1, s"$t: tf below df")
+      assert(head.length == math.min(10L, df), s"$t: head size wrong")
+      assert(head == head.sorted, s"$t: head unsorted")
+      if (df <= 10) assert(head.sum == sum, s"$t: checksum != full posting")
+      else assert(head.sum < sum, s"$t: checksum must exceed head sum")
+    }
+  }
 }
