@@ -747,6 +747,95 @@ object DedupOps {
           .replace("\n", "")
       }),
 
+    // MinHash calibration — the measurement that justifies trusting a
+    // sketch at 100 TB: for every LSH candidate pair, compare the
+    // 16-hash signature's similarity ESTIMATE against the EXACT shingle
+    // Jaccard, and report the error distribution in 10%-wide buckets
+    // (pair count, mean estimated vs mean true similarity, worst
+    // error). All ratios are integer bps with a fixed denominator, so
+    // both engines hash identically. 100 TB posture: the exact side is
+    // computed ONLY for candidate pairs (bounded by banding, never
+    // all-pairs); the per-pair intersection is an equi-join on hashed
+    // shingles whose volume is sum over candidates of one doc's
+    // shingle count; the report collapses to <= 11 buckets map-side.
+    "q139_minhash_calibration" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val sig = minhashSignatures(rawShingles(docs)).localCheckpoint()
+        val cand = bandedCandidates(sig, BandSize)
+        val hs = hashedShingles(docs).localCheckpoint()
+        val cnt = hs.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = cand
+          .join(hs.as("ha"), col("d1") === col("ha.doc_id"))
+          .join(hs.as("hb"),
+            col("d2") === col("hb.doc_id") && col("ha.s") === col("hb.s"))
+          .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+        val agree = aggregate(
+          zip_with(col("sa.sig"), col("sb.sig"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x)
+        val scored = cand
+          .join(sig.as("sa"), col("d1") === col("sa.doc_id"))
+          .join(sig.as("sb"), col("d2") === col("sb.doc_id"))
+          .join(cnt.as("ca"), col("d1") === col("ca.doc_id"))
+          .join(cnt.as("cb"), col("d2") === col("cb.doc_id"))
+          .join(inter, Seq("d1", "d2"), "left")
+          .select(agree.as("agree"),
+            coalesce(col("inter"), lit(0L)).as("inter"),
+            (col("ca.n") + col("cb.n") - coalesce(col("inter"), lit(0L)))
+              .as("uni"))
+          .select(
+            expr(s"abs(agree * uni - $NumHashes * inter) * 10000" +
+              s" div ($NumHashes * uni)").as("err_bps"),
+            expr(s"agree * 10000 div $NumHashes").as("est_bps"),
+            expr("inter * 10000 div uni").as("exact_bps"))
+        scored
+          .withColumn("err_bucket", expr("err_bps div 1000"))
+          .groupBy("err_bucket")
+          .agg(count(lit(1)).as("n_pairs"),
+            expr("sum(est_bps) div count(1)").as("avg_est_bps"),
+            expr("sum(exact_bps) div count(1)").as("avg_exact_bps"),
+            max("err_bps").as("max_err_bps"))
+          .orderBy("err_bucket")
+      },
+      Some {
+        import graft.functions.MinHashAgg.{As, Bs, P}
+        val abValues = (0 until NumHashes)
+          .map(j => s"($j, ${As(j)}, ${Bs(j)})").mkString(", ")
+        val bandValues = (0 until NumHashes / BandSize)
+          .map(b => s"($b)").mkString(", ")
+        s"""WITH s0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3),
+           | i0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM s0),
+           | shr AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM i0),
+           | hx AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS x FROM shr),
+           | ab AS (SELECT * FROM (VALUES $abValues) t(j, a, b)),
+           | hj AS (SELECT doc_id, j, min((a * x + b) % $P) AS h FROM hx CROSS JOIN ab GROUP BY doc_id, j),
+           | sg AS (SELECT doc_id, list(h ORDER BY j) AS sig FROM hj GROUP BY doc_id),
+           | band AS (SELECT doc_id, bnd, sig[bnd * $BandSize + 1 : bnd * $BandSize + $BandSize] AS bucket
+           |   FROM sg CROSS JOIN (VALUES $bandValues) t(bnd)),
+           | cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM band a
+           |   JOIN band b ON a.bnd = b.bnd AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+           | h60 AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS s FROM shr),
+           | cnt AS (SELECT doc_id, count(*) AS n FROM h60 GROUP BY doc_id),
+           | p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+           |   FROM h60 a JOIN h60 b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           | agr AS (SELECT d1, d2,
+           |   list_reduce(list_transform(list_zip(sa.sig, sb.sig), q -> CASE WHEN q[1] = q[2] THEN 1 ELSE 0 END), (x, y) -> x + y) AS agree
+           |   FROM cand JOIN sg sa ON d1 = sa.doc_id JOIN sg sb ON d2 = sb.doc_id),
+           | sc AS (SELECT agree, coalesce(p.inter, 0) AS inter,
+           |   ca.n + cb.n - coalesce(p.inter, 0) AS uni
+           |   FROM agr JOIN cnt ca ON agr.d1 = ca.doc_id JOIN cnt cb ON agr.d2 = cb.doc_id
+           |   LEFT JOIN p ON agr.d1 = p.d1 AND agr.d2 = p.d2),
+           | e AS (SELECT abs(agree * uni - $NumHashes * inter) * 10000 // ($NumHashes * uni) AS err_bps,
+           |   agree * 10000 // $NumHashes AS est_bps, inter * 10000 // uni AS exact_bps FROM sc)
+           | SELECT CAST(err_bps // 1000 AS BIGINT) AS err_bucket, count(*) AS n_pairs,
+           |   CAST(sum(est_bps) // count(*) AS BIGINT) AS avg_est_bps,
+           |   CAST(sum(exact_bps) // count(*) AS BIGINT) AS avg_exact_bps,
+           |   CAST(max(err_bps) AS BIGINT) AS max_err_bps
+           | FROM e GROUP BY 1 ORDER BY err_bucket""".stripMargin
+          .replace("\n", "")
+      }),
+
     // SimHash: 32-bit signature from term-frequency-weighted word hashes.
     // Word hash = leading 32 bits of md5 — cross-engine reproducible, so
     // the signature is oracle-checked bit-for-bit (unlike xxhash64).

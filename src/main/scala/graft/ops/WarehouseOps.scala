@@ -580,6 +580,107 @@ object WarehouseOps {
           |   FROM st JOIN tf USING (term) JOIN hd USING (term)
           |   ORDER BY st.df DESC, st.term LIMIT 100)
           | SELECT term, df, tf, posting_checksum, posting_head FROM top
-          | ORDER BY df DESC, term""".stripMargin.replace("\n", "")))
+          | ORDER BY df DESC, term""".stripMargin.replace("\n", ""))),
+
+    // Cross-source content-overlap matrix — the provenance diagnostic a
+    // curation pipeline runs before mixing corpora: for every source
+    // pair, how many distinct word-3-gram shingles they share, with
+    // containment in bps of the smaller source's shingle set (the
+    // "does source B re-host source A" signal exact-duplicate checks
+    // miss). 100 TB posture: shingles are collapsed to 60-bit hashes
+    // BEFORE the distinct (fixed-width shuffle, never strings), the
+    // pair join is an equi-join on the shingle whose per-key fanout is
+    // bounded by the SOURCE COUNT (<= 20 here, never corpus size), and
+    // the matrix domain is C(|sources|, 2) — map-side combinable.
+    "q138_source_overlap" -> Q(
+      (s, dir) => {
+        val ss = table(s, dir, "documents")
+          .select(col("source"), split(col("text"), " ").as("w"))
+          .where(size(col("w")) >= 3)
+          .select(col("source"), explode(expr(
+            "transform(sequence(1, size(w) - 2), " +
+              "i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)))"))
+            .as("sh"))
+          .select(col("source"), DedupOps.md5Long60(col("sh")).as("h"))
+          .distinct()
+        val cnt = ss.groupBy("source").agg(count(lit(1)).as("n"))
+        val shared = ss.as("a")
+          .join(ss.as("b"),
+            col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("shared_shingles"))
+        shared
+          .join(broadcast(cnt.select(col("source").as("src_a"),
+            col("n").as("n_a"))), "src_a")
+          .join(broadcast(cnt.select(col("source").as("src_b"),
+            col("n").as("n_b"))), "src_b")
+          .select(col("src_a"), col("src_b"), col("shared_shingles"),
+            col("n_a"), col("n_b"),
+            expr("shared_shingles * 10000 div least(n_a, n_b)")
+              .as("containment_bps"))
+          .orderBy(col("shared_shingles").desc, col("src_a"), col("src_b"))
+      },
+      Some(
+        """WITH s0 AS (SELECT source, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3),
+          | i0 AS (SELECT source, w, unnest(generate_series(1, len(w) - 2)) AS i FROM s0),
+          | ss AS (SELECT DISTINCT source, ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15))::BIGINT AS h FROM i0),
+          | cnt AS (SELECT source, count(*) AS n FROM ss GROUP BY 1),
+          | sh AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared_shingles
+          |   FROM ss a JOIN ss b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2)
+          | SELECT sh.src_a, sh.src_b, sh.shared_shingles, ca.n AS n_a, cb.n AS n_b,
+          |   CAST(sh.shared_shingles * 10000 // least(ca.n, cb.n) AS BIGINT) AS containment_bps
+          | FROM sh JOIN cnt ca ON sh.src_a = ca.source
+          | JOIN cnt cb ON sh.src_b = cb.source
+          | ORDER BY shared_shingles DESC, src_a, src_b"""
+          .stripMargin.replace("\n", ""))),
+
+    // Mergeable-histogram quantiles — the sketch-shaped alternative to
+    // q48's exact median: per order priority, bucket o_totalprice into
+    // $10k-wide bins (a histogram any partition can build locally and
+    // any reducer can merge by addition), then read p50/p90/p99 as the
+    // lower bound of the first bucket whose cumulative count crosses
+    // the rank — exact integers end to end, so the approximation is in
+    // the DEFINITION (bucket resolution), not the engine. 100 TB
+    // posture: the histogram is the only fact-table aggregate
+    // (map-side combinable, |priorities| x |buckets| cells); the
+    // quantile read-out runs on that tiny frame under one
+    // priority-key window.
+    "q140_hist_quantiles" -> Q(
+      (s, dir) => {
+        val hist = table(s, dir, "orders")
+          .select(col("o_orderpriority"),
+            floor(col("o_totalprice").cast("double") / 10000.0)
+              .cast("long").as("bucket"))
+          .groupBy("o_orderpriority", "bucket")
+          .agg(count(lit(1)).as("cnt"))
+        val wc = Window.partitionBy("o_orderpriority").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wn = Window.partitionBy("o_orderpriority")
+        val cum = hist
+          .withColumn("cum", sum("cnt").over(wc))
+          .withColumn("n", sum("cnt").over(wn))
+        def pick(q: Int) =
+          min(when(col("cum") * 100 >= col("n") * q, col("bucket") * 10000L))
+            .as(s"p${q}_lo")
+        cum.groupBy("o_orderpriority")
+          .agg(max("n").as("n_orders"), count(lit(1)).as("n_buckets"),
+            pick(50), pick(90), pick(99))
+          .orderBy("o_orderpriority")
+      },
+      Some(
+        """WITH h AS (SELECT o_orderpriority,
+          |   CAST(floor(CAST(o_totalprice AS DOUBLE) / 10000.0) AS BIGINT) AS bucket,
+          |   count(*) AS cnt FROM orders GROUP BY 1, 2),
+          | c AS (SELECT o_orderpriority, bucket, cnt,
+          |   sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bucket
+          |     ROWS UNBOUNDED PRECEDING) AS cum,
+          |   sum(cnt) OVER (PARTITION BY o_orderpriority) AS n FROM h)
+          | SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n_orders,
+          |   count(*) AS n_buckets,
+          |   CAST(min(CASE WHEN cum * 100 >= n * 50 THEN bucket * 10000 END) AS BIGINT) AS p50_lo,
+          |   CAST(min(CASE WHEN cum * 100 >= n * 90 THEN bucket * 10000 END) AS BIGINT) AS p90_lo,
+          |   CAST(min(CASE WHEN cum * 100 >= n * 99 THEN bucket * 10000 END) AS BIGINT) AS p99_lo
+          | FROM c GROUP BY 1 ORDER BY o_orderpriority"""
+          .stripMargin.replace("\n", "")))
   )
 }

@@ -79,4 +79,27 @@ class SketchAndRecallSpec extends SparkSpec {
       s"(${blocked.size}/${exactPairs.size})")
     assert(recall > 0.01)
   }
+
+  test("q139 calibration covers every LSH candidate with bounded errors") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q139_minhash_calibration")(spark, sf)
+      .select("err_bucket", "n_pairs", "avg_est_bps", "avg_exact_bps",
+        "max_err_bps")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.length <= 11, "err is bps/1000 <= 10")
+    rows.foreach { case (b, n, est, exact, maxErr) =>
+      assert(b >= 0 && b <= 10, s"bucket $b out of range")
+      assert(n >= 1, s"bucket $b empty")
+      assert(est >= 0 && est <= 10000 && exact >= 0 && exact <= 10000,
+        s"bucket $b: averages outside bps range")
+      assert(maxErr >= b * 1000 && maxErr < (b + 1) * 1000,
+        s"bucket $b: max err $maxErr outside the bucket's own band")
+    }
+    // every banded candidate pair is scored exactly once
+    val docs = TestData.table(spark, sf, "documents")
+    val cand = DedupOps.bandedCandidates(
+      DedupOps.minhashSignatures(DedupOps.shingles(docs)), 4).count()
+    assert(rows.map(_._2).sum == cand,
+      s"scored ${rows.map(_._2).sum} pairs, banding yields $cand")
+  }
 }

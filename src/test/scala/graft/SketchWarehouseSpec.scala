@@ -210,4 +210,42 @@ class SketchWarehouseSpec extends SparkSpec {
       else assert(head.sum < sum, s"$t: checksum must exceed head sum")
     }
   }
+
+  test("q138 overlap matrix is half-triangular with bounded containment") {
+    val rows = run("q138_source_overlap")
+      .select("src_a", "src_b", "shared_shingles", "n_a", "n_b",
+        "containment_bps")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    val nSources = TestData.table(spark, sf, "documents")
+      .select("source").distinct().count()
+    assert(rows.nonEmpty &&
+      rows.length <= nSources * (nSources - 1) / 2)
+    assert(rows.map(r => (r._1, r._2)).distinct.length == rows.length,
+      "a source pair appears twice")
+    rows.foreach { case (a, b, shared, na, nb, bps) =>
+      assert(a < b, s"($a,$b) not half-triangular")
+      assert(shared >= 1 && shared <= math.min(na, nb),
+        s"($a,$b): shared $shared outside [1, min($na,$nb)]")
+      assert(bps == shared * 10000 / math.min(na, nb),
+        s"($a,$b): containment not derived from counts")
+    }
+  }
+
+  test("q140 histogram quantiles are ordered and count-conserving") {
+    val rows = run("q140_hist_quantiles")
+      .select("o_orderpriority", "n_orders", "n_buckets", "p50_lo",
+        "p90_lo", "p99_lo")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    val exact = TestData.table(spark, sf, "orders")
+      .groupBy("o_orderpriority").count()
+      .as[(String, Long)].collect().toMap
+    assert(rows.map(_._1).toSet == exact.keySet, "priority inventory")
+    rows.foreach { case (p, n, nb, p50, p90, p99) =>
+      assert(n == exact(p), s"$p: histogram lost rows")
+      assert(nb >= 1, s"$p: no buckets")
+      assert(p50 <= p90 && p90 <= p99, s"$p: quantiles out of order")
+      assert(p50 % 10000 == 0 && p90 % 10000 == 0 && p99 % 10000 == 0,
+        s"$p: a quantile is not a bucket lower bound")
+    }
+  }
 }
