@@ -234,4 +234,51 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("q132 audit joins every FK target broadcast — no fact-side shuffle join") {
+    val plan = executed("q132_dq_audit")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"a dimension join shuffled the fact table:\n$plan")
+  }
+
+  test("q133/q137 top-N runs as TakeOrdered, never a full global sort") {
+    Seq("q133_skew_profile", "q137_inverted_index").foreach { q =>
+      val plan = executed(q)
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$q: limit not fused into TakeOrdered:\n$plan")
+    }
+  }
+
+  test("q134 concurrency sweep never creates a single-partition window") {
+    // the classic interval-sweep trap is ORDER BY t over everything;
+    // the hour-partitioned sweep must keep every window keyed.
+    val plan = executed("q134_peak_concurrency")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"a total-order exchange appeared:\n$plan")
+  }
+
+  test("q135 trigrams reuse ONE user-key exchange for both lead windows") {
+    val plan = executed("q135_event_trigrams")
+    val userExchanges = "Exchange hashpartitioning\\(user_id"
+      .r.findAllIn(plan).size
+    assert(userExchanges == 1,
+      s"expected 1 user_id exchange, found $userExchanges in:\n$plan")
+  }
+
+  test("q138 overlap pair join shuffles hashed longs, never shingle text") {
+    val plan = executed("q138_source_overlap")
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(l => l.contains("text#") || l.contains("sh#")),
+      s"an exchange carries raw text:\n${exchanges.mkString("\n")}")
+  }
+
+  test("q140 histogram aggregates partially before its one fact shuffle") {
+    val plan = executed("q140_hist_quantiles")
+    assert(plan.contains("partial_count"),
+      s"histogram not map-side combined:\n$plan")
+  }
 }
