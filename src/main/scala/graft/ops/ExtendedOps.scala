@@ -1185,8 +1185,13 @@ object ExtendedOps {
           .orderBy("event_type")
       },
       Some {
+        // CAST('…' AS DOUBLE): a bare decimal literal parses as DECIMAL
+        // in DuckDB, and DECIMAL->DOUBLE double-rounds (the scaled
+        // mantissa exceeds 2^53), landing 1 ulp off Spark's lit().
+        // String->double is strtod — correctly rounded, bit-identical.
         val lutValues = HllLinearCount.zipWithIndex
-          .map { case (lc, i) => s"(${i + 1}, $lc)" }.mkString(", ")
+          .map { case (lc, i) => s"(${i + 1}, CAST('$lc' AS DOUBLE))" }
+          .mkString(", ")
         s"""WITH h AS (SELECT event_type, ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h FROM events),
           | r AS (SELECT event_type, h % 256 AS idx,
           |   CASE WHEN (h >> 8) = 0 THEN 53 ELSE 53 - length(bin(h >> 8)) END AS rho FROM h),

@@ -16,12 +16,19 @@ object TestData {
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects; read nanos as long and convert (micro precision is
-      // lossless here — generator emits microsecond timestamps).
+      // The generator has emitted events.ts as TIMESTAMP(NANOS) in some
+      // rounds (which Spark's vectorized reader rejects — read nanos as
+      // long and convert) and timestamp[us] in others (arrives as
+      // TIMESTAMP_NTZ — cast to the session-zone timestamp the rest of
+      // the catalog and the UTC DuckDB oracle expect). Handle both.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   private val months = Seq("jan", "feb", "mar", "apr", "may", "jun",

@@ -97,19 +97,27 @@ object WarehouseOps {
               (col("du") === col("dv") && col("u") < col("v")),
               col("v")).otherwise(col("u")).as("dst"))
           .localCheckpoint(eager = true)
-        // Broadcast the edge list into both wedge legs: the oriented
-        // edges are fixed-width longs (~19 MB at sf0.1), so wedges are
-        // generated AND closed inside one pipelined codegen stage — the
-        // 49M intermediate wedge rows (measured at sf0.1) never hit a
-        // shuffle. Past broadcast size (E >~ 10^8) drop the hints and
-        // the same plan degrades gracefully to two shuffled hash joins.
-        val tri = e.alias("ab").join(broadcast(e.alias("bc")),
-            col("ab.dst") === col("bc.src"))
-          .select(col("ab.src").as("ta"), col("ab.dst").as("tb"),
-            col("bc.dst").as("tc"))
-          .join(broadcast(e.alias("ac")),
-            col("ta") === col("ac.src") && col("tc") === col("ac.dst"),
-            "left_semi")
+        // Close triangles by ADJACENCY INTERSECTION, not a wedge join:
+        // collapse the oriented edges to per-source sorted neighbor
+        // arrays (|V| rows, Σ|nbrs| = E longs — ~19 MB at sf0.1, well
+        // inside broadcast range), then for each edge (u,v) the closing
+        // nodes are exactly array_intersect(out(u), out(v)). The wedge
+        // population — 49M rows at sf0.1 under the same orientation —
+        // is never materialized as join rows: each edge row scans two
+        // neighbor arrays inside one codegen stage and emits only true
+        // triangles. Same O(E^1.5) work bound, join-row constant gone.
+        // Past broadcast size (E >~ 10^8) drop the hints: the same plan
+        // degrades to two shuffled hash joins on src/dst.
+        val adj = e.groupBy(col("src"))
+          .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+          .localCheckpoint(eager = true)
+        val tri = e
+          .join(broadcast(adj.select(col("src").as("ju"), col("nbrs").as("nu"))),
+            col("src") === col("ju"))
+          .join(broadcast(adj.select(col("src").as("jv"), col("nbrs").as("nv"))),
+            col("dst") === col("jv"))
+          .select(col("src").as("ta"), col("dst").as("tb"),
+            explode(array_intersect(col("nu"), col("nv"))).as("tc"))
         tri.select(explode(array(col("ta"), col("tb"), col("tc"))).as("part"))
           .groupBy("part").agg(count(lit(1)).as("triangles"))
           .join(deg.select(col("n").as("part"), col("deg")), "part")
