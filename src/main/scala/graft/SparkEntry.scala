@@ -23,7 +23,8 @@ object SparkEntry {
     ExtendedOps.all,
     TrainDataOps.all,
     SketchOps.all,
-    WarehouseOps.all
+    WarehouseOps.all,
+    PipelineObsOps.all
   )
 
   private lazy val catalog: Map[String, Q] = {

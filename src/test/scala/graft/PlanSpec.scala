@@ -281,4 +281,28 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_count"),
       s"histogram not map-side combined:\n$plan")
   }
+
+  test("q142 anomaly scan is ONE user-key exchange end to end") {
+    // the explicit repartition(user_id) must feed the (user, hour)
+    // aggregation AND all three per-user moment windows — one
+    // hashpartitioning total, q113's shared-exchange discipline.
+    val plan = executed("q142_rate_anomaly")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("q143 drift scans events twice, shuffles only post-aggregates") {
+    // bounds scan + counts scan, nothing else: the totals window runs
+    // over the <= |event_type|-row aggregate, so the counts subtree is
+    // not duplicated, and the one hash exchange carries type rows.
+    val plan = executed("q143_snapshot_drift")
+    assert("FileScan parquet".r.findAllIn(plan).size == 2, plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert("BroadcastExchange".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("q144 lateness audit rides one user exchange into the band agg") {
+    val plan = executed("q144_lateness_audit")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
+      plan)
+  }
 }
