@@ -142,6 +142,69 @@ object SketchOps {
            | SELECT bm.doc_id, bm.bloom_maybe, ex.exact_member,
            |   CAST(bm.bloom_maybe = 1 AND ex.exact_member = 0 AS INT) AS false_positive
            | FROM bm JOIN ex USING (doc_id) ORDER BY doc_id""".stripMargin
+          .replace("\n", ""))),
+
+    // Sketch-based join-cardinality estimation: the optimizer
+    // pre-flight that answers "how big is A JOIN B on user_id" without
+    // running the join. Sides are the first/second time-halves of the
+    // event stream (q143's midpoint split); each side is compressed to
+    // the SAME d=4 x w=512 counter sketch keyed by the md5-60 bridge,
+    // and each depth row estimates the join size as the bucket-wise
+    // inner product sum(cntA*cntB) — an over-estimate of the true
+    // sum-over-keys(a_u*b_u) for non-negative counts (AMS/CMS inner
+    // product, Alon-Matias-Szegedy 1996), so est_j >= exact on every
+    // row, pinned by the oracle. 100 TB posture: sketch state is
+    // 2*d*w counters regardless of corpus size, built map-side
+    // combinable in ONE pass (no per-side shuffle of the event grain);
+    // the exact check — the thing the sketch replaces — is the only
+    // user-key aggregation.
+    "q147_cms_join_size" -> Q(
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 1000000").as("ts_s"))
+        val mid = ev.agg(expr("(min(ts_s) + max(ts_s)) div 2").as("mid"))
+        val halves = ev.crossJoin(broadcast(mid))
+          .select(col("user_id"), (col("ts_s") <= col("mid")).as("h1"))
+        val rows = posexplode(array((0 until CmsDepth).map(j =>
+          cmsBucket(col("user_id"), j, CmsWidth)): _*))
+        val sketch = halves.select(col("h1"), rows)
+          .groupBy(col("pos").as("j"), col("col").as("bucket"))
+          .agg(sum(when(col("h1"), 1L).otherwise(0L)).as("ca"),
+            sum(when(!col("h1"), 1L).otherwise(0L)).as("cb"))
+        val est = sketch.groupBy("j")
+          .agg(sum(col("ca") * col("cb")).as("est_join_rows"))
+        val exact = halves.groupBy("user_id")
+          .agg(sum(when(col("h1"), 1L).otherwise(0L)).as("a"),
+            sum(when(!col("h1"), 1L).otherwise(0L)).as("b"))
+          .agg(sum(col("a") * col("b")).as("exact_join_rows"))
+        est.crossJoin(broadcast(exact))
+          .select(col("j").cast("int").as("j"), col("est_join_rows"),
+            col("exact_join_rows"),
+            expr("(est_join_rows - exact_join_rows) * 10000 div greatest(exact_join_rows, 1)")
+              .as("over_bps"))
+          .orderBy("j")
+      },
+      Some(
+        s"""WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS ts_s FROM events),
+           | b AS (SELECT (min(ts_s) + max(ts_s)) // 2 AS mid FROM e),
+           | h AS (SELECT user_id, ts_s <= b.mid AS h1 FROM e CROSS JOIN b),
+           | jj AS (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS j),
+           | sk AS (SELECT jj.j,
+           |   ('0x' || substr(md5(jj.j::VARCHAR || '-' || h.user_id::VARCHAR), 1, 15))::BIGINT % $CmsWidth AS bucket,
+           |   CAST(sum(CASE WHEN h.h1 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+           |   CAST(sum(CASE WHEN h.h1 THEN 0 ELSE 1 END) AS BIGINT) AS cb
+           |   FROM h CROSS JOIN jj GROUP BY 1, 2),
+           | est AS (SELECT j, CAST(sum(ca * cb) AS BIGINT) AS est_join_rows
+           |   FROM sk GROUP BY 1),
+           | ab AS (SELECT user_id, CAST(sum(CASE WHEN h1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+           |   CAST(sum(CASE WHEN h1 THEN 0 ELSE 1 END) AS BIGINT) AS b
+           |   FROM h GROUP BY 1),
+           | ex AS (SELECT CAST(sum(a * b) AS BIGINT) AS exact_join_rows FROM ab)
+           | SELECT CAST(est.j AS INT) AS j, est.est_join_rows, ex.exact_join_rows,
+           |   CAST((est.est_join_rows - ex.exact_join_rows) * 10000
+           |     // greatest(ex.exact_join_rows, 1) AS BIGINT) AS over_bps
+           | FROM est CROSS JOIN ex ORDER BY j""".stripMargin
           .replace("\n", "")))
   )
 }

@@ -552,6 +552,81 @@ object WarehouseOps {
     // any collect (never collect-then-slice, which would buffer a
     // stopword's full posting), df/tf/checksum are plain combinable
     // aggregates, and top-100 is a TakeOrdered.
+    // Zone-map effectiveness pre-flight: replay q136's z-order file
+    // layout (64 files, per-file px/sx min-max zone maps), then sweep
+    // 16 point probes `px = p` and report, per probe, how many files
+    // the zone maps CANNOT skip, how many rows those files hold, the
+    // skip rates in basis points, and the probe's exact selectivity —
+    // the report that decides whether a z-order rewrite pays for
+    // itself before anyone rewrites 100 TB. Posture: the file-stat
+    // frame IS metadata (64 rows) — the probe sweep is a broadcast
+    // nested-loop over it; the only fact-table work is the one binned
+    // groupBy(px) for exact selectivities (256 rows, map-side
+    // combinable).
+    "q146_zone_skip_stats" -> Q(
+      (s, dir) => {
+        val interleave = (0 until 8).map(i =>
+          s"(shiftleft(cast(shiftright(px, $i) & 1 as bigint), ${2 * i})" +
+            s" + shiftleft(cast(shiftright(sx, $i) & 1 as bigint), ${2 * i + 1}))")
+          .mkString(" + ")
+        val binned = table(s, dir, "lineitem")
+          .select((col("l_partkey") % 256).cast("int").as("px"),
+            (col("l_suppkey") % 256).cast("int").as("sx"))
+        val files = binned
+          .withColumn("z", expr(interleave))
+          .withColumn("file_id", expr("z div 1024").cast("int"))
+          .groupBy("file_id")
+          .agg(count(lit(1)).as("n_rows"),
+            min("px").as("px_min"), max("px").as("px_max"))
+          // 64-row stat frame feeds the probe join AND the totals —
+          // checkpoint so the lineitem binning scan runs once for both
+          .localCheckpoint(eager = true)
+        val byPx = binned.groupBy("px")
+          .agg(count(lit(1)).as("exact_rows"))
+        val probes = s.range(0, 256, 16)
+          .select(col("id").cast("int").as("p"))
+        val tots = files.agg(count(lit(1)).as("n_files"),
+          sum("n_rows").as("rows_total"))
+        probes
+          .join(broadcast(files),
+            col("px_min") <= col("p") && col("p") <= col("px_max"), "left")
+          .groupBy("p")
+          .agg(count(col("file_id")).as("n_files_scanned"),
+            coalesce(sum("n_rows"), lit(0L)).as("n_rows_scanned"))
+          .join(broadcast(byPx), col("p") === col("px"), "left")
+          .crossJoin(broadcast(tots))
+          .select(col("p"), col("n_files_scanned"), col("n_rows_scanned"),
+            expr("(n_files - n_files_scanned) * 10000 div n_files")
+              .as("files_skip_bps"),
+            expr("(rows_total - n_rows_scanned) * 10000 div rows_total")
+              .as("rows_skip_bps"),
+            coalesce(col("exact_rows"), lit(0L)).as("exact_rows"))
+          .orderBy("p")
+      },
+      Some {
+        val interleave = (0 until 8).map(i =>
+          s"(((px >> $i) & 1)::BIGINT << ${2 * i}" +
+            s") + (((sx >> $i) & 1)::BIGINT << ${2 * i + 1})")
+          .mkString(" + ")
+        s"""WITH b AS (SELECT CAST(l_partkey % 256 AS INT) AS px,
+          |   CAST(l_suppkey % 256 AS INT) AS sx FROM lineitem),
+          | f AS (SELECT CAST(($interleave) // 1024 AS INT) AS file_id,
+          |   count(*) AS n_rows, min(px) AS px_min, max(px) AS px_max
+          |   FROM b GROUP BY 1),
+          | e AS (SELECT px, count(*) AS exact_rows FROM b GROUP BY 1),
+          | p AS (SELECT CAST(unnest(generate_series(0, 255, 16)) AS INT) AS p),
+          | t AS (SELECT count(*) AS n_files, CAST(sum(n_rows) AS BIGINT) AS rows_total FROM f),
+          | sc AS (SELECT p.p, count(f.file_id) AS n_files_scanned,
+          |   CAST(coalesce(sum(f.n_rows), 0) AS BIGINT) AS n_rows_scanned
+          |   FROM p LEFT JOIN f ON f.px_min <= p.p AND p.p <= f.px_max GROUP BY 1)
+          | SELECT sc.p, sc.n_files_scanned, sc.n_rows_scanned,
+          |   CAST((t.n_files - sc.n_files_scanned) * 10000 // t.n_files AS BIGINT) AS files_skip_bps,
+          |   CAST((t.rows_total - sc.n_rows_scanned) * 10000 // t.rows_total AS BIGINT) AS rows_skip_bps,
+          |   CAST(coalesce(e.exact_rows, 0) AS BIGINT) AS exact_rows
+          | FROM sc LEFT JOIN e ON sc.p = e.px CROSS JOIN t ORDER BY p"""
+          .stripMargin.replace("\n", "")
+      }),
+
     "q137_inverted_index" -> Q(
       (s, dir) => {
         val tok = table(s, dir, "documents")

@@ -248,4 +248,36 @@ class SketchWarehouseSpec extends SparkSpec {
         s"$p: a quantile is not a bucket lower bound")
     }
   }
+
+  test("q146 zone maps never skip a file holding matches") {
+    val rows = run("q146_zone_skip_stats")
+      .select("p", "n_files_scanned", "n_rows_scanned", "files_skip_bps",
+        "rows_skip_bps", "exact_rows")
+      .as[(Int, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length == 16, "one row per probe")
+    rows.foreach { case (p, nf, nr, fbps, rbps, exact) =>
+      // the no-false-skip law: every matching row lives in a scanned file
+      assert(nr >= exact, s"probe $p: scanned rows $nr < matches $exact")
+      if (exact > 0) assert(nf >= 1, s"probe $p: matches but zero files")
+      assert(fbps >= 0 && fbps <= 10000 && rbps >= 0 && rbps <= 10000,
+        s"probe $p: skip bps out of range")
+    }
+    // z-order must actually help: point probes skip most files
+    assert(rows.map(_._4).min >= 5000,
+      "z-order layout failed to skip at least half the files per probe")
+  }
+
+  test("q147 CMS join estimate is one-sided on every depth row") {
+    val rows = run("q147_cms_join_size")
+      .select("j", "est_join_rows", "exact_join_rows", "over_bps")
+      .as[(Int, Long, Long, Long)].collect()
+    assert(rows.map(_._1).sorted.toSeq == Seq(0, 1, 2, 3))
+    val exacts = rows.map(_._3).distinct
+    assert(exacts.length == 1, "exact join size must be depth-invariant")
+    rows.foreach { case (j, est, exact, over) =>
+      assert(est >= exact, s"depth $j: inner-product estimate under exact")
+      assert(over == (est - exact) * 10000 / math.max(exact, 1L),
+        s"depth $j: over_bps inconsistent")
+    }
+  }
 }
