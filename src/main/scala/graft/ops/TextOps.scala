@@ -26,6 +26,31 @@ object TextOps {
   private def hits(words: Column, stops: Seq[String]): Column =
     size(filter(words, w => w.isin(stops.map(lit(_)): _*)))
 
+  /** The q18 language-ID decision over a words column — the single
+    * source for the classifier (q18 emits it per doc; q149 scores it
+    * against the labeled `lang` column).
+    */
+  private def langPred(w: Column): Column = {
+    val (en, de, fr, es) =
+      (hits(w, enStop), hits(w, deStop), hits(w, frStop), hits(w, esStop))
+    when(en === 0 && de === 0 && fr === 0 && es === 0, "unknown")
+      .when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+  }
+
+  /** DuckDB twin of [[langPred]] over a `text` column. */
+  private def langPredSql: String = {
+    def h(ws: Seq[String]) =
+      s"len(list_filter(string_split(text, ' '), w -> w IN (${sqlList(ws)})))"
+    s"""CASE WHEN ${h(enStop)} = 0 AND ${h(deStop)} = 0 AND ${h(frStop)} = 0 AND ${h(esStop)} = 0 THEN 'unknown'
+       | WHEN ${h(enStop)} >= ${h(deStop)} AND ${h(enStop)} >= ${h(frStop)} AND ${h(enStop)} >= ${h(esStop)} THEN 'en'
+       | WHEN ${h(deStop)} >= ${h(frStop)} AND ${h(deStop)} >= ${h(esStop)} THEN 'de'
+       | WHEN ${h(frStop)} >= ${h(esStop)} THEN 'fr' ELSE 'es' END"""
+      .stripMargin.replace("\n", "")
+  }
+
   /** q20's exact fingerprint — md5 of whitespace-normalized `text` —
     * the ONE canonicalization the exact-dedup family shares
     * (fingerprint groups, leak-safe splits, the corpus report, and
@@ -127,6 +152,47 @@ object TextOps {
            | WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
            | WHEN fr_hits >= es_hits THEN 'fr' ELSE 'es' END AS lang_pred
            | FROM base ORDER BY doc_id""".stripMargin.replace("\n", ""))),
+
+    // Classifier scoring report: q18's stopword language-ID evaluated
+    // against the labeled `lang` column — per label: support, predicted
+    // volume, true positives, precision/recall in basis points. The
+    // report every heuristic filter needs before it gates a corpus
+    // (here it also documents q18's honest blind spot: zh has no
+    // stopword list, so its recall is structurally 0 and it inflates
+    // other labels' false positives). 100 TB posture: one narrow
+    // projection collapses map-side to the <= |langs|^2 confusion
+    // domain; every downstream step runs on that tiny frame.
+    "q149_langid_confusion" -> Q(
+      (s, dir) => {
+        val conf = table(s, dir, "documents")
+          .select(col("lang"),
+            langPred(split(col("text"), " ")).as("pred"))
+          .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+        val byTrue = conf.groupBy("lang")
+          .agg(sum("n").as("n_true"),
+            sum(when(col("pred") === col("lang"), col("n")).otherwise(0L))
+              .as("tp"))
+        val byPred = conf.groupBy("pred").agg(sum("n").as("n_pred"))
+        byTrue.join(byPred, col("lang") === col("pred"), "left")
+          .select(col("lang"), col("n_true"),
+            coalesce(col("n_pred"), lit(0L)).as("n_pred"), col("tp"),
+            expr("tp * 10000 div greatest(coalesce(n_pred, 0), 1)")
+              .as("precision_bps"),
+            expr("tp * 10000 div n_true").as("recall_bps"))
+          .orderBy("lang")
+      },
+      Some(
+        s"""WITH p AS (SELECT lang, $langPredSql AS pred FROM documents),
+           | c AS (SELECT lang, pred, count(*) AS n FROM p GROUP BY 1, 2),
+           | bt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_true,
+           |     CAST(sum(CASE WHEN pred = lang THEN n ELSE 0 END) AS BIGINT) AS tp
+           |   FROM c GROUP BY 1),
+           | bp AS (SELECT pred, CAST(sum(n) AS BIGINT) AS n_pred FROM c GROUP BY 1)
+           | SELECT bt.lang, bt.n_true, CAST(coalesce(bp.n_pred, 0) AS BIGINT) AS n_pred, bt.tp,
+           |   CAST(bt.tp * 10000 // greatest(coalesce(bp.n_pred, 0), 1) AS BIGINT) AS precision_bps,
+           |   CAST(bt.tp * 10000 // bt.n_true AS BIGINT) AS recall_bps
+           | FROM bt LEFT JOIN bp ON bt.lang = bp.pred ORDER BY bt.lang"""
+          .stripMargin.replace("\n", ""))),
 
     // Token counting: whitespace tokens and a BPE-ish lexer regex
     // (letter runs | digit runs | single non-alnum).

@@ -481,6 +481,115 @@ object TrainDataOps {
     // higher-order projection; only the fingerprint self-join and final
     // aggregation shuffle, carrying fixed-width longs. Output: top-20
     // doc pairs by shared fingerprint count (q24's reporting shape).
+    // Partial-contamination detector: q86 (3-gram Jaccard) and q127
+    // (whole-doc Bloom) catch near-whole-document leakage; this catches
+    // a benchmark PASSAGE embedded inside a larger training doc — the
+    // leak the others structurally miss. Every corpus doc sharing a
+    // winnowing fingerprint (q111's k=4/w=5 MOSS scheme: any shared run
+    // of >= 8 words guarantees a shared fingerprint) with any benchmark
+    // doc is flagged with how many fingerprints and benchmark docs it
+    // hits, plus whether it is merely an exact duplicate (normalized-md5
+    // equal — those are q85's dedup problem, not a decontamination
+    // finding). 100 TB posture: the benchmark fingerprint table is
+    // BROADCAST (bounded by the benchmark suite, not the corpus); the
+    // corpus side streams its fingerprints through the broadcast join
+    // with no self-join and no corpus shuffle before the per-doc
+    // aggregate.
+    // Training-shard manifest: docs hash-assigned to 16 shards (the
+    // md5-60 bridge keyed on doc_id — rerunnable, balanced, and
+    // engine-replayable), and per shard the manifest a data loader
+    // checks before a run: doc count, whitespace-token and byte
+    // volumes, the doc-id span, and an order-independent bit_xor
+    // 60-bit content digest (q109/q120's losslessness pattern — any
+    // dropped, duplicated, or corrupted doc flips it). 100 TB posture:
+    // ONE map-side-combinable aggregate over a narrow projection; the
+    // manifest is 16 rows no matter the corpus, and two manifests diff
+    // by digest column alone.
+    "q150_shard_manifest" -> Q(
+      (s, dir) => {
+        table(s, dir, "documents")
+          .select(
+            (DedupOps.md5Long60(col("doc_id").cast("string")) % 16)
+              .cast("int").as("shard"),
+            col("doc_id"), col("n_chars"),
+            size(split(col("text"), " ")).cast("bigint").as("tokens"),
+            DedupOps.md5Long60(col("text")).as("th"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("tokens").as("total_tokens"),
+            sum("n_chars").as("total_bytes"),
+            min("doc_id").as("min_doc"), max("doc_id").as("max_doc"),
+            expr("bit_xor(th)").as("content_digest"))
+          .orderBy("shard")
+      },
+      Some(
+        """WITH d AS (SELECT
+          |   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 16 AS INT) AS shard,
+          |   doc_id, n_chars,
+          |   CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+          |   ('0x' || substr(md5(text), 1, 15))::BIGINT AS th
+          | FROM documents)
+          | SELECT shard, count(*) AS n_docs,
+          |   CAST(sum(tokens) AS BIGINT) AS total_tokens,
+          |   CAST(sum(n_chars) AS BIGINT) AS total_bytes,
+          |   min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+          |   CAST(bit_xor(th) AS BIGINT) AS content_digest
+          | FROM d GROUP BY 1 ORDER BY shard""".stripMargin
+          .replace("\n", ""))),
+
+    "q148_partial_contamination" -> Q(
+      (s, dir) => {
+        val hs = expr(
+          "transform(sequence(1, size(w) - 3), " +
+            "i -> cast(conv(substring(md5(array_join(slice(w, i, 4), ' ')), 1, 15), 16, 10) as bigint))")
+        val fps = expr(
+          "array_distinct(transform(sequence(1, greatest(size(hs) - 4, 1)), " +
+            "j -> array_min(slice(hs, j, 5))))")
+        val docs = table(s, dir, "documents")
+        val f = docs
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .where(size(col("w")) >= 4)
+          .select(col("doc_id"), hs.as("hs"))
+          .select(col("doc_id"), explode(fps).as("fp"))
+        val bench = f.where(col("doc_id") % 97 === 0)
+          .select(col("fp"), col("doc_id").as("bdoc")).distinct()
+        val matched = f.where(col("doc_id") % 97 =!= 0)
+          .join(broadcast(bench), "fp")
+          .groupBy("doc_id")
+          .agg(countDistinct("fp").as("n_shared_fps"),
+            countDistinct("bdoc").as("n_bench_docs"))
+        val benchNorm = docs.where(col("doc_id") % 97 === 0)
+          .select(TextOps.normalizedFp.as("nfp")).distinct()
+        val dups = docs.where(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"), TextOps.normalizedFp.as("nfp"))
+          .join(broadcast(benchNorm), Seq("nfp"), "left_semi")
+          .select(col("doc_id"), lit(1).as("exact_dup"))
+        matched.join(dups, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_shared_fps"), col("n_bench_docs"),
+            coalesce(col("exact_dup"), lit(0)).as("exact_dup"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 4),
+          | h AS (SELECT doc_id, list_transform(generate_series(1, len(w) - 3),
+          |   i -> ('0x' || substr(md5(array_to_string(w[i : i + 3], ' ')), 1, 15))::BIGINT) AS hs FROM s),
+          | f0 AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(hs) - 4, 1)),
+          |   j -> list_min(hs[j : j + 4]))) AS fps FROM h),
+          | f AS (SELECT doc_id, unnest(fps) AS fp FROM f0),
+          | bench AS (SELECT DISTINCT fp, doc_id AS bdoc FROM f WHERE doc_id % 97 = 0),
+          | m AS (SELECT f.doc_id, count(DISTINCT f.fp) AS n_shared_fps,
+          |     count(DISTINCT bench.bdoc) AS n_bench_docs
+          |   FROM f JOIN bench USING (fp) WHERE f.doc_id % 97 <> 0 GROUP BY 1),
+          | bn AS (SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS nfp
+          |   FROM documents WHERE doc_id % 97 = 0),
+          | dup AS (SELECT doc_id, 1 AS exact_dup FROM documents
+          |   WHERE doc_id % 97 <> 0
+          |     AND md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) IN (SELECT nfp FROM bn))
+          | SELECT m.doc_id, m.n_shared_fps, m.n_bench_docs,
+          |   CAST(coalesce(dup.exact_dup, 0) AS INT) AS exact_dup
+          | FROM m LEFT JOIN dup USING (doc_id) ORDER BY doc_id"""
+          .stripMargin.replace("\n", ""))),
+
     "q111_winnow_pairs" -> Q(
       (s, dir) => {
         val hs = expr(

@@ -108,4 +108,45 @@ class PipelineObsSpec extends SparkSpec {
     assert(rows.take(nSources).forall(_._4 == 1),
       "first wave must be every source's rank-1 doc")
   }
+
+  test("q148 flags only non-benchmark docs with real fingerprint hits") {
+    val rows = run("q148_partial_contamination")
+      .select("doc_id", "n_shared_fps", "n_bench_docs", "exact_dup")
+      .as[(Long, Long, Long, Int)].collect()
+    assert(rows.nonEmpty, "fixture corpus must surface some contamination")
+    rows.foreach { case (d, fps, bdocs, dup) =>
+      assert(d % 97 != 0, s"doc $d: benchmark docs cannot self-flag")
+      assert(fps >= 1 && bdocs >= 1, s"doc $d: flagged without a hit")
+      assert(dup == 0 || dup == 1)
+    }
+  }
+
+  test("q149 confusion report conserves docs and bounds tp") {
+    val rows = run("q149_langid_confusion")
+      .select("lang", "n_true", "n_pred", "tp", "precision_bps",
+        "recall_bps")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    val total = TestData.table(spark, sf, "documents").count()
+    assert(rows.map(_._2).sum == total, "true supports must cover corpus")
+    assert(rows.map(_._3).sum <= total,
+      "labeled-pred volume cannot exceed corpus (unknown preds excluded)")
+    rows.foreach { case (l, nt, np, tp, p, r) =>
+      assert(tp <= math.min(nt, np max tp), s"$l: tp above support")
+      assert(p == tp * 10000 / math.max(np, 1L), s"$l: precision formula")
+      assert(r == tp * 10000 / nt, s"$l: recall formula")
+    }
+  }
+
+  test("q150 manifest conserves docs and is rerun-deterministic") {
+    val a = run("q150_shard_manifest").collect()
+    val b = run("q150_shard_manifest").collect()
+    assert(a.toSeq == b.toSeq, "manifest must be bit-stable across runs")
+    val rows = run("q150_shard_manifest")
+      .select("shard", "n_docs", "total_tokens", "total_bytes")
+      .as[(Int, Long, Long, Long)].collect()
+    val total = TestData.table(spark, sf, "documents").count()
+    assert(rows.map(_._2).sum == total, "shards must partition the corpus")
+    assert(rows.forall(r => r._1 >= 0 && r._1 < 16))
+    assert(rows.forall(r => r._3 > 0 && r._4 > 0))
+  }
 }
