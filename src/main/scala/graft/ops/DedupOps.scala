@@ -461,6 +461,72 @@ object DedupOps {
     // the join probes, and because BOTH engines derive the identical
     // hash, intersection counts (even under a collision) stay equal —
     // the oracle remains exact.
+    // Prefix-filtering set-similarity join (PPJoin-family, Xiao et al.
+    // 2008): the EXACT-recall candidate reducer that complements the
+    // minhash-LSH path (probabilistic) and the raw shingle self-join
+    // (quadratic on hub shingles). Under a global rarest-first token
+    // order (df, then token), any pair with Jaccard >= 0.5 MUST share a
+    // token within each side's first floor(|S|/2)+1 tokens — so only
+    // prefix tokens enter the self-join, and df ranks the prefix toward
+    // the rarest tokens, exactly the ones with small join fanout.
+    // Verification is candidate-restricted and the threshold test is
+    // integer-exact (2*inter >= union). 100 TB posture: the join's
+    // per-key cost is df^2 over PREFIX tokens only — high-df tokens are
+    // systematically pushed out of prefixes, defusing the hub-shingle
+    // bomb deterministically rather than probabilistically; candidate
+    // volume measured at sf0.1 in PLANS.md. Recall-completeness vs the
+    // full shingle join is law-tested in PipelineObsSpec.
+    "q151_prefix_filter_join" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val sh = hashedShingles(table(s, dir, "documents"))
+          .localCheckpoint(eager = true)
+        val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+        val pre = sh.join(dfreq, "s")
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "s")))
+          .join(cnt, "doc_id")
+          .where(col("rk") <= expr("n div 2 + 1"))
+          .select(col("doc_id"), col("s"))
+        val cand = pre.as("a").join(pre.as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .distinct()
+          .localCheckpoint(eager = true)
+        val inter = cand
+          .join(sh.as("x"), col("d1") === col("x.doc_id"))
+          .join(sh.as("y"),
+            col("d2") === col("y.doc_id") && col("x.s") === col("y.s"))
+          .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+        inter
+          .join(cnt.as("ca"), col("d1") === col("ca.doc_id"))
+          .join(cnt.as("cb"), col("d2") === col("cb.doc_id"))
+          .withColumn("union_n", col("ca.n") + col("cb.n") - col("inter"))
+          .where(col("inter") * 2 >= col("union_n"))
+          .select(col("d1"), col("d2"), col("inter"),
+            expr("inter * 10000 div union_n").as("jaccard_bps"))
+          .orderBy("d1", "d2")
+      },
+      Some(
+        s"""WITH $jaccardCte,
+           | dfq AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+           | rk AS (SELECT sh.doc_id, sh.s, cnt.n,
+           |     row_number() OVER (PARTITION BY sh.doc_id ORDER BY dfq.df, sh.s) AS rk
+           |   FROM sh JOIN dfq USING (s) JOIN cnt USING (doc_id)),
+           | pre AS (SELECT doc_id, s FROM rk WHERE rk <= n // 2 + 1),
+           | cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |   FROM pre a JOIN pre b ON a.s = b.s AND a.doc_id < b.doc_id),
+           | it AS (SELECT c.d1, c.d2, count(*) AS inter FROM cand c
+           |   JOIN sh x ON x.doc_id = c.d1
+           |   JOIN sh y ON y.doc_id = c.d2 AND y.s = x.s GROUP BY 1, 2)
+           | SELECT it.d1, it.d2, it.inter,
+           |   CAST(it.inter * 10000 // (ca.n + cb.n - it.inter) AS BIGINT) AS jaccard_bps
+           | FROM it JOIN cnt ca ON it.d1 = ca.doc_id
+           |   JOIN cnt cb ON it.d2 = cb.doc_id
+           | WHERE 2 * it.inter >= ca.n + cb.n - it.inter
+           | ORDER BY d1, d2""".stripMargin.replace("\n", ""))),
+
     "q24_jaccard_pairs" -> Q(
       (s, dir) => jaccardPairs(table(s, dir, "documents"))
         .orderBy(desc("jaccard"), col("d1"), col("d2"))

@@ -552,6 +552,99 @@ object WarehouseOps {
     // any collect (never collect-then-slice, which would buffer a
     // stopword's full posting), df/tf/checksum are plain combinable
     // aggregates, and top-100 is a TakeOrdered.
+    // k-core decomposition (k=3) of the co-purchase graph by iterative
+    // peeling: drop every vertex with degree < 3, recompute degrees,
+    // repeat — 4 rounds, each checkpointed (q118/q129's
+    // checkpoint-or-lose-partitioning discipline keeps the loop's plan
+    // flat), with the oracle unrolling the same 4 rounds as chained
+    // CTEs. 4 rounds reaches the fixpoint on the gate corpora — the
+    // spec asserts a 5th round changes nothing, so every surviving
+    // vertex has core degree >= 3. The k-core is the standard
+    // "dense-enough neighborhood" filter before community detection or
+    // embedding training on a 100 TB interaction graph: each round is
+    // two semi-joins + one count per vertex, all equi-partitioned.
+    "q152_kcore" -> Q(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val pairs0 = li.alias("a").join(li.alias("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+          .localCheckpoint(eager = true)
+        var edges = pairs0.select(col("u").as("a"), col("v").as("b"))
+          .unionAll(pairs0.select(col("v").as("a"), col("u").as("b")))
+          .localCheckpoint(eager = true)
+        var deg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
+          .localCheckpoint(eager = true)
+        for (_ <- 1 to 4) {
+          val alive = deg.where(col("deg") >= 3).select(col("a").as("vv"))
+            .localCheckpoint(eager = true)
+          edges = edges
+            .join(alive, col("a") === col("vv"), "left_semi")
+            .join(alive, col("b") === col("vv"), "left_semi")
+            .localCheckpoint(eager = true)
+          deg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
+            .localCheckpoint(eager = true)
+        }
+        deg.select(col("a").as("part"), col("deg").as("core_deg"))
+          .orderBy("part")
+      },
+      Some {
+        val rounds = (1 to 4).map(r =>
+          s"e$r AS (SELECT e.a, e.b FROM e${r - 1} e" +
+            s" JOIN d${r - 1} da ON da.a = e.a AND da.deg >= 3" +
+            s" JOIN d${r - 1} db ON db.a = e.b AND db.deg >= 3), " +
+            s"d$r AS (SELECT a, count(*) AS deg FROM e$r GROUP BY 1)")
+          .mkString(", ")
+        s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+          | pr AS (SELECT DISTINCT a.p AS u, b.p AS v FROM li a JOIN li b
+          |   ON a.o = b.o AND a.p < b.p),
+          | e0 AS (SELECT u AS a, v AS b FROM pr UNION ALL SELECT v, u FROM pr),
+          | d0 AS (SELECT a, count(*) AS deg FROM e0 GROUP BY 1),
+          | $rounds
+          | SELECT a AS part, deg AS core_deg FROM d4 ORDER BY part"""
+          .stripMargin.replace("\n", "")
+      }),
+
+    // Truncated exponential moving average, INTEGER-EXACT: with
+    // alpha = 1/2, ewma_t = sum_{i=0..15} x_{t-i} / 2^(i+1); scaling by
+    // 2^16 makes every term a whole number (x in cents times a power of
+    // two), so the gated column is a BIGINT with no float accumulation
+    // anywhere — the q113/q122 discipline applied to the one smoothing
+    // statistic every monitoring pipeline wants. The 16-step truncation
+    // bounds both the error (2^-16 of the tail) and the window frame.
+    // 100 TB posture: ONE user-key exchange; all 16 lags ride a single
+    // window spec over (ts, event_id).
+    "q153_ewma_activity" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts_s"), col("event_id"))
+        val ewma = (0 until 16).map(i =>
+            coalesce(lag(col("cents"), i).over(w), lit(0L)) *
+              lit(1L << (15 - i)))
+          .reduce(_ + _)
+        table(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            expr("unix_micros(ts) div 1000000").as("ts_s"),
+            expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+          .withColumn("ewma_x65536", ewma)
+          .orderBy("user_id", "ts_s", "event_id")
+      },
+      Some {
+        val terms = (0 until 16).map(i =>
+          s"coalesce(lag(cents, $i) OVER (PARTITION BY user_id ORDER BY ts_s, event_id), 0) * ${1L << (15 - i)}")
+          .mkString(" + ")
+        s"""WITH e AS (SELECT user_id, event_id,
+          |   epoch_us(ts) // 1000000 AS ts_s,
+          |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          |   FROM events)
+          | SELECT user_id, event_id, ts_s, cents,
+          |   CAST($terms AS BIGINT) AS ewma_x65536
+          | FROM e ORDER BY user_id, ts_s, event_id""".stripMargin
+          .replace("\n", "")
+      }),
+
     // Zone-map effectiveness pre-flight: replay q136's z-order file
     // layout (64 files, per-file px/sx min-max zone maps), then sweep
     // 16 point probes `px = p` and report, per probe, how many files

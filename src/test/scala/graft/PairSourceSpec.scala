@@ -125,4 +125,21 @@ class PairSourceSpec extends SparkSpec {
       DedupOps.nearDupPairs(docs, "bogus").count()
     }
   }
+
+  test("q151 prefix filtering loses no pair at the 0.5 threshold") {
+    // recall-completeness of the PPJoin candidate source: the
+    // prefix-filtered pair set must EQUAL the full shingle self-join's
+    // pair set at jaccard >= 0.5 — on the real fixture corpus, where
+    // the prefix join touches far fewer tokens.
+    val sf = "/root/testdata/sf0.001"
+    val full = DedupOps
+      .jaccardPairs(graft.ops.TestData.table(spark, sf, "documents"))
+      .where(col("jaccard") >= 0.5)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val pref = SparkEntry.queries("q151_prefix_filter_join")(spark, sf)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pref == full,
+      s"missing: ${(full -- pref).take(5)}; extra: ${(pref -- full).take(5)}")
+    assert(pref.nonEmpty, "fixture corpus must contain near-dup pairs")
+  }
 }

@@ -267,6 +267,45 @@ class SketchWarehouseSpec extends SparkSpec {
       "z-order layout failed to skip at least half the files per probe")
   }
 
+  test("q152 peeling reached its fixpoint: the core is self-consistent") {
+    val core = run("q152_kcore")
+      .select("part", "core_deg").as[(Long, Long)].collect().toMap
+    assert(core.nonEmpty, "fixture graph must have a 3-core")
+    // recompute degrees over the subgraph induced by the reported core;
+    // fixpoint <=> induced degrees equal the report and all are >= 3
+    val li = TestData.table(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val pairs = li.alias("a").join(li.alias("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      .as[(Long, Long)].collect()
+    val induced = pairs.filter(e => core.contains(e._1) && core.contains(e._2))
+      .flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (v, g) => v -> g.length.toLong }
+    assert(induced == core, "reported core degrees != induced degrees")
+    assert(core.values.forall(_ >= 3), "a core vertex has degree < 3")
+  }
+
+  test("q153 EWMA is exactly the 16-term dyadic sum") {
+    val rows = run("q153_ewma_activity")
+      .select("user_id", "ts_s", "event_id", "cents", "ewma_x65536")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val total = TestData.table(spark, sf, "events").count()
+    assert(rows.length == total, "one EWMA per event")
+    rows.groupBy(_._1).foreach { case (u, g) =>
+      val ordered = g.sortBy(r => (r._2, r._3))
+      // independent integer replay of the truncated EWMA per user
+      val xs = ordered.map(_._4)
+      ordered.zipWithIndex.foreach { case (r, t) =>
+        val expect = (0 until 16).map { i =>
+          if (t - i >= 0) xs(t - i) * (1L << (15 - i)) else 0L
+        }.sum
+        assert(r._5 == expect, s"user $u event ${r._3}: ewma mismatch")
+      }
+    }
+  }
+
   test("q147 CMS join estimate is one-sided on every depth row") {
     val rows = run("q147_cms_join_size")
       .select("j", "est_join_rows", "exact_join_rows", "over_bps")
