@@ -494,11 +494,21 @@ object DedupOps {
           .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
           .distinct()
           .localCheckpoint(eager = true)
+        // verify by ARRAY INTERSECTION (q129's trick), not a 3-way join:
+        // cand x per-doc shingles would materialize ~21M join rows at
+        // sf0.1; intersecting the two sorted per-doc shingle arrays
+        // inside one codegen stage touches the same elements with no
+        // join-row explosion.
+        val arrs = sh.groupBy("doc_id")
+          .agg(sort_array(collect_list(col("s"))).as("arr"))
         val inter = cand
-          .join(sh.as("x"), col("d1") === col("x.doc_id"))
-          .join(sh.as("y"),
-            col("d2") === col("y.doc_id") && col("x.s") === col("y.s"))
-          .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+          .join(arrs.select(col("doc_id").as("d1"), col("arr").as("sa")),
+            "d1")
+          .join(arrs.select(col("doc_id").as("d2"), col("arr").as("sb")),
+            "d2")
+          .select(col("d1"), col("d2"),
+            size(array_intersect(col("sa"), col("sb"))).cast("bigint")
+              .as("inter"))
         inter
           .join(cnt.as("ca"), col("d1") === col("ca.doc_id"))
           .join(cnt.as("cb"), col("d2") === col("cb.doc_id"))

@@ -578,12 +578,16 @@ object WarehouseOps {
         var deg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
           .localCheckpoint(eager = true)
         for (_ <- 1 to 4) {
-          val alive = deg.where(col("deg") >= 3).select(col("a").as("vv"))
-            .localCheckpoint(eager = true)
+          // alive derives from the checkpointed deg (no checkpoint of
+          // its own) and is BROADCAST into both semi-joins: the vertex
+          // survivor list is |V| longs, so each peeling round filters
+          // the edge list in place — edges are never re-shuffled, and
+          // the round's whole filter+count pipeline is one stage.
+          val alive = broadcast(
+            deg.where(col("deg") >= 3).select(col("a").as("vv")))
           edges = edges
             .join(alive, col("a") === col("vv"), "left_semi")
             .join(alive, col("b") === col("vv"), "left_semi")
-            .localCheckpoint(eager = true)
           deg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
             .localCheckpoint(eager = true)
         }

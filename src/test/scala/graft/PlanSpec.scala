@@ -305,4 +305,30 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
       plan)
   }
+
+  test("q151 prefix join stays equi-keyed; no nested-loop candidates") {
+    // the candidate self-join and both rescore joins must be hash/sort
+    // equi-joins on the shingle hash — a BroadcastNestedLoopJoin here
+    // would mean the prefix filter degenerated to a cross product.
+    val plan = executed("q151_prefix_filter_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q152 k-core rounds truncate to a checkpoint scan") {
+    // q118's discipline: each peeling round is checkpointed, so the
+    // final plan reads the last round's blocks — no join tower, no
+    // re-derived lineage.
+    val plan = executed("q152_kcore")
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("Scan ExistingRDD"), plan)
+  }
+
+  test("q153 all 16 EWMA lags ride ONE window over one user exchange") {
+    val plan = executed("q153_ewma_activity")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
+      plan)
+    assert("\\bWindow\\b".r.findAllIn(plan).size == 1,
+      s"16 lags must share a single Window node:\n$plan")
+  }
 }
