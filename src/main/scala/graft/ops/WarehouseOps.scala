@@ -552,6 +552,93 @@ object WarehouseOps {
     // any collect (never collect-then-slice, which would buffer a
     // stopword's full posting), df/tf/checksum are plain combinable
     // aggregates, and top-100 is a TakeOrdered.
+    // Rolling-quota audit: for each event, the count of that user's
+    // events in the trailing 3600-second window (RANGE frame on epoch
+    // seconds — the frame is TIME, not row count, so burst density is
+    // measured correctly through quiet gaps), then per user the peak
+    // rolling rate and how many events landed in an already-occupied
+    // hour window (quota 1/hour — sized to this corpus's ~0.1/hour
+    // per-user base rate so the flag isolates genuine bursts) —
+    // the rate-limiter post-mortem every ingestion edge runs. Integer
+    // end-to-end. 100 TB posture: ONE user-key exchange carries the
+    // range window and the per-user aggregate (q113's shared-exchange
+    // discipline).
+    "q154_rolling_quota" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts_s")
+          .rangeBetween(-3599L, Window.currentRow)
+        table(s, dir, "events")
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 1000000").as("ts_s"))
+          .withColumn("rolling_1h", count(lit(1)).over(w))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            max("rolling_1h").as("peak_1h_rate"),
+            sum(when(col("rolling_1h") > 1, 1L).otherwise(0L))
+              .as("n_over_quota"))
+          .withColumn("over_quota_bps",
+            expr("n_over_quota * 10000 div n_events"))
+          .orderBy("user_id")
+      },
+      Some(
+        """WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS ts_s FROM events),
+          | r AS (SELECT user_id,
+          |     count(*) OVER (PARTITION BY user_id ORDER BY ts_s
+          |       RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS rolling_1h
+          |   FROM e)
+          | SELECT user_id, count(*) AS n_events,
+          |   CAST(max(rolling_1h) AS BIGINT) AS peak_1h_rate,
+          |   CAST(sum(CASE WHEN rolling_1h > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_quota,
+          |   CAST(sum(CASE WHEN rolling_1h > 1 THEN 1 ELSE 0 END) * 10000
+          |     // count(*) AS BIGINT) AS over_quota_bps
+          | FROM r GROUP BY 1 ORDER BY user_id""".stripMargin
+          .replace("\n", ""))),
+
+    // Consistent-hash reshard plan: the q150 corpus moves from 16 to 20
+    // hash shards; the plan reports, per (old, new) shard cell, how
+    // many docs move and the corpus-wide moved share in basis points —
+    // the cost estimate a storage layer wants BEFORE committing a
+    // topology change. With plain mod-sharding the expected moved share
+    // is 1 - 1/lcm-ish (~95%); the report makes that cost visible
+    // against the ~20% a consistent-hash ring would move — and the
+    // motion matrix shows exactly which cells pay it. 100 TB posture:
+    // one map-side-combinable aggregate over a narrow projection; the
+    // matrix is <= 16x20 rows.
+    "q155_reshard_plan" -> Q(
+      (s, dir) => {
+        val h = DedupOps.md5Long60(col("doc_id").cast("string"))
+        val cells = table(s, dir, "documents")
+          .select((h % 16).cast("int").as("old_shard"),
+            (h % 20).cast("int").as("new_shard"))
+          .groupBy("old_shard", "new_shard")
+          .agg(count(lit(1)).as("n_docs"))
+        val tot = Window.partitionBy(lit(0)).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        cells
+          .withColumn("is_moved",
+            (col("old_shard") =!= col("new_shard")).cast("int"))
+          .withColumn("moved_docs",
+            sum(when(col("old_shard") =!= col("new_shard"), col("n_docs"))
+              .otherwise(0L)).over(tot))
+          .withColumn("total_docs", sum("n_docs").over(tot))
+          .select(col("old_shard"), col("new_shard"), col("n_docs"),
+            col("is_moved"),
+            expr("moved_docs * 10000 div total_docs").as("moved_bps"))
+          .orderBy("old_shard", "new_shard")
+      },
+      Some(
+        """WITH c AS (SELECT
+          |   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 16 AS INT) AS old_shard,
+          |   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 20 AS INT) AS new_shard
+          | FROM documents),
+          | g AS (SELECT old_shard, new_shard, count(*) AS n_docs FROM c GROUP BY 1, 2)
+          | SELECT old_shard, new_shard, n_docs,
+          |   CAST(old_shard <> new_shard AS INT) AS is_moved,
+          |   CAST(sum(CASE WHEN old_shard <> new_shard THEN n_docs ELSE 0 END) OVER ()
+          |     * 10000 // sum(n_docs) OVER () AS BIGINT) AS moved_bps
+          | FROM g ORDER BY old_shard, new_shard""".stripMargin
+          .replace("\n", ""))),
+
     // k-core decomposition (k=3) of the co-purchase graph by iterative
     // peeling: drop every vertex with degree < 3, recompute degrees,
     // repeat — 4 rounds, each checkpointed (q118/q129's

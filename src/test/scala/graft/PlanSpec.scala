@@ -324,6 +324,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Scan ExistingRDD"), plan)
   }
 
+  test("q154 rolling quota rides one user exchange end to end") {
+    // the RANGE window and the per-user aggregate share one
+    // hashpartitioning(user_id)
+    val plan = executed("q154_rolling_quota")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
+      plan)
+  }
+
   test("q153 all 16 EWMA lags ride ONE window over one user exchange") {
     val plan = executed("q153_ewma_activity")
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,

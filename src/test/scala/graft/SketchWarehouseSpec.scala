@@ -306,6 +306,42 @@ class SketchWarehouseSpec extends SparkSpec {
     }
   }
 
+  test("q154 quota audit: peak bounds violations, bps formula exact") {
+    val rows = run("q154_rolling_quota")
+      .select("user_id", "n_events", "peak_1h_rate", "n_over_quota",
+        "over_quota_bps")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val total = TestData.table(spark, sf, "events").count()
+    assert(rows.map(_._2).sum == total, "per-user counts must cover stream")
+    assert(rows.exists(_._4 > 0), "fixture must surface some bursts")
+    rows.foreach { case (u, n, peak, over, bps) =>
+      assert(peak >= 1 && peak <= n, s"user $u: peak outside [1, n]")
+      if (peak <= 1) assert(over == 0, s"user $u: violations without burst")
+      else assert(over >= 1, s"user $u: burst peak but zero violations")
+      assert(over <= n, s"user $u: more violations than events")
+      assert(bps == over * 10000 / n, s"user $u: bps formula")
+    }
+  }
+
+  test("q155 reshard plan: diagonal stays, motion share consistent") {
+    val rows = run("q155_reshard_plan")
+      .select("old_shard", "new_shard", "n_docs", "is_moved", "moved_bps")
+      .as[(Int, Int, Long, Int, Long)].collect()
+    val total = TestData.table(spark, sf, "documents").count()
+    assert(rows.map(_._3).sum == total, "cells must partition the corpus")
+    // h % 16 == h % 20 is possible (both congruences can hold), so the
+    // stay set is exactly the old==new cells
+    rows.foreach { case (o, n, _, m, _) =>
+      assert(m == (if (o == n) 0 else 1), s"cell ($o,$n): is_moved wrong")
+      assert(o >= 0 && o < 16 && n >= 0 && n < 20)
+    }
+    val moved = rows.filter(_._4 == 1).map(_._3).sum
+    val bps = rows.head._5
+    assert(rows.forall(_._5 == bps), "moved_bps must be corpus-constant")
+    assert(bps == moved * 10000 / total, "moved share formula")
+    assert(bps > 5000, "mod-reshard must move most docs (the point)")
+  }
+
   test("q147 CMS join estimate is one-sided on every depth row") {
     val rows = run("q147_cms_join_size")
       .select("j", "est_join_rows", "exact_join_rows", "over_bps")
