@@ -18,14 +18,16 @@ object PipelineObsOps {
 
   /** Funnel stage order — index is the reporting sort key. */
   private val FunnelStages = Seq(
-    (1, "lang_filter"), (2, "too_short"), (3, "mean_len"),
-    (4, "dup_frac"), (5, "kept"))
+    (1, "lang_filter"), (2, "too_short"), (3, "too_long"),
+    (4, "mean_len"), (5, "dup_frac"), (6, "kept"))
 
   def all: Map[String, Q] = Map(
 
     // Filter-funnel report: every doc is attributed to its FIRST failing
-    // quality gate (lang allowlist -> Gopher min-words -> mean word
-    // length band -> duplicate-word fraction), and the funnel reports
+    // quality gate (lang allowlist -> Gopher min/max words -> mean word
+    // length band -> duplicate-word fraction — the full gopherKeep gate
+    // set, so "kept" here reconciles exactly with the q84/q96
+    // keep-list), and the funnel reports
     // per-stage drops, survivors after each stage, and drop share in
     // basis points — the "where did my corpus go" dashboard every
     // curation run ships with. 100 TB posture: ONE narrow projection
@@ -41,6 +43,7 @@ object PipelineObsOps {
         val dupFrac = lit(1.0) - size(array_distinct(w)) * lit(1.0) / size(w)
         val stage = when(col("lang") === "zh", "lang_filter")
           .when(size(w) < TextOps.GopherMinWords, "too_short")
+          .when(size(w) > TextOps.GopherMaxWords, "too_long")
           .when(meanLen < TextOps.GopherMinMeanLen ||
             meanLen > TextOps.GopherMaxMeanLen, "mean_len")
           .when(dupFrac > TextOps.GopherMaxDupFrac, "dup_frac")
@@ -68,6 +71,7 @@ object PipelineObsOps {
         """WITH m AS (SELECT CASE
           |     WHEN lang = 'zh' THEN 'lang_filter'
           |     WHEN len(string_split(text, ' ')) < 30 THEN 'too_short'
+          |     WHEN len(string_split(text, ' ')) > 10000 THEN 'too_long'
           |     WHEN length(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')) < 3.5
           |       OR length(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')) > 5.0 THEN 'mean_len'
           |     WHEN 1.0 - len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' ')) > 0.6 THEN 'dup_frac'
@@ -75,7 +79,8 @@ object PipelineObsOps {
           |   FROM documents),
           | a AS (SELECT stage, count(*) AS n_docs,
           |     CASE stage WHEN 'lang_filter' THEN 1 WHEN 'too_short' THEN 2
-          |       WHEN 'mean_len' THEN 3 WHEN 'dup_frac' THEN 4 ELSE 5 END AS stage_idx
+          |       WHEN 'too_long' THEN 3 WHEN 'mean_len' THEN 4
+          |       WHEN 'dup_frac' THEN 5 ELSE 6 END AS stage_idx
           |   FROM m GROUP BY 1)
           | SELECT CAST(stage_idx AS INT) AS stage_idx, stage, n_docs,
           |   CAST(sum(n_docs) OVER () - sum(CASE WHEN stage <> 'kept' THEN n_docs ELSE 0 END)

@@ -120,37 +120,27 @@ object TextOps {
     "q18_lang_id" -> Q(
       (s, dir) => {
         val w = split(col("text"), " ")
-        val base = table(s, dir, "documents").select(
+        // per-language hit counts are emitted as diagnostics; the
+        // DECISION comes from the shared langPred helper so q149's
+        // scoring report always grades exactly this classifier
+        table(s, dir, "documents").select(
           col("doc_id"),
           hits(w, enStop).cast("bigint").as("en_hits"),
           hits(w, deStop).cast("bigint").as("de_hits"),
           hits(w, frStop).cast("bigint").as("fr_hits"),
-          hits(w, esStop).cast("bigint").as("es_hits"))
-        base.select(col("doc_id"), col("en_hits"), col("de_hits"),
-          col("fr_hits"), col("es_hits"),
-          when(col("en_hits") === 0 && col("de_hits") === 0 &&
-            col("fr_hits") === 0 && col("es_hits") === 0, "unknown")
-            .when(col("en_hits") >= col("de_hits") &&
-              col("en_hits") >= col("fr_hits") &&
-              col("en_hits") >= col("es_hits"), "en")
-            .when(col("de_hits") >= col("fr_hits") &&
-              col("de_hits") >= col("es_hits"), "de")
-            .when(col("fr_hits") >= col("es_hits"), "fr")
-            .otherwise("es").as("lang_pred"))
+          hits(w, esStop).cast("bigint").as("es_hits"),
+          langPred(w).as("lang_pred"))
           .orderBy("doc_id")
       },
       Some(
         s"""WITH base AS (SELECT doc_id,
            | len(list_filter(string_split(text, ' '), w -> w IN (${sqlList(enStop)}))) AS en_hits,
            | len(list_filter(string_split(text, ' '), w -> w IN (${sqlList(deStop)}))) AS de_hits,
+           | len(list_filter(string_split(text, ' '), w -> w IN (${sqlList(esStop)}))) AS es_hits,
            | len(list_filter(string_split(text, ' '), w -> w IN (${sqlList(frStop)}))) AS fr_hits,
-           | len(list_filter(string_split(text, ' '), w -> w IN (${sqlList(esStop)}))) AS es_hits
+           | $langPredSql AS lang_pred
            | FROM documents)
-           | SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
-           | CASE WHEN en_hits = 0 AND de_hits = 0 AND fr_hits = 0 AND es_hits = 0 THEN 'unknown'
-           | WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
-           | WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
-           | WHEN fr_hits >= es_hits THEN 'fr' ELSE 'es' END AS lang_pred
+           | SELECT doc_id, en_hits, de_hits, fr_hits, es_hits, lang_pred
            | FROM base ORDER BY doc_id""".stripMargin.replace("\n", ""))),
 
     // Classifier scoring report: q18's stopword language-ID evaluated

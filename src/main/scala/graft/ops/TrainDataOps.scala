@@ -30,6 +30,39 @@ import TestData._
   */
 object TrainDataOps {
 
+  /** Winnowing fingerprints (MOSS k=4-gram hashes, w=5 window minima,
+    * Schleimer et al. 2003) per doc, as (doc_id, fp) rows — the SINGLE
+    * source for q111 (shared-passage pair mining) and q148 (benchmark
+    * contamination): any shared run of >= 8 words guarantees a shared
+    * fingerprint. A scheme change here moves both operators together.
+    */
+  private def winnowFingerprints(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val hs = expr(
+      "transform(sequence(1, size(w) - 3), " +
+        "i -> cast(conv(substring(md5(array_join(slice(w, i, 4), ' ')), 1, 15), 16, 10) as bigint))")
+    val fps = expr(
+      "array_distinct(transform(sequence(1, greatest(size(hs) - 4, 1)), " +
+        "j -> array_min(slice(hs, j, 5))))")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 4)
+      .select(col("doc_id"), hs.as("hs"))
+      .select(col("doc_id"), explode(fps).as("fp"))
+  }
+
+  /** DuckDB twin of [[winnowFingerprints]]: CTE chain ending in
+    * `f(doc_id, fp)`.
+    */
+  private val winnowCte: String =
+    """s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 4),
+      | h AS (SELECT doc_id, list_transform(generate_series(1, len(w) - 3),
+      |   i -> ('0x' || substr(md5(array_to_string(w[i : i + 3], ' ')), 1, 15))::BIGINT) AS hs FROM s),
+      | f0 AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(hs) - 4, 1)),
+      |   j -> list_min(hs[j : j + 4]))) AS fps FROM h),
+      | f AS (SELECT doc_id, unnest(fps) AS fp FROM f0)"""
+      .stripMargin.replace("\n", "")
+
   private val ChunkWords = 8
 
   /** One row per non-overlapping [[ChunkWords]]-word chunk occurrence:
@@ -481,20 +514,6 @@ object TrainDataOps {
     // higher-order projection; only the fingerprint self-join and final
     // aggregation shuffle, carrying fixed-width longs. Output: top-20
     // doc pairs by shared fingerprint count (q24's reporting shape).
-    // Partial-contamination detector: q86 (3-gram Jaccard) and q127
-    // (whole-doc Bloom) catch near-whole-document leakage; this catches
-    // a benchmark PASSAGE embedded inside a larger training doc — the
-    // leak the others structurally miss. Every corpus doc sharing a
-    // winnowing fingerprint (q111's k=4/w=5 MOSS scheme: any shared run
-    // of >= 8 words guarantees a shared fingerprint) with any benchmark
-    // doc is flagged with how many fingerprints and benchmark docs it
-    // hits, plus whether it is merely an exact duplicate (normalized-md5
-    // equal — those are q85's dedup problem, not a decontamination
-    // finding). 100 TB posture: the benchmark fingerprint table is
-    // BROADCAST (bounded by the benchmark suite, not the corpus); the
-    // corpus side streams its fingerprints through the broadcast join
-    // with no self-join and no corpus shuffle before the per-doc
-    // aggregate.
     // Training-shard manifest: docs hash-assigned to 16 shards (the
     // md5-60 bridge keyed on doc_id — rerunnable, balanced, and
     // engine-replayable), and per shard the manifest a data loader
@@ -537,20 +556,24 @@ object TrainDataOps {
           | FROM d GROUP BY 1 ORDER BY shard""".stripMargin
           .replace("\n", ""))),
 
+    // Partial-contamination detector: q86 (3-gram Jaccard) and q127
+    // (whole-doc Bloom) catch near-whole-document leakage; this catches
+    // a benchmark PASSAGE embedded inside a larger training doc — the
+    // leak the others structurally miss. Every corpus doc sharing a
+    // winnowing fingerprint (q111's k=4/w=5 MOSS scheme: any shared run
+    // of >= 8 words guarantees a shared fingerprint) with any benchmark
+    // doc is flagged with how many fingerprints and benchmark docs it
+    // hits, plus whether it is merely an exact duplicate (normalized-md5
+    // equal — those are q85's dedup problem, not a decontamination
+    // finding). 100 TB posture: the benchmark fingerprint table is
+    // BROADCAST (bounded by the benchmark suite, not the corpus); the
+    // corpus side streams its fingerprints through the broadcast join
+    // with no self-join and no corpus shuffle before the per-doc
+    // aggregate.
     "q148_partial_contamination" -> Q(
       (s, dir) => {
-        val hs = expr(
-          "transform(sequence(1, size(w) - 3), " +
-            "i -> cast(conv(substring(md5(array_join(slice(w, i, 4), ' ')), 1, 15), 16, 10) as bigint))")
-        val fps = expr(
-          "array_distinct(transform(sequence(1, greatest(size(hs) - 4, 1)), " +
-            "j -> array_min(slice(hs, j, 5))))")
         val docs = table(s, dir, "documents")
-        val f = docs
-          .select(col("doc_id"), split(col("text"), " ").as("w"))
-          .where(size(col("w")) >= 4)
-          .select(col("doc_id"), hs.as("hs"))
-          .select(col("doc_id"), explode(fps).as("fp"))
+        val f = winnowFingerprints(docs)
         val bench = f.where(col("doc_id") % 97 === 0)
           .select(col("fp"), col("doc_id").as("bdoc")).distinct()
         val matched = f.where(col("doc_id") % 97 =!= 0)
@@ -570,21 +593,16 @@ object TrainDataOps {
           .orderBy("doc_id")
       },
       Some(
-        """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 4),
-          | h AS (SELECT doc_id, list_transform(generate_series(1, len(w) - 3),
-          |   i -> ('0x' || substr(md5(array_to_string(w[i : i + 3], ' ')), 1, 15))::BIGINT) AS hs FROM s),
-          | f0 AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(hs) - 4, 1)),
-          |   j -> list_min(hs[j : j + 4]))) AS fps FROM h),
-          | f AS (SELECT doc_id, unnest(fps) AS fp FROM f0),
+        s"""WITH $winnowCte,
           | bench AS (SELECT DISTINCT fp, doc_id AS bdoc FROM f WHERE doc_id % 97 = 0),
           | m AS (SELECT f.doc_id, count(DISTINCT f.fp) AS n_shared_fps,
           |     count(DISTINCT bench.bdoc) AS n_bench_docs
           |   FROM f JOIN bench USING (fp) WHERE f.doc_id % 97 <> 0 GROUP BY 1),
-          | bn AS (SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS nfp
+          | bn AS (SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS nfp
           |   FROM documents WHERE doc_id % 97 = 0),
           | dup AS (SELECT doc_id, 1 AS exact_dup FROM documents
           |   WHERE doc_id % 97 <> 0
-          |     AND md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) IN (SELECT nfp FROM bn))
+          |     AND md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) IN (SELECT nfp FROM bn))
           | SELECT m.doc_id, m.n_shared_fps, m.n_bench_docs,
           |   CAST(coalesce(dup.exact_dup, 0) AS INT) AS exact_dup
           | FROM m LEFT JOIN dup USING (doc_id) ORDER BY doc_id"""
@@ -592,17 +610,7 @@ object TrainDataOps {
 
     "q111_winnow_pairs" -> Q(
       (s, dir) => {
-        val hs = expr(
-          "transform(sequence(1, size(w) - 3), " +
-            "i -> cast(conv(substring(md5(array_join(slice(w, i, 4), ' ')), 1, 15), 16, 10) as bigint))")
-        val fps = expr(
-          "array_distinct(transform(sequence(1, greatest(size(hs) - 4, 1)), " +
-            "j -> array_min(slice(hs, j, 5))))")
-        val f = table(s, dir, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("w"))
-          .where(size(col("w")) >= 4)
-          .select(col("doc_id"), hs.as("hs"))
-          .select(col("doc_id"), explode(fps).as("fp"))
+        val f = winnowFingerprints(table(s, dir, "documents"))
         f.as("a").join(f.as("b"),
             col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
@@ -611,12 +619,7 @@ object TrainDataOps {
           .limit(20)
       },
       Some(
-        """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 4),
-          | h AS (SELECT doc_id, list_transform(generate_series(1, len(w) - 3),
-          |   i -> ('0x' || substr(md5(array_to_string(w[i : i + 3], ' ')), 1, 15))::BIGINT) AS hs FROM s),
-          | f0 AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(hs) - 4, 1)),
-          |   j -> list_min(hs[j : j + 4]))) AS fps FROM h),
-          | f AS (SELECT doc_id, unnest(fps) AS fp FROM f0)
+        s"""WITH $winnowCte
           | SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
           | FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
           | GROUP BY 1, 2 ORDER BY n_shared DESC, d1, d2 LIMIT 20"""

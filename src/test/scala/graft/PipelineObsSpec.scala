@@ -23,8 +23,9 @@ class PipelineObsSpec extends SparkSpec {
     val total = TestData.table(spark, sf, "documents").count()
     assert(rows.map(_._3).sum == total, "stage counts must partition corpus")
     val survivors = rows.filter(_._2 != "kept").map(_._4)
-    survivors.sliding(2).foreach { case Array(a, b) =>
-      assert(b <= a, "survivors must be non-increasing through the funnel")
+    survivors.sliding(2).withFilter(_.length == 2).foreach { w =>
+      assert(w(1) <= w(0),
+        "survivors must be non-increasing through the funnel")
     }
     val kept = rows.find(_._2 == "kept").get
     assert(kept._4 == kept._3,
@@ -95,7 +96,8 @@ class PipelineObsSpec extends SparkSpec {
         s"$src: src_rank not dense 1..n")
       // within a source, rank follows uniq_bps desc (doc_id tiebreak)
       val byRank = g.sortBy(_._4)
-      byRank.sliding(2).foreach { case Array(a, b) =>
+      byRank.sliding(2).withFilter(_.length == 2).foreach { w =>
+        val (a, b) = (w(0), w(1))
         assert(a._3 > b._3 || (a._3 == b._3 && a._1 < b._1),
           s"$src: rank order violates (uniq_bps desc, doc_id)")
       }
@@ -131,7 +133,8 @@ class PipelineObsSpec extends SparkSpec {
     assert(rows.map(_._3).sum <= total,
       "labeled-pred volume cannot exceed corpus (unknown preds excluded)")
     rows.foreach { case (l, nt, np, tp, p, r) =>
-      assert(tp <= math.min(nt, np max tp), s"$l: tp above support")
+      assert(tp <= nt, s"$l: tp above true support")
+      assert(tp <= np, s"$l: tp above predicted volume")
       assert(p == tp * 10000 / math.max(np, 1L), s"$l: precision formula")
       assert(r == tp * 10000 / nt, s"$l: recall formula")
     }
