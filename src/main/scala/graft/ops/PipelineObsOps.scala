@@ -32,8 +32,8 @@ object PipelineObsOps {
     // basis points — the "where did my corpus go" dashboard every
     // curation run ships with. 100 TB posture: ONE narrow projection
     // computes the first-fail stage per doc (no shuffle), the corpus
-    // collapses map-side to <= 5 stage rows, and the cumulative-survivor
-    // window runs on that 5-row post-aggregate frame — bounded by the
+    // collapses map-side to <= 6 stage rows, and the cumulative-survivor
+    // window runs on that post-aggregate frame — bounded by the
     // gate count, never the corpus.
     "q141_filter_funnel" -> Q(
       (s, dir) => {
