@@ -11,7 +11,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
+    # Mirror the driver's harness: sort columns by name, then ROWS by all
+    # columns. The row sort is what dies on ndarray cells (unhashable
+    # numpy.ndarray) -- the q137 failure class -- so keeping it here makes
+    # driver-incomparable output fail LOCALLY, not one round later.
     df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), kind="mergesort")
     return df.reset_index(drop=True)
 
 def main(sf_dir, out_dir):

@@ -187,6 +187,14 @@ object Bench {
         spark.range(0, 48L * 1000 * 1000, 1, cpus.toInt)
           .select(md5(concat_ws("-", lit("cal"), col("id"))).as("h"))
           .agg(max(col("h"))).collect().length.toLong))
+    // Healthy-box reference walls for the calibration pair, COMMITTED
+    // in the artifact (VERDICT r6 #4): measured on an idle box with the
+    // pinned-heap JVM flags (PLANS.md round-6 floor recording). With
+    // expected values in the JSON itself, host normalization is a
+    // computed field — host_factor = measured/expected per control —
+    // instead of a by-hand exercise against prose, and the binding
+    // (worst) control is what normalizes the total.
+    val controlExpected = Map("cal_range_sum" -> 0.35, "cal_md5_alloc" -> 0.80)
     val controlRes = controls.map { case (name, thunk) =>
       val ss = Seq(sample(thunk), sample(thunk))
       val best = ss.filter(_._1 >= 0).sortBy(_._1).headOption
@@ -194,6 +202,15 @@ object Bench {
         best.map(_._3).getOrElse(0.0), best.map(_._4).getOrElse(0.0),
         ss.map(_._1))
     }
+    // Overall host factor: the MAX over controls (the allocation-
+    // sensitive control binds when the box is sick in exactly the
+    // profile most catalog queries stress — r6's optimistic-averaging
+    // mistake). Floored at 1.0: a box faster than the reference never
+    // scales the total down below its raw measurement.
+    val hostFactor = controlRes.flatMap { case (k, w, _, _, _, _) =>
+      controlExpected.get(k).filter(_ > 0).flatMap(e =>
+        if (w > 0) Some(w / e) else None)
+    }.foldLeft(1.0)(math.max)
 
     val loadStart = loadavg1m()
     val results = catalog.map { case (name, fn) =>
@@ -248,7 +265,9 @@ object Bench {
     val jt = jmap(results.map { case (k, _, _, _, j, _) => k -> f"$j%.2f" })
     val runs = jmap(results.map { case (k, _, _, _, _, n) => k -> n.toString })
     val ctl = jmap(controlRes.map { case (k, w, c, g, j, ss) =>
-      k -> (f"""{"wall":$w%.3f,"cpu_wall":$c%.2f,"gc_wall":$g%.2f,"jit_sec":$j%.2f,"samples":""" +
+      val exp = controlExpected.getOrElse(k, -1.0)
+      val hf = if (exp > 0 && w > 0) w / exp else -1.0
+      k -> (f"""{"wall":$w%.3f,"expected":$exp%.3f,"host_factor":$hf%.2f,"cpu_wall":$c%.2f,"gc_wall":$g%.2f,"jit_sec":$j%.2f,"samples":""" +
         ss.map(v => f"$v%.3f").mkString("[", ",", "]") + "}")
     })
     val stab = jmap(stability.map { case (k, mn, md, mx, ws) =>
@@ -256,8 +275,9 @@ object Bench {
         ws.map(v => f"$v%.3f").mkString("[", ",", "]") + "}")
     })
     val total = results.map { case (_, v, _, _, _, _) => v }.sum
+    val totalNorm = total / hostFactor
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"load_wait_sec":$loadWaitSec,"controls":$ctl,"stability":$stab,"cpu_wall":$cw,"gc_wall":$gw,"jit_sec":$jt,"runs":$runs}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","host_factor":$hostFactor%.2f,"total_ctl_normalized":$totalNorm%.3f,"queries":$qs,"sf":"$sfDir","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"load_wait_sec":$loadWaitSec,"controls":$ctl,"stability":$stab,"cpu_wall":$cw,"gc_wall":$gw,"jit_sec":$jt,"runs":$runs}"""
     println(fullLine)
 
     // The full record ALSO goes to a file in the repo root (r5 lesson:
@@ -286,7 +306,7 @@ object Bench {
       k -> f"$w%.3f" })
     val stabShort = jmap(stability.map { case (k, mn, _, mx, _) =>
       k -> f"${if (mn > 0) mx / mn else -1.0}%.2f" })
-    println(f"""{"metric":"summary","value":$total%.3f,"unit":"sec","n_queries":${results.size},"slowest":$slow10,"controls":$ctlShort,"stability_maxmin":$stabShort,"sf":"$sfDir","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"load_wait_sec":$loadWaitSec,"max_gc_wall":$maxGc%.2f,"artifact":"$outPath"}""")
+    println(f"""{"metric":"summary","value":$total%.3f,"unit":"sec","host_factor":$hostFactor%.2f,"total_ctl_normalized":$totalNorm%.3f,"n_queries":${results.size},"slowest":$slow10,"controls":$ctlShort,"stability_maxmin":$stabShort,"sf":"$sfDir","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"load_wait_sec":$loadWaitSec,"max_gc_wall":$maxGc%.2f,"artifact":"$outPath"}""")
     spark.stop()
   }
 }

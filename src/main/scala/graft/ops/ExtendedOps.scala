@@ -1011,22 +1011,23 @@ object ExtendedOps {
         // re-evaluates the deletion-neighborhood generation on both
         // sides (measured ~2x the whole candidate stage at sf0.1). Same
         // checkpoint-the-expensive-leaf discipline as q110/q118.
+        // c_name rides the variant table so the Levenshtein VERIFY runs
+        // INSIDE the candidate join (as its non-equi residual) — at 4.3
+        // candidates per true pair the verify is cheaper than the two
+        // name re-joins + pre-verify distinct it replaces, and the
+        // remaining distinct dedups only VERIFIED pairs (VERDICT r6 #6:
+        // q121's wall was barrier latency, 2.3x its CPU).
         val variants = deletionVariants(c, "c_name",
-            Seq("c_custkey", "c_nationkey", "c_mktsegment"))
+            Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
           .localCheckpoint(eager = true)
-        val cand = variants.as("a").join(variants.as("b"),
+        val pairs = variants.as("a").join(variants.as("b"),
             col("a.vh") === col("b.vh") &&
               col("a.c_nationkey") === col("b.c_nationkey") &&
               col("a.c_mktsegment") === col("b.c_mktsegment") &&
-              col("a.c_custkey") < col("b.c_custkey"))
+              col("a.c_custkey") < col("b.c_custkey") &&
+              levenshtein(col("a.c_name"), col("b.c_name")) <= 2)
           .select(col("a.c_custkey").as("d1"), col("b.c_custkey").as("d2"))
           .distinct()
-        val names = c.select(col("c_custkey"), col("c_name"))
-        val pairs = cand
-          .join(names.as("na"), col("d1") === col("na.c_custkey"))
-          .join(names.as("nb"), col("d2") === col("nb.c_custkey"))
-          .where(levenshtein(col("na.c_name"), col("nb.c_name")) <= 2)
-          .select(col("d1"), col("d2"))
         val comp = DedupOps.connectedComponents(pairs)
           .select(col("v"), col("c"))
         c.join(comp, col("c_custkey") === col("v"), "left")

@@ -25,9 +25,11 @@ object PipelineObsOps {
 
     // Filter-funnel report: every doc is attributed to its FIRST failing
     // quality gate (lang allowlist -> Gopher min/max words -> mean word
-    // length band -> duplicate-word fraction — the full gopherKeep gate
-    // set, so "kept" here reconciles exactly with the q84/q96
-    // keep-list), and the funnel reports
+    // length band -> duplicate-word fraction). The last four stages are
+    // the full gopherKeep gate set, so "kept" = gopherKeep AND
+    // lang != zh — a strict SUBSET of the q84/q96 keep-list whenever a
+    // zh doc passes the Gopher gates (the funnel adds the lang gate
+    // those queries do not have). The funnel reports
     // per-stage drops, survivors after each stage, and drop share in
     // basis points — the "where did my corpus go" dashboard every
     // curation run ships with. 100 TB posture: ONE narrow projection
@@ -92,6 +94,12 @@ object PipelineObsOps {
     // Per-user event-rate anomaly detection: hourly activity counts per
     // user, then a per-user z-test on each hour — flag hours whose count
     // sits more than 3 sigma ABOVE that user's own hourly mean. The
+    // baseline is over the user's ACTIVE hours only (hours with zero
+    // events contribute to neither n, s1, nor s2), which raises the
+    // mean and makes the flag conservative for sparse users — the
+    // deliberate semantic here: a user who fires 5 events in each of 3
+    // scattered hours is steady, not anomalous, even if their
+    // calendar-hour mean would be near zero. The
     // entire test runs in BIGINT moments ((n*x - S1)^2 > 9*(n*S2 - S1^2)
     // is z > 3 with both sides integer), so the flag — and the gate —
     // are engine-exact with no IEEE mean/stddev anywhere. 100 TB

@@ -573,7 +573,11 @@ object TrainDataOps {
     "q148_partial_contamination" -> Q(
       (s, dir) => {
         val docs = table(s, dir, "documents")
-        val f = winnowFingerprints(docs)
+        // f fans into BOTH the bench and corpus branches of the join —
+        // checkpoint it once (q129/q151/q152 discipline) so the full
+        // shingle/winnow derivation and the documents scan behind it
+        // run a single time instead of once per consumer.
+        val f = winnowFingerprints(docs).localCheckpoint(eager = true)
         val bench = f.where(col("doc_id") % 97 === 0)
           .select(col("fp"), col("doc_id").as("bdoc")).distinct()
         val matched = f.where(col("doc_id") % 97 =!= 0)

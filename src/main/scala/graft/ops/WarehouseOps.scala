@@ -10,11 +10,69 @@ import TestData._
   * month indices / basis points) so both engines hash identically.
   */
 object WarehouseOps {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
 
   /** Target compaction bin size in bytes (sf-independent constant; at
     * larger sf each (lang, source) group simply plans more files).
     */
   private val BinBytes = 8192L
+
+  /** Broadcast hint for graph-side frames (adjacency arrays, survivor
+    * vertex lists), gated by `graft.broadcast_graph_frames` (default
+    * ON — right at bench scale, where these frames are single-digit
+    * MBs). The frames GROW WITH THE GRAPH (Σ|nbrs| = E longs for q129's
+    * adjacency, |V| longs for q152's survivor list), so an
+    * unconditional hint at 100× is a driver OOM, not a graceful
+    * degrade. With the flag off the hint is withheld and the identical
+    * logical plan runs as shuffled hash/semi-joins — AQE can still
+    * promote a side to broadcast at runtime if its MEASURED size
+    * allows, which is the decision a 1000-executor cluster should be
+    * making, not a hardcoded hint.
+    */
+  private[graft] def graphHint(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.getOption("graft.broadcast_graph_frames")
+          .forall(_.toBoolean)) broadcast(df)
+    else df
+
+  /** The co-purchase graph's undirected edge set — distinct part pairs
+    * sharing an order — deduped and checkpointed ONCE. Shared base
+    * stage of q129 (triangle counting) and q152 (k-core) so each graph
+    * query builds the order self-join exactly once per invocation and
+    * a future graph query doesn't re-derive it a third time. 100 TB
+    * posture: per-order pair fanout is bounded by order width
+    * (≤ C(13,2) here), the pair list shuffles as fixed-width longs, and
+    * the checkpoint makes it a materialized leaf for every consumer.
+    */
+  private[graft] def coPurchasePairs(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    li.alias("a").join(li.alias("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .distinct()
+      .localCheckpoint(eager = true)
+  }
+
+  /** One k-core peeling round: filter `edges(a, b)` to endpoints whose
+    * degree (in `deg(a, deg)`) is >= k. The survivor list derives from
+    * the checkpointed deg (no checkpoint of its own); under the default
+    * config it is broadcast into both semi-joins so the round filters
+    * the edge list in place — edges never re-shuffle and the whole
+    * filter pipeline is one stage. The list is |V| longs — it GROWS
+    * with the graph — so the hint rides graphHint: with
+    * graft.broadcast_graph_frames=false the round degrades to shuffled
+    * semi-joins instead of pushing a multi-GB list through the driver
+    * at 100×. Exposed for PlanSpec, which pins BOTH shapes.
+    */
+  private[graft] def kcorePeel(edges: DataFrame, deg: DataFrame,
+      k: Int): DataFrame = {
+    val alive = graphHint(
+      deg.where(col("deg") >= k).select(col("a").as("vv")))
+    edges
+      .join(alive, col("a") === col("vv"), "left_semi")
+      .join(alive, col("b") === col("vv"), "left_semi")
+  }
 
   def all: Map[String, Q] = Map(
 
@@ -71,18 +129,12 @@ object WarehouseOps {
     // equi-joins AQE can skew-split.
     "q129_triangle_count" -> Q(
       (s, dir) => {
-        val li = table(s, dir, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
         // pairs feeds deg AND e; e feeds all three legs of the wedge
-        // join — checkpoint both so the order self-join runs once and
-        // the oriented edge list is a materialized leaf, not a lineage
-        // replayed three times (q110/q118 discipline).
-        val pairs = li.alias("a").join(li.alias("b"),
-            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .select(col("a.p").as("u"), col("b.p").as("v"))
-          .distinct()
-          .localCheckpoint(eager = true)
+        // join — the shared helper checkpoints it so the order
+        // self-join runs once and the oriented edge list is a
+        // materialized leaf, not a lineage replayed three times
+        // (q110/q118 discipline).
+        val pairs = coPurchasePairs(s, dir)
         val deg = pairs.select(col("u").as("n"))
           .unionAll(pairs.select(col("v").as("n")))
           .groupBy("n").agg(count(lit(1)).as("deg"))
@@ -106,15 +158,16 @@ object WarehouseOps {
         // is never materialized as join rows: each edge row scans two
         // neighbor arrays inside one codegen stage and emits only true
         // triangles. Same O(E^1.5) work bound, join-row constant gone.
-        // Past broadcast size (E >~ 10^8) drop the hints: the same plan
-        // degrades to two shuffled hash joins on src/dst.
+        // The adjacency frame grows with E, so its broadcast is gated
+        // by `graft.broadcast_graph_frames` (graphHint): flag off →
+        // the same plan degrades to two shuffled hash joins on src/dst.
         val adj = e.groupBy(col("src"))
           .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
           .localCheckpoint(eager = true)
         val tri = e
-          .join(broadcast(adj.select(col("src").as("ju"), col("nbrs").as("nu"))),
+          .join(graphHint(adj.select(col("src").as("ju"), col("nbrs").as("nu"))),
             col("src") === col("ju"))
-          .join(broadcast(adj.select(col("src").as("jv"), col("nbrs").as("nv"))),
+          .join(graphHint(adj.select(col("src").as("jv"), col("nbrs").as("nv"))),
             col("dst") === col("jv"))
           .select(col("src").as("ta"), col("dst").as("tb"),
             explode(array_intersect(col("nu"), col("nv"))).as("tc"))
@@ -598,8 +651,10 @@ object WarehouseOps {
     // hash shards; the plan reports, per (old, new) shard cell, how
     // many docs move and the corpus-wide moved share in basis points —
     // the cost estimate a storage layer wants BEFORE committing a
-    // topology change. With plain mod-sharding the expected moved share
-    // is 1 - 1/lcm-ish (~95%); the report makes that cost visible
+    // topology change. With plain mod-sharding a doc stays only when
+    // h % 16 == h % 20, i.e. on 16 of the lcm(16,20)=80 residues, so
+    // the expected moved share is 1 - 16/80 = 80%; the report makes
+    // that cost visible
     // against the ~20% a consistent-hash ring would move — and the
     // motion matrix shows exactly which cells pay it. 100 TB posture:
     // one map-side-combinable aggregate over a narrow projection; the
@@ -652,29 +707,14 @@ object WarehouseOps {
     // two semi-joins + one count per vertex, all equi-partitioned.
     "q152_kcore" -> Q(
       (s, dir) => {
-        val li = table(s, dir, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
-        val pairs0 = li.alias("a").join(li.alias("b"),
-            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
-          .localCheckpoint(eager = true)
+        val pairs0 = coPurchasePairs(s, dir)
         var edges = pairs0.select(col("u").as("a"), col("v").as("b"))
           .unionAll(pairs0.select(col("v").as("a"), col("u").as("b")))
           .localCheckpoint(eager = true)
         var deg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
           .localCheckpoint(eager = true)
         for (_ <- 1 to 4) {
-          // alive derives from the checkpointed deg (no checkpoint of
-          // its own) and is BROADCAST into both semi-joins: the vertex
-          // survivor list is |V| longs, so each peeling round filters
-          // the edge list in place — edges are never re-shuffled, and
-          // the round's whole filter+count pipeline is one stage.
-          val alive = broadcast(
-            deg.where(col("deg") >= 3).select(col("a").as("vv")))
-          edges = edges
-            .join(alive, col("a") === col("vv"), "left_semi")
-            .join(alive, col("b") === col("vv"), "left_semi")
+          edges = kcorePeel(edges, deg, 3)
           deg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
             .localCheckpoint(eager = true)
         }
@@ -811,6 +851,12 @@ object WarehouseOps {
           .stripMargin.replace("\n", "")
       }),
 
+    // posting_head is rendered as a comma-joined STRING, not an
+    // ArrayType column: the driver's oracle harness compares frames via
+    // pandas, which cannot sort/hash ndarray cells (q76 hit the same
+    // wall and set the concat_ws precedent). Sort happens on the LONGs
+    // (numeric order), then each element casts to string — never
+    // sort-after-cast, which would order "10" before "2".
     "q137_inverted_index" -> Q(
       (s, dir) => {
         val tok = table(s, dir, "documents")
@@ -821,7 +867,9 @@ object WarehouseOps {
         val heads = dist.withColumn("rn", row_number().over(wr))
           .where(col("rn") <= 10)
           .groupBy("term")
-          .agg(sort_array(collect_list(col("doc_id"))).as("posting_head"))
+          .agg(expr(
+            "array_join(transform(sort_array(collect_list(doc_id)), " +
+              "x -> cast(x as string)), ',')").as("posting_head"))
         val stats = dist.groupBy("term")
           .agg(count(lit(1)).as("df"), sum("doc_id").as("posting_checksum"))
         val tf = tok.groupBy("term").agg(count(lit(1)).as("tf"))
@@ -837,7 +885,7 @@ object WarehouseOps {
           |   FROM documents),
           | tk AS (SELECT doc_id, term FROM tok WHERE term <> ''),
           | dist AS (SELECT DISTINCT term, doc_id FROM tk),
-          | hd AS (SELECT term, list(doc_id ORDER BY doc_id) AS posting_head FROM
+          | hd AS (SELECT term, array_to_string(list(doc_id ORDER BY doc_id), ',') AS posting_head FROM
           |   (SELECT term, doc_id, row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
           |    FROM dist) WHERE rn <= 10 GROUP BY term),
           | st AS (SELECT term, count(*) AS df,

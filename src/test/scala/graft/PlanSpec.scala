@@ -315,6 +315,52 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q129 adjacency joins broadcast by default, degrade to shuffles with the flag off") {
+    // graphHint gate (VERDICT r6 #3): the adjacency frame grows with E,
+    // so the broadcast must be opt-out-able. Default: both closing
+    // joins are broadcast hash joins. Flag off: the hint is withheld —
+    // checkpointed leaves carry no size stats, so the same plan runs as
+    // shuffled equi-joins (what a 100x cluster should get).
+    val on = executed("q129_triangle_count")
+    assert("BroadcastHashJoin".r.findAllIn(on).size >= 2,
+      s"adjacency not broadcast under the default:\n$on")
+    spark.conf.set("graft.broadcast_graph_frames", "false")
+    try {
+      val off = executed("q129_triangle_count")
+      assert(!off.contains("BroadcastExchange"),
+        s"flag off but a broadcast survives:\n$off")
+      assert(off.contains("SortMergeJoin") || off.contains("ShuffledHashJoin"),
+        s"no shuffled equi-join in degraded mode:\n$off")
+    } finally spark.conf.unset("graft.broadcast_graph_frames")
+  }
+
+  test("q152 peel round broadcasts the survivor list by default, shuffles with the flag off") {
+    // The final q152 plan truncates at the last checkpoint, so the gate
+    // is pinned on one peeling round directly.
+    import graft.ops.WarehouseOps
+    val pairs = WarehouseOps.coPurchasePairs(spark, sf)
+    val edges = pairs.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(pairs.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint(eager = true)
+    val deg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = true)
+    val on = WarehouseOps.kcorePeel(edges, deg, 3)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(on).size == 2,
+      s"survivor list not broadcast into both semi-joins:\n$on")
+    assert(!on.contains("Exchange hashpartitioning"),
+      s"a broadcast round must filter edges in place, not re-shuffle:\n$on")
+    spark.conf.set("graft.broadcast_graph_frames", "false")
+    try {
+      val off = WarehouseOps.kcorePeel(edges, deg, 3)
+        .queryExecution.executedPlan.toString
+      assert(!off.contains("BroadcastExchange"),
+        s"flag off but a broadcast survives:\n$off")
+      assert(off.contains("SortMergeJoin") || off.contains("ShuffledHashJoin"),
+        s"no shuffled semi-join in degraded mode:\n$off")
+    } finally spark.conf.unset("graft.broadcast_graph_frames")
+  }
+
   test("q152 k-core rounds truncate to a checkpoint scan") {
     // q118's discipline: each peeling round is checkpointed, so the
     // final plan reads the last round's blocks — no join tower, no

@@ -219,6 +219,23 @@ class WarehouseGraphSpec extends SparkSpec {
     assert(!truth.contains((1L, 7L)) && !candidates.contains((13L, 12L)))
   }
 
+  test("q129/q152 results are identical with graph broadcasts off") {
+    // The graphHint gate changes the PHYSICAL join strategy only; both
+    // queries must stay green in both modes (VERDICT r6 #3).
+    def collectBoth(name: String) = {
+      val on = run(name).collect().map(_.toSeq).toSeq
+      spark.conf.set("graft.broadcast_graph_frames", "false")
+      try {
+        val off = run(name).collect().map(_.toSeq).toSeq
+        (on, off)
+      } finally spark.conf.unset("graft.broadcast_graph_frames")
+    }
+    Seq("q129_triangle_count", "q152_kcore").foreach { name =>
+      val (on, off) = collectBoth(name)
+      assert(on.nonEmpty && on == off, s"$name diverges with the flag off")
+    }
+  }
+
   test("q124 HLL sketch state is internally consistent") {
     val rows = run("q124_hll_registers")
       .select("event_type", "exact_users", "hll_sum_scaled",
