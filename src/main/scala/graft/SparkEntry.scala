@@ -14,6 +14,7 @@ object SparkEntry {
   private def catalogs: Seq[Map[String, Q]] = Seq(
     RefQueries.all,
     TextOps.all,
+    TextOps.ensemble,
     DedupOps.all,
     SimilarityOps.all,
     AnalyticsOps.all,

@@ -205,6 +205,87 @@ object SketchOps {
            |   CAST((est.est_join_rows - ex.exact_join_rows) * 10000
            |     // greatest(ex.exact_join_rows, 1) AS BIGINT) AS over_bps
            | FROM est CROSS JOIN ex ORDER BY j""".stripMargin
-          .replace("\n", "")))
+          .replace("\n", ""))),
+
+    // KMV (k-minimum-values / bottom-k) distinct sketch per event type,
+    // plus the MERGED union sketch built from the per-type sketches
+    // alone (Bar-Yossef et al. 2002; the Theta-sketch family's
+    // workhorse). State per scope is the k=64 smallest md5-60 hashes of
+    // user_id; the estimator is (k-1) * 2^60 / h_k (exact n when the
+    // scope holds < k users). 63 * 2^60 is exact in an IEEE double (6-
+    // bit mantissa times a power of two) and the one division is
+    // correctly rounded, so the estimate is bit-identical cross-engine;
+    // err_bps goes through an explicit floor() (DuckDB's double->BIGINT
+    // cast ROUNDS where Spark truncates — the floor keeps both on the
+    // same integer). The union row pins MERGEABILITY: union(A, B) =
+    // bottom-k(sketch(A) ++ sketch(B)) touches only 64 x |types| sketch
+    // values, never the corpus — the property that lets 1000 executors
+    // sketch independently and a coordinator combine k-sized states.
+    // 100 TB posture: candidate generation is the TopKPerGroup custom
+    // operator (partial k-heaps ahead of the exchange — shuffle volume
+    // is answer-proportional, 64 rows per type), and the union re-rank
+    // is a TakeOrdered over <= 64 x |types| rows.
+    "q156_kmv_distinct" -> Q(
+      (s, dir) => {
+        val k = 64
+        val h = table(s, dir, "events")
+          .select(col("event_type"),
+            md5Long60(col("user_id").cast("string")).as("h"))
+          .distinct()
+        // The per-type sketch is 64 x |types| rows — checkpoint it so
+        // the union-merge branch reuses the materialized state instead
+        // of replaying the whole TopK tower (and its corpus scan) a
+        // second time. The exact_users columns are GATE CALIBRATION
+        // only: at real scale the sketch replaces those corpus-wide
+        // aggregations — the production read path touches nothing but
+        // the k-sized states.
+        val perType = graft.plans.TopKPerGroup(
+            h, Seq("event_type"), Seq(("h", false)), k)
+          .localCheckpoint(eager = true)
+        val sk = perType.groupBy(col("event_type").as("scope"))
+          .agg(count(lit(1)).as("n_sketch"), max("h").as("hk"))
+        val ex = h.groupBy(col("event_type").as("scope"))
+          .agg(count(lit(1)).as("exact_users"))
+        val usk = perType.select("h").distinct().orderBy("h").limit(k)
+          .agg(count(lit(1)).as("n_sketch"), max("h").as("hk"))
+          .select(lit("__union__").as("scope"), col("n_sketch"), col("hk"))
+        val uex = h.select("h").distinct()
+          .agg(count(lit(1)).as("exact_users"))
+          .select(lit("__union__").as("scope"), col("exact_users"))
+        sk.unionByName(usk).join(ex.unionByName(uex), "scope")
+          .withColumn("kmv_est",
+            when(col("n_sketch") < k, col("n_sketch").cast("double"))
+              .otherwise(lit(63.0 * 1152921504606846976.0) / col("hk")))
+          .withColumn("err_bps", expr(
+            "cast(floor(abs(kmv_est - exact_users) * 10000 / exact_users) as bigint)"))
+          .select(col("scope"), col("n_sketch"), col("hk"),
+            col("exact_users"), col("kmv_est"), col("err_bps"))
+          .orderBy("scope")
+      },
+      Some(
+        """WITH h AS (SELECT DISTINCT event_type,
+          |     ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          |   FROM events),
+          | r AS (SELECT event_type, h,
+          |     row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+          | sk AS (SELECT event_type AS scope, CAST(count(*) AS BIGINT) AS n_sketch,
+          |     max(h) AS hk FROM r WHERE rn <= 64 GROUP BY 1),
+          | ur AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+          |   FROM (SELECT DISTINCT h FROM r WHERE rn <= 64)),
+          | usk AS (SELECT '__union__' AS scope, CAST(count(*) AS BIGINT) AS n_sketch,
+          |     max(h) AS hk FROM ur WHERE rn <= 64),
+          | ex AS (SELECT event_type AS scope, CAST(count(*) AS BIGINT) AS exact_users
+          |   FROM h GROUP BY 1),
+          | uex AS (SELECT '__union__' AS scope,
+          |     CAST(count(DISTINCT h) AS BIGINT) AS exact_users FROM h),
+          | a AS (SELECT * FROM sk UNION ALL SELECT * FROM usk),
+          | e AS (SELECT * FROM ex UNION ALL SELECT * FROM uex),
+          | j AS (SELECT a.scope, a.n_sketch, a.hk, e.exact_users,
+          |     CASE WHEN a.n_sketch < 64 THEN CAST(a.n_sketch AS DOUBLE)
+          |       ELSE 63.0 * 1152921504606846976 / a.hk END AS kmv_est
+          |   FROM a JOIN e USING (scope))
+          | SELECT scope, n_sketch, hk, exact_users, kmv_est,
+          |   CAST(floor(abs(kmv_est - exact_users) * 10000 / exact_users) AS BIGINT) AS err_bps
+          | FROM j ORDER BY scope""".stripMargin.replace("\n", "")))
   )
 }

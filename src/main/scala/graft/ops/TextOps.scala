@@ -448,4 +448,72 @@ object TextOps {
           | FROM r WHERE rn = (cnt + 1) // 2
           | ORDER BY doc_id""".stripMargin.replace("\n", "")))
   )
+
+  /** q159 lives outside `all` only to keep this comment close: it joins
+    * three integer quality signals by PER-SOURCE RANK (Borda count)
+    * rather than by raw score — rank ensembling is scale-free, so a
+    * signal measured in bps and one measured in counts combine without
+    * normalization constants that would drift between corpora.
+    */
+  def ensemble: Map[String, Q] = Map(
+
+    // Ensemble quality leaderboard: top-10 docs per source by summed
+    // per-source rank over three independent integer signals — lexical
+    // diversity (distinct-word bps), character cleanliness (alphabetic
+    // + space share of raw text), and length credit (words capped at
+    // 500). The Borda sum is what a curation run uses to pick "best of
+    // each source" exemplars without hand-tuned weightings; every
+    // signal and every rank is an integer, so the leaderboard is
+    // engine-exact. 100 TB posture: all four windows (three signal
+    // ranks + the final leaderboard cut) partition by source, so the
+    // whole query rides ONE source-key exchange (q113's discipline);
+    // signals are narrow codegen projections computed before the
+    // shuffle, and the output is 10 rows per source regardless of
+    // corpus size.
+    "q159_quality_ensemble" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = table(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            expr("size(array_distinct(split(text, ' '))) * 10000 div size(split(text, ' '))")
+              .as("uniq_bps"),
+            expr("length(regexp_replace(text, '[^A-Za-z ]', '')) * 10000 div length(text)")
+              .as("alpha_bps"),
+            expr("least(size(split(text, ' ')), 500) * 10000 div 500")
+              .as("len_bps"))
+        def rk(c: String) = row_number().over(
+          Window.partitionBy("source").orderBy(col(c).desc, col("doc_id")))
+        val ranked = base
+          .withColumn("r_uniq", rk("uniq_bps"))
+          .withColumn("r_alpha", rk("alpha_bps"))
+          .withColumn("r_len", rk("len_bps"))
+          .withColumn("borda",
+            (col("r_uniq") + col("r_alpha") + col("r_len")).cast("bigint"))
+        ranked
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("source").orderBy(col("borda"), col("doc_id"))))
+          .where(col("rank") <= 10)
+          .select(col("source"), col("doc_id"), col("r_uniq"),
+            col("r_alpha"), col("r_len"), col("borda"), col("rank"))
+          .orderBy("source", "rank")
+      },
+      Some(
+        """WITH b AS (SELECT source, doc_id,
+          |     len(list_distinct(string_split(text, ' '))) * 10000
+          |       // len(string_split(text, ' ')) AS uniq_bps,
+          |     length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) * 10000
+          |       // length(text) AS alpha_bps,
+          |     least(len(string_split(text, ' ')), 500) * 10000 // 500 AS len_bps
+          |   FROM documents),
+          | r AS (SELECT source, doc_id,
+          |     CAST(row_number() OVER (PARTITION BY source ORDER BY uniq_bps DESC, doc_id) AS INT) AS r_uniq,
+          |     CAST(row_number() OVER (PARTITION BY source ORDER BY alpha_bps DESC, doc_id) AS INT) AS r_alpha,
+          |     CAST(row_number() OVER (PARTITION BY source ORDER BY len_bps DESC, doc_id) AS INT) AS r_len
+          |   FROM b),
+          | s AS (SELECT *, CAST(r_uniq + r_alpha + r_len AS BIGINT) AS borda FROM r),
+          | t AS (SELECT *, CAST(row_number() OVER (PARTITION BY source ORDER BY borda, doc_id) AS INT) AS rank FROM s)
+          | SELECT source, doc_id, r_uniq, r_alpha, r_len, borda, rank
+          | FROM t WHERE rank <= 10 ORDER BY source, rank"""
+          .stripMargin.replace("\n", "")))
+  )
 }

@@ -1267,6 +1267,51 @@ object TrainDataOps {
           |   coalesce(pd.covered_tokens, 0) AS covered_tokens,
           |   CAST(coalesce(pd.covered_tokens, 0) * 10000 // a.all_tokens AS BIGINT) AS covered_bps
           | FROM alltok a LEFT JOIN pd USING (doc_id) ORDER BY a.doc_id"""
+          .stripMargin.replace("\n", ""))),
+
+    // Deterministic weight-proportional sampling: 16 docs per source,
+    // selected by the integer priority h div w (h = md5-60 of doc_id,
+    // w = n_chars) — the integer-exact analog of Efraimidis-Spirakis
+    // exponential-jitter priorities (u^(1/w) order statistics): a doc's
+    // priority is a uniform 60-bit draw SCALED DOWN by its weight, so
+    // heavier docs win bottom-k proportionally more often, yet the
+    // draw is a pure hash both engines replay bit-identically (no RNG
+    // state, no IEEE pow). This is the token-weighted subcorpus sampler
+    // a mixture-building run uses when "sample 1M docs ∝ length" must
+    // be reproducible across reruns and engines. 100 TB posture:
+    // bottom-k per source rides the TopKPerGroup custom operator
+    // (partial k-heaps before the exchange — shuffle volume is
+    // answer-proportional, k rows per source), and the within-sample
+    // rank window runs on the 16-row-per-source survivor frame only.
+    "q157_weighted_sample" -> Q(
+      (s, dir) => {
+        val k = 16
+        val d = table(s, dir, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars"),
+            DedupOps.md5Long60(col("doc_id").cast("string")).as("h"))
+          // integer division, never IEEE: `/` on longs is a DOUBLE in
+          // Spark — div keeps the priority exact and DuckDB-identical
+          .select(col("source"), col("doc_id"), col("n_chars"),
+            expr("h div greatest(n_chars, 1L)").as("priority"))
+        val top = graft.plans.TopKPerGroup(d, Seq("source"),
+          Seq(("priority", false), ("doc_id", false)), k)
+        top.withColumn("rank",
+            row_number().over(Window.partitionBy("source")
+              .orderBy("priority", "doc_id")))
+          .select(col("source"), col("doc_id"), col("n_chars"),
+            col("priority"), col("rank"))
+          .orderBy("source", "rank")
+      },
+      Some(
+        """WITH d AS (SELECT source, doc_id, n_chars,
+          |     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          |       // greatest(n_chars, 1) AS priority
+          |   FROM documents),
+          | r AS (SELECT source, doc_id, n_chars, priority,
+          |     CAST(row_number() OVER (PARTITION BY source
+          |       ORDER BY priority, doc_id) AS INT) AS rank FROM d)
+          | SELECT source, doc_id, n_chars, priority, rank
+          | FROM r WHERE rank <= 16 ORDER BY source, rank"""
           .stripMargin.replace("\n", "")))
   )
 

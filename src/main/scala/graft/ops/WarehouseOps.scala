@@ -996,6 +996,110 @@ object WarehouseOps {
           |   CAST(min(CASE WHEN cum * 100 >= n * 90 THEN bucket * 10000 END) AS BIGINT) AS p90_lo,
           |   CAST(min(CASE WHEN cum * 100 >= n * 99 THEN bucket * 10000 END) AS BIGINT) AS p99_lo
           | FROM c GROUP BY 1 ORDER BY o_orderpriority"""
+          .stripMargin.replace("\n", ""))),
+
+    // Neighborhood-similarity top-20 over the co-purchase graph: for
+    // each EDGE (u, v), the Jaccard of the two endpoints' full neighbor
+    // sets — the "are these two parts substitutes or complements"
+    // signal a recommender reads off an interaction graph. Restricting
+    // the score to adjacent pairs bounds the work at E scores (the
+    // all-pairs variant is the wedge explosion q129 exists to avoid);
+    // common neighbors come from array_intersect over the same
+    // per-node sorted adjacency arrays as q129 — one codegen stage per
+    // edge row, no three-way join. Degree floor >= 3 keeps the
+    // leaderboard off trivial degree-1 ties. The adjacency frame grows
+    // with the graph, so both joins ride graphHint (q129/q152's gate);
+    // the third consumer of the shared coPurchasePairs base stage.
+    "q158_neighbor_similarity" -> Q(
+      (s, dir) => {
+        val pairs = coPurchasePairs(s, dir)
+        val e = pairs.select(col("u").as("a"), col("v").as("b"))
+          .unionAll(pairs.select(col("v").as("a"), col("u").as("b")))
+        val adj = e.groupBy(col("a"))
+          .agg(sort_array(collect_list(col("b"))).as("nbrs"),
+            count(lit(1)).as("deg"))
+          .localCheckpoint(eager = true)
+        pairs
+          .join(graphHint(adj.select(col("a").as("ju"),
+            col("nbrs").as("nu"), col("deg").as("du"))), col("u") === col("ju"))
+          .join(graphHint(adj.select(col("a").as("jv"),
+            col("nbrs").as("nv"), col("deg").as("dv"))), col("v") === col("jv"))
+          .where(col("du") >= 3 && col("dv") >= 3)
+          .select(col("u"), col("v"), col("du"), col("dv"),
+            size(array_intersect(col("nu"), col("nv"))).cast("bigint")
+              .as("common"))
+          .where(col("common") >= 1)
+          .withColumn("jaccard_bps",
+            expr("common * 10000 div (du + dv - common)"))
+          .orderBy(col("jaccard_bps").desc, col("u"), col("v"))
+          .limit(20)
+          .select("u", "v", "du", "dv", "common", "jaccard_bps")
+          .orderBy(col("jaccard_bps").desc, col("u"), col("v"))
+      },
+      Some(
+        """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+          | pr AS (SELECT DISTINCT a.p AS u, b.p AS v FROM li a JOIN li b
+          |   ON a.o = b.o AND a.p < b.p),
+          | e AS (SELECT u AS a, v AS b FROM pr UNION ALL SELECT v, u FROM pr),
+          | d AS (SELECT a, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+          | inter AS (SELECT pr.u, pr.v, CAST(count(*) AS BIGINT) AS common
+          |   FROM pr JOIN e eu ON eu.a = pr.u JOIN e ev ON ev.a = pr.v AND ev.b = eu.b
+          |   GROUP BY 1, 2),
+          | j AS (SELECT i.u, i.v, du.deg AS du, dv.deg AS dv, i.common,
+          |     CAST(i.common * 10000 // (du.deg + dv.deg - i.common) AS BIGINT) AS jaccard_bps
+          |   FROM inter i JOIN d du ON du.a = i.u JOIN d dv ON dv.a = i.v
+          |   WHERE du.deg >= 3 AND dv.deg >= 3)
+          | SELECT u, v, du, dv, common, jaccard_bps FROM j
+          | ORDER BY jaccard_bps DESC, u, v LIMIT 20"""
+          .stripMargin.replace("\n", ""))),
+
+    // Changelog compaction (CDC net effect): treat the event stream as
+    // a keyed change log — event_type 'error' is a tombstone (DELETE),
+    // everything else an UPSERT carrying the row's new value — and
+    // materialize the net state: one row per user whose LAST change is
+    // an upsert, with the surviving value, the change count, and how
+    // many tombstones the history absorbed. This is the merge-on-read
+    // compaction every CDC lake table (Hudi/Iceberg/Delta-style) runs;
+    // last-writer-wins is decided by (ts, event_id) so replays are
+    // deterministic. Values ride as integer cents. 100 TB posture: ONE
+    // user-key exchange carries the last-writer window and the per-user
+    // counts (q113's shared-exchange discipline); the corpus never
+    // shuffles twice and deleted keys drop before the output sort.
+    "q160_cdc_net_state" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts_s").desc, col("event_id").desc)
+        table(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            expr("unix_micros(ts) div 1000000").as("ts_s"),
+            expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"),
+            when(col("event_type") === "error", lit(1))
+              .otherwise(lit(0)).as("is_delete"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_changes", count(lit(1)).over(
+            Window.partitionBy("user_id")))
+          .withColumn("n_deletes", sum("is_delete").over(
+            Window.partitionBy("user_id")))
+          .where(col("rn") === 1 && col("is_delete") === 0)
+          .select(col("user_id"), col("event_id").as("last_event_id"),
+            col("ts_s").as("last_ts_s"), col("cents").as("last_cents"),
+            col("n_changes"), col("n_deletes"))
+          .orderBy("user_id")
+      },
+      Some(
+        """WITH c AS (SELECT user_id, event_id,
+          |     epoch_us(ts) // 1000000 AS ts_s,
+          |     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+          |     CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_delete
+          |   FROM events),
+          | r AS (SELECT *,
+          |     row_number() OVER (PARTITION BY user_id ORDER BY ts_s DESC, event_id DESC) AS rn,
+          |     CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_changes,
+          |     CAST(sum(is_delete) OVER (PARTITION BY user_id) AS BIGINT) AS n_deletes
+          |   FROM c)
+          | SELECT user_id, event_id AS last_event_id, ts_s AS last_ts_s,
+          |   cents AS last_cents, n_changes, n_deletes
+          | FROM r WHERE rn = 1 AND is_delete = 0 ORDER BY user_id"""
           .stripMargin.replace("\n", "")))
   )
 }

@@ -370,6 +370,62 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Scan ExistingRDD"), plan)
   }
 
+  test("q156 exact-calibration side adds no third corpus scan") {
+    // the sketch state is checkpointed (64 x |types| rows), so the
+    // final plan reads ExistingRDD for both sketch branches; the only
+    // parquet scans are the two exact-count calibration aggregates.
+    val plan = executed("q156_kmv_distinct")
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert("FileScan parquet".r.findAllIn(plan).size == 2, plan)
+  }
+
+  test("q156/q157 bottom-k runs on TopKPerGroup (answer-proportional shuffle)") {
+    // q157's final plan keeps the TopK nodes visible; q156's sketch is
+    // inside an eager checkpoint, so its shape is pinned on the stage
+    // built directly.
+    val p157 = executed("q157_weighted_sample")
+    assert(p157.contains("TopKPerGroupPartial") &&
+      p157.contains("TopKPerGroupFinal"), p157)
+    assert("Exchange hashpartitioning".r.findAllIn(p157).size == 1,
+      s"rank window must reuse the TopK exchange:\n$p157")
+    val h = TestData.table(spark, sf, "events")
+      .select(col("event_type"),
+        graft.ops.DedupOps.md5Long60(col("user_id").cast("string")).as("h"))
+      .distinct()
+    val sketch = graft.plans.TopKPerGroup(
+      h, Seq("event_type"), Seq(("h", false)), 64)
+    val p156 = sketch.queryExecution.executedPlan.toString
+    assert(p156.contains("TopKPerGroupPartial") &&
+      p156.contains("TopKPerGroupFinal"), p156)
+  }
+
+  test("q158 similarity joins are gated broadcasts over checkpointed graph frames") {
+    val on = executed("q158_neighbor_similarity")
+    assert(!on.contains("BroadcastNestedLoopJoin") &&
+      !on.contains("CartesianProduct"), on)
+    assert("BroadcastHashJoin".r.findAllIn(on).size >= 2, on)
+    spark.conf.set("graft.broadcast_graph_frames", "false")
+    try {
+      val off = executed("q158_neighbor_similarity")
+      assert(!off.contains("BroadcastExchange"), off)
+      assert(off.contains("SortMergeJoin") || off.contains("ShuffledHashJoin"),
+        off)
+    } finally spark.conf.unset("graft.broadcast_graph_frames")
+  }
+
+  test("q159 all four rank windows ride ONE source exchange") {
+    val plan = executed("q159_quality_ensemble")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    // rank <= 10 must push down as a group limit, not filter post-sort
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("q160 CDC compaction rides one user exchange end to end") {
+    val plan = executed("q160_cdc_net_state")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
+      plan)
+  }
+
   test("q154 rolling quota rides one user exchange end to end") {
     // the RANGE window and the per-user aggregate share one
     // hashpartitioning(user_id)
