@@ -197,9 +197,15 @@ class SketchWarehouseSpec extends SparkSpec {
   }
 
   test("q137 postings: heads sorted, sizes bounded by df, checksums add up") {
+    // posting_head is a comma-joined STRING (the driver's pandas gate
+    // cannot compare array cells — HarnessCompatSpec pins the class);
+    // the law decodes it back to longs and checks the same invariants.
     val rows = run("q137_inverted_index")
       .select("term", "df", "tf", "posting_checksum", "posting_head")
-      .as[(String, Long, Long, Long, Seq[Long])].collect()
+      .as[(String, Long, Long, Long, String)].collect()
+      .map { case (t, df, tf, sum, head) =>
+        (t, df, tf, sum, head.split(",").toSeq.map(_.toLong))
+      }
     assert(rows.nonEmpty && rows.length <= 100)
     assert(rows.map(_._2).toSeq == rows.map(_._2).sortBy(-_).toSeq)
     rows.foreach { case (t, df, tf, sum, head) =>
