@@ -98,6 +98,51 @@ object EventStreaming {
                            session_end: Timestamp, n_events: Long,
                            value_sum: Double)
 
+  final case class NetState(lastTsS: Long, lastEventId: Long,
+                            lastCents: Long, deleted: Boolean,
+                            nChanges: Long, nDeletes: Long)
+  final case class NetRow(user_id: Long, last_event_id: Long,
+                          last_ts_s: Long, last_cents: Long,
+                          deleted: Boolean, n_changes: Long,
+                          n_deletes: Long)
+
+  /** Streaming CDC changelog compaction — the continuous twin of batch
+    * q160: keyed state per user holds the last-writer-wins net row
+    * (ordered by (ts, event_id), event_type 'error' is a tombstone)
+    * plus running change/tombstone counts, and each trigger emits the
+    * CURRENT net state of every user seen in the batch. Late or
+    * replayed changes older than the held (ts, event_id) bump the
+    * counters but never overwrite the newer value — replay-safe
+    * last-writer-wins, the property a merge-on-read table needs under
+    * at-least-once delivery. State per user is O(1), so the keeper runs
+    * indefinitely; cents/epoch-seconds arithmetic matches q160 exactly
+    * (Timestamp.getTime ms div 1000 == unix_micros div 1e6).
+    */
+  def cdcNetState(changes: Dataset[Event]): Dataset[NetRow] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[NetState, NetRow](GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[NetState]) =>
+          var st = state.getOption.getOrElse(
+            NetState(Long.MinValue, Long.MinValue, 0L, deleted = false, 0L, 0L))
+          rows.foreach { e =>
+            val tsS = e.ts.getTime / 1000L
+            val isDel = e.event_type == "error"
+            val cents = math.floor(e.value * 100 + 0.5).toLong
+            val newer = tsS > st.lastTsS ||
+              (tsS == st.lastTsS && e.event_id > st.lastEventId)
+            st = st.copy(nChanges = st.nChanges + 1,
+              nDeletes = st.nDeletes + (if (isDel) 1L else 0L))
+            if (newer) st = st.copy(lastTsS = tsS, lastEventId = e.event_id,
+              lastCents = cents, deleted = isDel)
+          }
+          state.update(st)
+          NetRow(userId, st.lastEventId, st.lastTsS, st.lastCents,
+            st.deleted, st.nChanges, st.nDeletes)
+      }
+  }
+
   /** Gap-based sessionization with explicit keyed state
     * (mapGroupsWithState + processing-time timeout): emits the CURRENT
     * session per user each trigger; a gap larger than `gapMs` starts a

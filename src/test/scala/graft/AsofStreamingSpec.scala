@@ -201,6 +201,51 @@ class AsofStreamingSpec extends SparkSpec {
       assert(ids == Set(1L, 3L, 4L), ids.mkString(","))
     } finally query.stop()
   }
+
+  test("streaming CDC net state across batches equals batch q160") {
+    // The whole sf0.001 event log is replayed through the stateful
+    // keeper in TWO triggers split at the time midpoint — state must
+    // carry users across the batch boundary and land, key for key, on
+    // the batch q160 materialization over the same log.
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.ops.TestData.table(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreaming.Event].collect()
+    val cut = ev.map(_.ts.getTime).sorted.apply(ev.length / 2)
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val stream = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreaming.Event]
+    val query = EventStreaming.cdcNetState(stream)
+      .writeStream.format("memory").queryName("cdc_test")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+    try {
+      def tuple(e: EventStreaming.Event) =
+        (e.event_id, e.ts, e.user_id, e.event_type, e.value)
+      mem.addData(ev.filter(_.ts.getTime <= cut).map(tuple).toSeq)
+      query.processAllAvailable()
+      mem.addData(ev.filter(_.ts.getTime > cut).map(tuple).toSeq)
+      query.processAllAvailable()
+      // the memory sink appends one row per touched user per trigger;
+      // n_changes is strictly monotonic, so max(n_changes) per user is
+      // that user's CURRENT state
+      val current = spark.table("cdc_test")
+        .as[EventStreaming.NetRow].collect()
+        .groupBy(_.user_id).map { case (_, rs) => rs.maxBy(_.n_changes) }
+      val streamed = current.filter(!_.deleted)
+        .map(r => (r.user_id, r.last_event_id, r.last_ts_s, r.last_cents,
+          r.n_changes, r.n_deletes)).toSet
+      val batch = SparkEntry.queries("q160_cdc_net_state")(spark, sf)
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"diff: ${(streamed diff batch) ++ (batch diff streamed)}")
+      // tombstoned users are exactly the complement
+      val allUsers = ev.map(_.user_id).toSet
+      assert(current.filter(_.deleted).map(_.user_id).toSet ==
+        allUsers -- batch.map(_._1))
+    } finally query.stop()
+  }
 }
 
 /** Static instrumentation for the batched-decode spec (local mode: the
