@@ -24,6 +24,7 @@ object SparkEntry {
     ExtendedOps.all,
     TrainDataOps.all,
     SketchOps.all,
+    SketchOps.bitmaps,
     WarehouseOps.all,
     PipelineObsOps.all
   )

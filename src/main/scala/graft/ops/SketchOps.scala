@@ -288,4 +288,73 @@ object SketchOps {
           |   CAST(floor(abs(kmv_est - exact_users) * 10000 / exact_users) AS BIGINT) AS err_bps
           | FROM j ORDER BY scope""".stripMargin.replace("\n", "")))
   )
+
+  /** Bitmap-index presence matrix (q162), kept beside the sketches: the
+    * EXACT mergeable-state sibling of q124/q156 — same "fixed-layout
+    * state, combine anywhere" contract, zero error.
+    */
+  def bitmaps: Map[String, Q] = Map(
+
+    // Bitmap-index audience overlap: each event type's user set is
+    // compressed to 64-bit presence words (word = user_id div 64, bit =
+    // user_id mod 64, OR-combined) — the bitmap-index layout every OLAP
+    // store (Druid/Pinot/ClickHouse roaring bitmaps) uses for distinct
+    // counting and segment intersection. The output is the full
+    // audience-overlap matrix: per ordered type pair (diagonal
+    // included), both cardinalities, the intersection popcount from
+    // AND-ed words, the inclusion-exclusion union, and Jaccard bps.
+    // Pairs sharing no user are structurally absent (inner word join) —
+    // same domain as the oracle's set join. The DuckDB twin computes
+    // everything from raw DISTINCT sets, so the hash gate proves the
+    // bitmap arithmetic (shift/OR/AND/popcount) against an independent
+    // formulation, not a replay. 100 TB posture: per-type state is
+    // |users|/64 words built in ONE map-side-combinable bit_or
+    // aggregate (bitmaps merge by OR across any partitioning);
+    // intersections are an equi-join on the word index with popcount
+    // inside codegen — the corpus grain never shuffles twice, and the
+    // matrix domain is C(|types|+1, 2).
+    "q162_bitmap_overlap" -> Q(
+      (s, dir) => {
+        val words = table(s, dir, "events")
+          .select(col("event_type").as("t"), col("user_id")).distinct()
+          .select(col("t"), expr("user_id div 64").as("w"),
+            expr("shiftleft(1L, cast(user_id % 64 as int))").as("bit"))
+          .groupBy("t", "w").agg(expr("bit_or(bit)").as("word"))
+          .localCheckpoint(eager = true)
+        val tot = words.groupBy("t")
+          .agg(sum(expr("bit_count(word)")).as("users"))
+        val inter = words.as("a").join(words.as("b"),
+            col("a.w") === col("b.w") && col("a.t") <= col("b.t"))
+          .groupBy(col("a.t").as("scope_a"), col("b.t").as("scope_b"))
+          .agg(sum(expr("bit_count(a.word & b.word)")).as("inter_users"))
+          .where(col("inter_users") > 0)
+        inter
+          .join(broadcast(tot.select(col("t").as("scope_a"),
+            col("users").as("users_a"))), "scope_a")
+          .join(broadcast(tot.select(col("t").as("scope_b"),
+            col("users").as("users_b"))), "scope_b")
+          .select(col("scope_a"), col("scope_b"),
+            col("users_a"), col("users_b"), col("inter_users"),
+            (col("users_a") + col("users_b") - col("inter_users"))
+              .as("union_users"),
+            expr("inter_users * 10000 div (users_a + users_b - inter_users)")
+              .as("jaccard_bps"))
+          .orderBy("scope_a", "scope_b")
+      },
+      Some(
+        """WITH u AS (SELECT DISTINCT event_type AS t, user_id FROM events),
+          | tot AS (SELECT t, CAST(count(*) AS BIGINT) AS users FROM u GROUP BY 1),
+          | px AS (SELECT a.t AS scope_a, b.t AS scope_b,
+          |     CAST(count(*) AS BIGINT) AS inter_users
+          |   FROM u a JOIN u b ON a.user_id = b.user_id AND a.t <= b.t
+          |   GROUP BY 1, 2)
+          | SELECT px.scope_a, px.scope_b, ta.users AS users_a,
+          |   tb.users AS users_b, px.inter_users,
+          |   CAST(ta.users + tb.users - px.inter_users AS BIGINT) AS union_users,
+          |   CAST(px.inter_users * 10000
+          |     // (ta.users + tb.users - px.inter_users) AS BIGINT) AS jaccard_bps
+          | FROM px JOIN tot ta ON ta.t = px.scope_a
+          | JOIN tot tb ON tb.t = px.scope_b
+          | ORDER BY scope_a, scope_b""".stripMargin.replace("\n", "")))
+  )
 }

@@ -1100,6 +1100,74 @@ object WarehouseOps {
           | SELECT user_id, event_id AS last_event_id, ts_s AS last_ts_s,
           |   cents AS last_cents, n_changes, n_deletes
           | FROM r WHERE rn = 1 AND is_delete = 0 ORDER BY user_id"""
-          .stripMargin.replace("\n", "")))
+          .stripMargin.replace("\n", ""))),
+
+    // Incremental view maintenance audit: the event log splits at its
+    // day midpoint into BASE (the materialized aggregate a warehouse
+    // already holds) and DELTA (the new partition); per (event_type,
+    // day) the maintained view is merge(base_state, delta_state) where
+    // the state is the classic summable pair (n, sum_cents), and the
+    // audit emits the merged view alongside a full recompute with
+    // per-row match flags — the certification run an IVM rollout does
+    // before trusting merges over recomputes. All integer (cents).
+    // 100 TB posture: this is THE pattern that makes daily aggregation
+    // affordable — the delta pass touches only the new partition plus
+    // the compact state (day-partition pruning does the rest), never
+    // the full history; states merge associatively so any partitioning
+    // (or any number of executors) combines to the same answer.
+    "q161_ivm_audit" -> Q(
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"),
+            expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+        // one-row bounds frame, checkpointed: `tagged` has two consumers
+        // (states pass + recompute pass) and an uncheckpointed bounds agg
+        // would re-scan the corpus once per consumer
+        val mid = ev.agg(expr("(min(day) + max(day)) div 2").as("mid"))
+          .localCheckpoint(eager = true)
+        val tagged = ev.crossJoin(broadcast(mid))
+          .select(col("event_type"), col("day"), col("cents"),
+            (col("day") <= col("mid")).as("is_base"))
+        // the two partial states (base view + delta batch) come from ONE
+        // grouped pass — (event_type, day, is_base) — then merge by the
+        // associative combine; the recompute side deliberately re-reads
+        // the RAW grain so the audit compares two independent dataflows,
+        // not one subtree with itself.
+        val states = tagged.groupBy("event_type", "day", "is_base")
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        val merged = states
+          .groupBy("event_type", "day")
+          .agg(sum("n").as("n_merged"), sum("sum_cents").as("cents_merged"))
+        val full = tagged.groupBy("event_type", "day")
+          .agg(count(lit(1)).as("n_full"), sum("cents").as("cents_full"))
+        merged.join(full, Seq("event_type", "day"))
+          .select(col("event_type"), col("day"),
+            col("n_merged"), col("cents_merged"),
+            (col("n_merged") === col("n_full")).cast("int").as("n_match"),
+            (col("cents_merged") === col("cents_full")).cast("int")
+              .as("cents_match"))
+          .orderBy("event_type", "day")
+      },
+      Some(
+        """WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+          |     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+          | b AS (SELECT (min(day) + max(day)) // 2 AS mid FROM e),
+          | t AS (SELECT event_type, day, cents, day <= b.mid AS is_base
+          |   FROM e CROSS JOIN b),
+          | sb AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
+          |     CAST(sum(cents) AS BIGINT) AS sum_cents FROM t WHERE is_base GROUP BY 1, 2),
+          | sd AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
+          |     CAST(sum(cents) AS BIGINT) AS sum_cents FROM t WHERE NOT is_base GROUP BY 1, 2),
+          | m AS (SELECT event_type, day, CAST(sum(n) AS BIGINT) AS n_merged,
+          |     CAST(sum(sum_cents) AS BIGINT) AS cents_merged
+          |   FROM (SELECT * FROM sb UNION ALL SELECT * FROM sd) GROUP BY 1, 2),
+          | f AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_full,
+          |     CAST(sum(cents) AS BIGINT) AS cents_full FROM t GROUP BY 1, 2)
+          | SELECT m.event_type, m.day, m.n_merged, m.cents_merged,
+          |   CAST(m.n_merged = f.n_full AS INT) AS n_match,
+          |   CAST(m.cents_merged = f.cents_full AS INT) AS cents_match
+          | FROM m JOIN f USING (event_type, day)
+          | ORDER BY event_type, day""".stripMargin.replace("\n", "")))
   )
 }

@@ -128,6 +128,47 @@ class EnsembleSamplingSpec extends SparkSpec {
     }
   }
 
+  test("q161 IVM audit: merge equals recompute everywhere, mass conserved") {
+    val rows = run("q161_ivm_audit")
+      .select("event_type", "day", "n_merged", "cents_merged",
+        "n_match", "cents_match")
+      .as[(String, Long, Long, Long, Int, Int)].collect()
+    val ev = TestData.table(spark, sf, "events")
+    assert(rows.nonEmpty)
+    // the audit's whole claim: the merged view matches the recompute on
+    // EVERY (type, day) cell
+    assert(rows.forall(r => r._5 == 1 && r._6 == 1), "a merge diverged")
+    // cell domain = the raw grain's distinct (type, day); counts conserve
+    val cells = ev.select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct().count()
+    assert(rows.length == cells)
+    assert(rows.map(_._3).sum == ev.count(), "merged counts drop events")
+  }
+
+  test("q162 bitmap overlap: diagonal identity, bounds, exact Jaccard") {
+    val rows = run("q162_bitmap_overlap")
+      .select("scope_a", "scope_b", "users_a", "users_b", "inter_users",
+        "union_users", "jaccard_bps")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+    val types = TestData.table(spark, sf, "events")
+      .select("event_type").distinct().count()
+    assert(rows.count(r => r._1 == r._2) == types,
+      "every type needs its diagonal row")
+    rows.foreach { case (a, b, ua, ub, inter, union, j) =>
+      assert(a <= b, s"($a,$b) not ordered")
+      if (a == b) {
+        // a set intersected with itself IS the set
+        assert(inter == ua && ua == ub && union == ua && j == 10000, s"($a,$b)")
+      } else {
+        assert(inter >= 1 && inter <= math.min(ua, ub), s"($a,$b) inter")
+        assert(union == ua + ub - inter && union >= math.max(ua, ub), s"($a,$b)")
+        assert(j == inter * 10000 / union && j < 10000 || inter == union,
+          s"($a,$b) jaccard")
+      }
+    }
+  }
+
   test("q160 CDC net state: last-writer-wins totality and tombstones") {
     val out = run("q160_cdc_net_state")
       .select("user_id", "last_event_id", "n_changes", "n_deletes")

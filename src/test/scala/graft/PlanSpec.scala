@@ -420,6 +420,26 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("q161 IVM audit reads the raw grain exactly twice") {
+    // one grouped-states pass + the independent recompute; the day
+    // bounds are a checkpointed one-row frame (broadcast ExistingRDD),
+    // and the base/delta states come from ONE aggregation, not one scan
+    // per partition side.
+    val plan = executed("q161_ivm_audit")
+    assert("FileScan parquet".r.findAllIn(plan).size == 2, plan)
+    assert("BroadcastExchange".r.findAllIn(plan).size >= 1, plan)
+    assert(plan.contains("Scan ExistingRDD"), plan)
+  }
+
+  test("q162 bitmap intersection joins words equi-keyed; totals broadcast") {
+    val plan = executed("q162_bitmap_overlap")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    // word frames are checkpointed state (ExistingRDD), totals broadcast
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+  }
+
   test("q160 CDC compaction rides one user exchange end to end") {
     val plan = executed("q160_cdc_net_state")
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
