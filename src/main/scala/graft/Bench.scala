@@ -41,10 +41,15 @@ object Bench {
 
   /** Queries with a history of runtime (not plan) sensitivity — the
     * stability probe re-runs these 5x in the same JVM (VERDICT r5 #1/#7).
+    * The round-6/7 reworked heavies (q121/q129/q151/q152) are included
+    * so their floors are stability-probed in every artifact (VERDICT
+    * r6 #5).
     */
   private val StabilityQueries = Seq(
     "q42_csv_etl_throughput", "q110_full_dedup", "q64_dup_clusters",
-    "q105_keeplist_lsh", "q96_curation_pipeline")
+    "q105_keeplist_lsh", "q96_curation_pipeline",
+    "q121_entity_resolution", "q129_triangle_count",
+    "q151_prefix_filter_join", "q152_kcore")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -143,6 +143,38 @@ object EventStreaming {
       }
   }
 
+  final case class KmvState(mins: Array[Long])
+  final case class KmvRow(scope: String, n_sketch: Long, hk: Long,
+                          kmv_est: Double)
+
+  /** Streaming KMV distinct-count monitor — the continuous twin of
+    * batch q156: per event type, keyed state holds the k=64 smallest
+    * md5-60 user hashes seen so far (O(k) state per key, runs forever),
+    * and each trigger emits the scope's current sketch stats and
+    * estimate. The state IS the mergeable KMV sketch: inserting a
+    * batch's hashes and re-truncating to k is exactly sketch union, so
+    * the streaming estimate after any batch split equals the batch
+    * estimate over the union of the batches — pinned by the parity
+    * spec. Same estimator arithmetic as q156 (63 * 2^60 exact in a
+    * double, one correctly-rounded division).
+    */
+  def kmvDistinct(hashed: Dataset[(String, Long)], k: Int = 64)
+  : Dataset[KmvRow] = {
+    import hashed.sparkSession.implicits._
+    hashed
+      .groupByKey(_._1)
+      .mapGroupsWithState[KmvState, KmvRow](GroupStateTimeout.NoTimeout()) {
+        case (scope, rows, state: GroupState[KmvState]) =>
+          val prev = state.getOption.map(_.mins).getOrElse(Array.empty[Long])
+          val mins = (prev ++ rows.map(_._2)).distinct.sorted.take(k)
+          state.update(KmvState(mins))
+          val est =
+            if (mins.length < k) mins.length.toDouble
+            else (k - 1).toDouble * 1152921504606846976.0 / mins.last
+          KmvRow(scope, mins.length.toLong, mins.lastOption.getOrElse(0L), est)
+      }
+  }
+
   /** Gap-based sessionization with explicit keyed state
     * (mapGroupsWithState + processing-time timeout): emits the CURRENT
     * session per user each trigger; a gap larger than `gapMs` starts a

@@ -246,6 +246,41 @@ class AsofStreamingSpec extends SparkSpec {
         allUsers -- batch.map(_._1))
     } finally query.stop()
   }
+
+  test("streaming KMV sketch across batches equals batch q156") {
+    // union-by-insertion law: feeding the hash stream in two arbitrary
+    // triggers must land each scope's sketch (n, hk, estimate) exactly
+    // on the batch q156 per-type values over the whole log.
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val hashed = graft.ops.TestData.table(spark, sf, "events")
+      .select(col("event_type"),
+        graft.ops.DedupOps.md5Long60(col("user_id").cast("string")).as("h"))
+      .as[(String, Long)].collect()
+    val mem = MemoryStream[(String, Long)]
+    val query = EventStreaming.kmvDistinct(mem.toDS())
+      .writeStream.format("memory").queryName("kmv_test")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+    try {
+      val (b1, b2) = hashed.splitAt(hashed.length / 3)
+      mem.addData(b1.toSeq)
+      query.processAllAvailable()
+      mem.addData(b2.toSeq)
+      query.processAllAvailable()
+      // n_sketch is monotonic per scope -> max row is the current state;
+      // hk ties are impossible (distinct hashes), est rides n/hk
+      val current = spark.table("kmv_test")
+        .as[EventStreaming.KmvRow].collect()
+        .groupBy(_.scope).map { case (_, rs) => rs.maxBy(_.n_sketch) }
+        .map(r => (r.scope, r.n_sketch, r.hk, r.kmv_est)).toSet
+      val batch = SparkEntry.queries("q156_kmv_distinct")(spark, sf)
+        .where(col("scope") =!= "__union__")
+        .select("scope", "n_sketch", "hk", "kmv_est")
+        .as[(String, Long, Long, Double)].collect().toSet
+      assert(current == batch,
+        s"diff: ${(current diff batch) ++ (batch diff current)}")
+    } finally query.stop()
+  }
 }
 
 /** Static instrumentation for the batched-decode spec (local mode: the
