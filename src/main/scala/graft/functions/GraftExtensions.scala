@@ -20,6 +20,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "graft_dot takes exactly 2 arguments")
         DotProduct(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_lev_leq"),
+      new ExpressionInfo(classOf[LevWithin].getName, "graft_lev_leq"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "graft_lev_leq takes exactly 3 arguments")
+        LevWithin(children.head, children(1), children(2))
+      }))
     ext.injectOptimizerRule(_ => graft.plans.BinnedRangeJoinRule)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }

@@ -1020,12 +1020,16 @@ object ExtendedOps {
         val variants = deletionVariants(c, "c_name",
             Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
           .localCheckpoint(eager = true)
+        // graft_lev_leq = banded early-exit bounded edit distance
+        // (ScalaCheck-pinned equivalent of levenshtein(a,b) <= 2, ~4x
+        // fewer DP cells on 18-char names and most rejects exit early)
         val pairs = variants.as("a").join(variants.as("b"),
             col("a.vh") === col("b.vh") &&
               col("a.c_nationkey") === col("b.c_nationkey") &&
               col("a.c_mktsegment") === col("b.c_mktsegment") &&
               col("a.c_custkey") < col("b.c_custkey") &&
-              levenshtein(col("a.c_name"), col("b.c_name")) <= 2)
+              graft.functions.LevWithin.levWithin(
+                col("a.c_name"), col("b.c_name"), 2))
           .select(col("a.c_custkey").as("d1"), col("b.c_custkey").as("d2"))
           .distinct()
         val comp = DedupOps.connectedComponents(pairs)
