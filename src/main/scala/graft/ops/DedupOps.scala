@@ -943,6 +943,73 @@ object DedupOps {
           | FROM bs GROUP BY doc_id ORDER BY doc_id""".stripMargin
           .replace("\n", ""))),
 
+    // SimHash near-dup PAIRS at scale: 60-bit TF-weighted signature
+    // (md5-60 word hashes, one bit-majority per position), candidates
+    // from the PIGEONHOLE band split — any pair within Hamming distance
+    // 3 differs in at most 3 of the 4 fifteen-bit bands, so an equi-join
+    // on (band, band_value) finds EVERY such pair (exact recall, the
+    // Hamming-space analog of q121's FastSS argument) — then the
+    // verifier keeps bit_count(xor) <= 3. Sixty bits (not q26's
+    // 32-bit gate signature) is what makes the banding usable: 15-bit
+    // bands give 32k buckets each, so bucket occupancy — and the
+    // within-bucket quadratic — shrinks with the hash width, where
+    // 8-bit bands of a 32-bit signature would funnel the corpus into
+    // 256 hub buckets. 100 TB posture: the signature frame is
+    // fixed-width state checkpointed once; the candidate join is
+    // equi-keyed on (band, value); verification is one codegen'd
+    // popcount per candidate, no text travels anywhere.
+    "q163_simhash_hamming" -> Q(
+      (s, dir) => {
+        val wordHash = table(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(split(col("text"), " ")).as("word"))
+          .select(col("doc_id"), md5Long60(col("word")).as("h"))
+        val bitSums = wordHash.groupBy("doc_id").agg(
+          sum(when(shiftright(col("h"), 0).bitwiseAND(1L) === 1L, 1)
+            .otherwise(-1)).as("b0"),
+          (1 until 60).map(j =>
+            sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1)
+              .otherwise(-1)).as(s"b$j")): _*)
+        val sigExpr = (0 until 60)
+          .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _)
+        val sig = bitSums.select(col("doc_id"), sigExpr.as("sig"))
+          .localCheckpoint(eager = true)
+        val bands = sig.select(col("doc_id"), col("sig"),
+          explode(expr(
+            "transform(sequence(0, 3), b -> named_struct(" +
+              "'band', b, 'bv', shiftright(sig, 15 * b) % 32768))"))
+            .as("bb"))
+          .select(col("doc_id"), col("sig"),
+            col("bb.band").as("band"), col("bb.bv").as("bv"))
+        bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+            col("a.sig").as("s1"), col("b.sig").as("s2"))
+          .distinct()
+          .select(col("d1"), col("d2"),
+            expr("bit_count(s1 ^ s2)").cast("bigint").as("hamming"))
+          .where(col("hamming") <= 3)
+          .orderBy("d1", "d2")
+      },
+      Some(
+        """WITH wh AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+          |   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
+          | bs AS (SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          |   FROM wh CROSS JOIN range(60) t(j) GROUP BY doc_id, j),
+          | sig AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sig
+          |   FROM bs GROUP BY doc_id),
+          | bands AS (SELECT doc_id, sig, j AS band, (sig >> (15 * j)) % 32768 AS bv
+          |   FROM sig CROSS JOIN range(4) t(j)),
+          | cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+          |     a.sig AS s1, b.sig AS s2
+          |   FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+          |     AND a.doc_id < b.doc_id)
+          | SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+          | FROM cand WHERE bit_count(xor(s1, s2)) <= 3 ORDER BY d1, d2"""
+          .stripMargin.replace("\n", ""))),
+
     // Embedding-cosine near-dup pairs (threshold 0.3 on this synthetic
     // data). Exact double arithmetic with the same fold order as the
     // DuckDB oracle, so scores compare bit-for-bit.
