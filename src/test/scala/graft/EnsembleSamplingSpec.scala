@@ -169,6 +169,37 @@ class EnsembleSamplingSpec extends SparkSpec {
     }
   }
 
+  test("q163 pigeonhole banding loses no Hamming<=3 pair (exact recall)") {
+    // truth = brute-force popcount over all signature pairs; the banded
+    // candidate join must reproduce it exactly — the pigeonhole
+    // guarantee (<=3 differing bits cannot touch all 4 bands)
+    val out = run("q163_simhash_hamming")
+      .select("d1", "d2", "hamming").as[(Long, Long, Long)].collect().toSet
+    // recompute signatures independently of the banding path
+    val sigs = TestData.table(spark, sf, "documents")
+      .select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), graft.ops.DedupOps.md5Long60(col("w")).as("h"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (d, hs) =>
+        var sig = 0L
+        for (j <- 0 until 60) {
+          val bal = hs.map(r => if (((r._2 >> j) & 1L) == 1L) 1 else -1).sum
+          if (bal > 0) sig |= (1L << j)
+        }
+        d -> sig
+      }
+    val ids = sigs.keys.toSeq.sorted
+    val truth = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.length
+      h = java.lang.Long.bitCount(sigs(ids(i)) ^ sigs(ids(j))).toLong
+      if h <= 3
+    } yield (ids(i), ids(j), h)).toSet
+    assert(truth.nonEmpty, "fixture has no near-dup signatures to test")
+    assert(out == truth,
+      s"banding lost/invented pairs: ${(truth diff out) ++ (out diff truth)}")
+  }
+
   test("q160 CDC net state: last-writer-wins totality and tombstones") {
     val out = run("q160_cdc_net_state")
       .select("user_id", "last_event_id", "n_changes", "n_deletes")

@@ -440,6 +440,18 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("q163 Hamming candidates join equi-keyed on (band, value)") {
+    // the signature frame is checkpointed state; the candidate join
+    // must be a hash/sort equi-join on the band key, never a nested
+    // loop, and no text column reaches any exchange
+    val plan = executed("q163_simhash_hamming")
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    assert(!plan.linesIterator.filter(_.contains("Exchange"))
+      .exists(_.contains("text#")), s"an exchange carries text:\n$plan")
+  }
+
   test("q160 CDC compaction rides one user exchange end to end") {
     val plan = executed("q160_cdc_net_state")
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
