@@ -1312,6 +1312,68 @@ object TrainDataOps {
           |       ORDER BY priority, doc_id) AS INT) AS rank FROM d)
           | SELECT source, doc_id, n_chars, priority, rank
           | FROM r WHERE rank <= 16 ORDER BY source, rank"""
+          .stripMargin.replace("\n", ""))),
+
+    // Deterministic span-corruption masking (the T5 pretraining noise
+    // pattern): token positions partition into 20-token blocks; each
+    // block masks ONE 3-token span whose offset is the md5-60 of
+    // (doc_id, block) mod 18 — ~15% noise density, spans never overlap
+    // by construction, and the whole mask derives from the hash so
+    // reruns and engines agree bit-for-bit (no RNG state to ship). The
+    // report carries the mask accounting (n_masked, bps, spans touched)
+    // plus a 60-bit digest of the corrupted rendering ('<M>' sentinel),
+    // so the gate pins every masked POSITION, not just the counts.
+    // Divergence from T5 noted: one shared sentinel, not numbered
+    // <extra_id_N>. 100 TB posture: a pure narrow projection — higher-
+    // order array expressions, zero shuffles except the output sort;
+    // masking 100 TB is embarrassingly parallel and this plan shape
+    // keeps it that way (PlanSpec-pinned).
+    "q164_span_corruption" -> Q(
+      (s, dir) => {
+        val maskPred =
+          "(i - 1) % 20 >= cast(conv(substring(md5(concat(" +
+            "cast(doc_id as string), ':', cast((i - 1) div 20 as string)" +
+            ")), 1, 15), 16, 10) as bigint) % 18 AND " +
+          "(i - 1) % 20 <= cast(conv(substring(md5(concat(" +
+            "cast(doc_id as string), ':', cast((i - 1) div 20 as string)" +
+            ")), 1, 15), 16, 10) as bigint) % 18 + 2"
+        table(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"),
+            size(col("w")).cast("bigint").as("n_tokens"),
+            expr(s"filter(sequence(1, size(w)), i -> $maskPred)").as("mi"),
+            expr(
+              s"array_join(transform(sequence(1, size(w)), i -> " +
+                s"if($maskPred, '<M>', element_at(w, i))), ' ')")
+              .as("corrupted"))
+          .select(col("doc_id"), col("n_tokens"),
+            size(col("mi")).cast("bigint").as("n_masked"),
+            expr("size(mi) * 10000 div n_tokens").as("mask_bps"),
+            size(expr("array_distinct(transform(mi, i -> (i - 1) div 20))"))
+              .cast("bigint").as("n_spans"),
+            DedupOps.md5Long60(col("corrupted")).as("masked_digest"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          | t AS (SELECT doc_id, len(w) AS n, w,
+          |     unnest(generate_series(1, len(w))) AS i FROM d),
+          | m AS (SELECT doc_id, n, i,
+          |     CASE WHEN (i - 1) % 20 BETWEEN
+          |         ('0x' || substr(md5(doc_id::VARCHAR || ':' || ((i - 1) // 20)::VARCHAR), 1, 15))::BIGINT % 18
+          |       AND ('0x' || substr(md5(doc_id::VARCHAR || ':' || ((i - 1) // 20)::VARCHAR), 1, 15))::BIGINT % 18 + 2
+          |       THEN 1 ELSE 0 END AS is_m,
+          |     CASE WHEN (i - 1) % 20 BETWEEN
+          |         ('0x' || substr(md5(doc_id::VARCHAR || ':' || ((i - 1) // 20)::VARCHAR), 1, 15))::BIGINT % 18
+          |       AND ('0x' || substr(md5(doc_id::VARCHAR || ':' || ((i - 1) // 20)::VARCHAR), 1, 15))::BIGINT % 18 + 2
+          |       THEN '<M>' ELSE w[i] END AS tok
+          |   FROM t)
+          | SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+          |   CAST(sum(is_m) AS BIGINT) AS n_masked,
+          |   CAST(sum(is_m) * 10000 // max(n) AS BIGINT) AS mask_bps,
+          |   CAST(count(DISTINCT CASE WHEN is_m = 1 THEN (i - 1) // 20 END) AS BIGINT) AS n_spans,
+          |   ('0x' || substr(md5(string_agg(tok, ' ' ORDER BY i)), 1, 15))::BIGINT AS masked_digest
+          | FROM m GROUP BY doc_id ORDER BY doc_id"""
           .stripMargin.replace("\n", "")))
   )
 

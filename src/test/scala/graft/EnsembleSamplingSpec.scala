@@ -200,6 +200,32 @@ class EnsembleSamplingSpec extends SparkSpec {
       s"banding lost/invented pairs: ${(truth diff out) ++ (out diff truth)}")
   }
 
+  test("q164 span corruption: per-block mask arithmetic and determinism") {
+    val rows = run("q164_span_corruption")
+      .select("doc_id", "n_tokens", "n_masked", "mask_bps", "n_spans",
+        "masked_digest")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val nDocs = TestData.table(spark, sf, "documents").count()
+    assert(rows.length == nDocs)
+    rows.foreach { case (d, n, masked, bps, spans, _) =>
+      val fullBlocks = n / 20
+      // every FULL 20-token block masks exactly 3 tokens (offset <= 17,
+      // so the 3-span always fits); the partial tail block adds 0..3
+      assert(masked >= 3 * fullBlocks && masked <= 3 * fullBlocks + 3,
+        s"doc $d: $masked masked for $n tokens")
+      assert(spans >= fullBlocks && spans <= fullBlocks + 1, s"doc $d spans")
+      assert(bps == masked * 10000 / n, s"doc $d bps")
+    }
+    // corpus noise density lands at ~15% (3/20): tail blocks subtract
+    // (span clipped) or add (3 masked of < 20 tokens) a little
+    val density = rows.map(_._3).sum.toDouble / rows.map(_._2).sum
+    assert(density > 0.12 && density < 0.18, s"density $density")
+    // rerun-deterministic (hash-derived mask, no RNG state)
+    val again = run("q164_span_corruption")
+      .select("doc_id", "masked_digest").as[(Long, Long)].collect().toMap
+    rows.foreach { r => assert(again(r._1) == r._6, s"doc ${r._1} digest") }
+  }
+
   test("q160 CDC net state: last-writer-wins totality and tombstones") {
     val out = run("q160_cdc_net_state")
       .select("user_id", "last_event_id", "n_changes", "n_deletes")

@@ -440,6 +440,13 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("q164 span corruption is a zero-shuffle narrow projection") {
+    val plan = executed("q164_span_corruption")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"masking must not shuffle the corpus:\n$plan")
+    assert("Exchange rangepartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("q163 Hamming candidates join equi-keyed on (band, value)") {
     // the signature frame is checkpointed state; the candidate join
     // must be a hash/sort equi-join on the band key, never a nested
