@@ -26,7 +26,8 @@ object SparkEntry {
     SketchOps.all,
     SketchOps.bitmaps,
     WarehouseOps.all,
-    PipelineObsOps.all
+    PipelineObsOps.all,
+    ScorecardOps.all
   )
 
   private lazy val catalog: Map[String, Q] = {
