@@ -27,7 +27,8 @@ object SparkEntry {
     SketchOps.bitmaps,
     WarehouseOps.all,
     PipelineObsOps.all,
-    ScorecardOps.all
+    ScorecardOps.all,
+    CorpusStatsOps.all
   )
 
   private lazy val catalog: Map[String, Q] = {

@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import TestData._
+
+/** Corpus-scaling statistics for a training-data pipeline: a Zipf
+  * rank-frequency fit, a Heaps-law vocabulary-growth curve, and the
+  * first BPE merge round (the highest-weight character-pair merges a
+  * tokenizer-induction job would pick).
+  *
+  * Cross-engine exactness: the house no-libm-ln rule again. Both
+  * "log-log" fits run in DYADIC log space — floor(log2 x) via the
+  * length of the integer's binary rendering (`length(bin(x)) - 1`,
+  * bit-identical in Spark and DuckDB) — so every OLS sum is integer
+  * arithmetic and only the final slope/intercept are single IEEE
+  * divisions of exact BIGINT products.
+  *
+  * Scale notes: all three aggregate the corpus once into a
+  * vocabulary- or bucket-sized frame before any window. q168's rank
+  * window sorts the VOCAB frame (≪ corpus; for a web-scale vocab the
+  * dyadic buckets could be computed from freq alone, dropping rank
+  * entirely). q169 never runs an inequality join against the corpus:
+  * dyadic doc-buckets reduce the growth curve to a ~40-row cumsum.
+  * q170's pair frame is bounded by the alphabet squared.
+  */
+object CorpusStatsOps {
+
+  /** floor(log2(x)) for x >= 1, exact in both engines. */
+  private def flog2(c: String): String = s"length(bin($c)) - 1"
+
+  def all: Map[String, Q] = Map(
+
+    // Zipf fit: rank words by frequency, OLS of floor(log2 freq) on
+    // floor(log2 rank). slope ~ -1 on Zipfian text; on this synthetic
+    // near-uniform vocab it is near 0 — the oracle pins exact values,
+    // the spec pins the [-2, 0] range law.
+    "q168_zipf_slope" -> Q(
+      (s, dir) => {
+        val vocab = table(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("word"))
+          .where(length(col("word")) > 0)
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+        val ranked = vocab.withColumn("rank",
+          row_number().over(Window.orderBy(col("freq").desc, col("word"))))
+          .select(expr(flog2("rank")).cast("bigint").as("x"),
+            expr(flog2("freq")).cast("bigint").as("y"))
+        ranked.agg(
+          count(lit(1)).as("n_types"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+          .select(col("n_types"), col("sx"), col("sy"), col("sxx"),
+            col("sxy"),
+            ((col("n_types") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+              (col("n_types") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")).as("slope"),
+            ((col("sy") * col("sxx") - col("sx") * col("sxy"))
+              .cast("double") /
+              (col("n_types") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")).as("intercept"))
+      },
+      Some(
+        """WITH vocab AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+          |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          |  WHERE length(w) > 0 GROUP BY w),
+          | ranked AS (SELECT CAST(length(bin(CAST(row_number() OVER (ORDER BY freq DESC, word) AS BIGINT))) - 1 AS BIGINT) AS x,
+          |  CAST(length(bin(freq)) - 1 AS BIGINT) AS y FROM vocab),
+          | sums AS (SELECT CAST(count(*) AS BIGINT) AS n_types,
+          |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          |  CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+          |  FROM ranked)
+          | SELECT n_types, sx, sy, sxx, sxy,
+          |  CAST(n_types * sxy - sx * sy AS DOUBLE) / CAST(n_types * sxx - sx * sx AS DOUBLE) AS slope,
+          |  CAST(sy * sxx - sx * sxy AS DOUBLE) / CAST(n_types * sxx - sx * sx AS DOUBLE) AS intercept
+          | FROM sums"""
+          .stripMargin.replace("\n", ""))),
+
+    // Heaps-law growth curve at dyadic corpus prefixes: bucket b rows
+    // summarize the first min(2^(b+1) - 1, N) docs — cum_types is the
+    // vocabulary seen, cum_tokens the words read. Each word contributes
+    // its FIRST doc's bucket to the types curve (min(doc_id), the
+    // "first seen" semantics an incremental ingest would observe).
+    "q169_heaps_curve" -> Q(
+      (s, dir) => {
+        // consumed twice (doc curve + type curve) but NOT checkpointed:
+        // the exploded token frame is corpus-sized, so materializing it
+        // costs more than two pruned parquet scans — the opposite
+        // trade-off from q148's bounded fingerprint frame
+        val words = table(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .where(length(col("word")) > 0)
+        val docBuckets = words.groupBy("doc_id")
+          .agg(count(lit(1)).as("toks"))
+          .select(expr(flog2("doc_id + 1")).cast("bigint").as("bucket"),
+            col("toks"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("docs"), sum("toks").as("tokens"))
+        val typeBuckets = words.groupBy("word")
+          .agg(min("doc_id").as("first_doc"))
+          .select(expr(flog2("first_doc + 1")).cast("bigint").as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("new_types"))
+        val w = Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docBuckets.join(typeBuckets, Seq("bucket"), "left")
+          .na.fill(0L, Seq("new_types"))
+          .select(col("bucket"), col("docs"), col("new_types"),
+            sum("docs").over(w).as("cum_docs"),
+            sum("tokens").over(w).as("cum_tokens"),
+            sum("new_types").over(w).as("cum_types"))
+          .orderBy("bucket")
+      },
+      Some(
+        """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+          | wf AS (SELECT doc_id, word FROM words WHERE length(word) > 0),
+          | db AS (SELECT CAST(length(bin(doc_id + 1)) - 1 AS BIGINT) AS bucket,
+          |   CAST(count(*) AS BIGINT) AS docs, CAST(sum(toks) AS BIGINT) AS tokens
+          |  FROM (SELECT doc_id, CAST(count(*) AS BIGINT) AS toks FROM wf GROUP BY doc_id)
+          |  GROUP BY 1),
+          | tb AS (SELECT CAST(length(bin(first_doc + 1)) - 1 AS BIGINT) AS bucket,
+          |   CAST(count(*) AS BIGINT) AS new_types
+          |  FROM (SELECT word, min(doc_id) AS first_doc FROM wf GROUP BY word)
+          |  GROUP BY 1)
+          | SELECT db.bucket, db.docs,
+          |  CAST(coalesce(tb.new_types, 0) AS BIGINT) AS new_types,
+          |  CAST(sum(db.docs) OVER (ORDER BY db.bucket) AS BIGINT) AS cum_docs,
+          |  CAST(sum(db.tokens) OVER (ORDER BY db.bucket) AS BIGINT) AS cum_tokens,
+          |  CAST(sum(coalesce(tb.new_types, 0)) OVER (ORDER BY db.bucket) AS BIGINT) AS cum_types
+          | FROM db LEFT JOIN tb ON db.bucket = tb.bucket ORDER BY db.bucket"""
+          .stripMargin.replace("\n", ""))),
+
+    // First BPE merge round: weight every adjacent character pair by
+    // the frequency of the word it occurs in (counting repeats within
+    // a word, as BPE does), keep the top 20 merge candidates. The
+    // corpus collapses to the vocab frame first, so pair extraction
+    // runs once per TYPE, weighted by freq — the standard tokenizer-
+    // induction trick that makes the corpus pass O(vocab) not O(tokens).
+    "q170_bpe_pair_merge" -> Q(
+      (s, dir) => {
+        val vocab = table(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("word"))
+          .where(length(col("word")) > 1)
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+        val pairs = vocab
+          .select(col("freq"), explode(expr(
+            "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+            .as("pair"))
+          .groupBy("pair").agg(sum("freq").as("weight"))
+        pairs.withColumn("rank",
+          row_number().over(Window.orderBy(col("weight").desc, col("pair"))))
+          .where(col("rank") <= 20)
+          .select(col("rank"), col("pair"), col("weight"))
+          .orderBy("rank")
+      },
+      Some(
+        """WITH vocab AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+          |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          |  WHERE length(w) > 1 GROUP BY w),
+          | pairs AS (SELECT p AS pair, CAST(sum(freq) AS BIGINT) AS weight
+          |  FROM (SELECT freq, unnest(list_transform(range(1, length(word)), i -> substr(word, i, 2))) AS p FROM vocab)
+          |  GROUP BY p),
+          | ranked AS (SELECT CAST(row_number() OVER (ORDER BY weight DESC, pair) AS INT) AS rank, pair, weight FROM pairs)
+          | SELECT rank, pair, weight FROM ranked WHERE rank <= 20 ORDER BY rank"""
+          .stripMargin.replace("\n", "")))
+  )
+}
