@@ -28,7 +28,8 @@ object SparkEntry {
     WarehouseOps.all,
     PipelineObsOps.all,
     ScorecardOps.all,
-    CorpusStatsOps.all
+    CorpusStatsOps.all,
+    EventFlowOps.all
   )
 
   private lazy val catalog: Map[String, Q] = {

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import TestData._
+
+/** Event-sequence analytics over the clickstream: the first-order
+  * Markov transition matrix and a ClickHouse-windowFunnel-style staged
+  * conversion report — the product-analytics pair that sits next to
+  * sessionization (q50) and funnel attribution (q79/q131) in any
+  * event warehouse.
+  *
+  * Scale notes: both queries do ALL row-level work inside windows
+  * partitioned by user_id — one exchange of the events table each;
+  * everything after is bounded (25 transition cells, 4 funnel levels).
+  * q172 chains three same-partition windows instead of three
+  * aggregate-then-join-back rounds, so Catalyst plans ONE user_id
+  * exchange end-to-end (PlanSpec-pinned), the shape that survives a
+  * 1000-executor shuffle of 100 TB of events.
+  */
+object EventFlowOps {
+
+  def all: Map[String, Q] = Map(
+
+    // First-order Markov chain: P(next event type | current), counted
+    // over each user's (ts, event_id)-ordered stream. prob is one IEEE
+    // division of exact counts.
+    "q171_markov_transitions" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val trans = table(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("src"))
+          .withColumn("dst", lead("src", 1).over(w))
+          .where(col("dst").isNotNull)
+          .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+        val wSrc = Window.partitionBy("src")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        trans
+          .withColumn("from_src", sum("cnt").over(wSrc))
+          .select(col("src"), col("dst"), col("cnt"), col("from_src"),
+            (col("cnt").cast("double") / col("from_src").cast("double"))
+              .as("prob"))
+          .orderBy("src", "dst")
+      },
+      Some(
+        """WITH seq AS (SELECT user_id, event_type AS src,
+          |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+          |  FROM events),
+          | trans AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt
+          |  FROM seq WHERE dst IS NOT NULL GROUP BY src, dst)
+          | SELECT src, dst, cnt,
+          |  CAST(sum(cnt) OVER (PARTITION BY src) AS BIGINT) AS from_src,
+          |  CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER (PARTITION BY src) AS DOUBLE) AS prob
+          | FROM trans ORDER BY src, dst"""
+          .stripMargin.replace("\n", ""))),
+
+    // Staged conversion funnel view -> click -> purchase within ONE
+    // HOUR of the user's first view (earliest-chain greedy semantics:
+    // t1 = first view; t2 = first click at/after t1; t3 = first
+    // purchase at/after t2; t2/t3 must land inside [t1, t1 + 1h]).
+    // Three chained windows over the SAME user partition — no
+    // aggregate-join-back, no self-join.
+    "q172_window_funnel" -> Q(
+      (s, dir) => {
+        val wu = Window.partitionBy("user_id")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val horizon = col("t1") + expr("INTERVAL 1 HOUR")
+        val lvl = table(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_type"))
+          .withColumn("t1",
+            min(when(col("event_type") === "view", col("ts"))).over(wu))
+          .withColumn("t2",
+            min(when(col("event_type") === "click" &&
+              col("ts") >= col("t1") && col("ts") <= horizon, col("ts")))
+              .over(wu))
+          .withColumn("t3",
+            min(when(col("event_type") === "purchase" &&
+              col("ts") >= col("t2") && col("ts") <= horizon, col("ts")))
+              .over(wu))
+          .groupBy("user_id")
+          .agg(min("t1").as("t1"), min("t2").as("t2"), min("t3").as("t3"))
+          .select(col("user_id"),
+            when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
+              .when(col("t1").isNotNull, 1).otherwise(0).cast("int")
+              .as("level"))
+        lvl.groupBy("level").agg(count(lit(1)).as("users"))
+          .orderBy("level")
+      },
+      Some(
+        """WITH e1 AS (SELECT user_id, ts, event_type,
+          |  min(CASE WHEN event_type = 'view' THEN ts END) OVER (PARTITION BY user_id) AS t1
+          |  FROM events),
+          | e2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts >= t1
+          |    AND ts <= t1 + INTERVAL 1 HOUR THEN ts END) OVER (PARTITION BY user_id) AS t2
+          |  FROM e1),
+          | e3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= t2
+          |    AND ts <= t1 + INTERVAL 1 HOUR THEN ts END) OVER (PARTITION BY user_id) AS t3
+          |  FROM e2),
+          | u AS (SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+          |  FROM e3 GROUP BY user_id)
+          | SELECT CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+          |   WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS level,
+          |  CAST(count(*) AS BIGINT) AS users
+          | FROM u GROUP BY 1 ORDER BY level"""
+          .stripMargin.replace("\n", "")))
+  )
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Behavioral laws for the event-flow batch (q171-q172): transition
+  * accounting (rows = events - users, per-src probabilities form a
+  * distribution) and funnel level conservation/consistency.
+  */
+class EventFlowSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+  private lazy val events = graft.ops.TestData.table(spark, sf, "events")
+
+  test("q171 transitions: count accounting and per-src distributions") {
+    val rows = run("q171_markov_transitions")
+      .select("src", "dst", "cnt", "from_src", "prob")
+      .as[(String, String, Long, Long, Double)].collect()
+    val nEvents = events.count()
+    val nUsers = events.select("user_id").distinct().count()
+    assert(rows.map(_._3).sum == nEvents - nUsers,
+      "each user contributes (events - 1) transitions")
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      assert(g.map(_._3).sum == g.head._4, s"$src: cnt sums to from_src")
+      assert(math.abs(g.map(_._5).sum - 1.0) < 1e-9, s"$src: probs sum to 1")
+    }
+  }
+
+  test("q172 funnel: levels partition users and nest monotonically") {
+    val rows = run("q172_window_funnel")
+      .select("level", "users").as[(Int, Long)].collect().sortBy(_._1)
+    val nUsers = events.select("user_id").distinct().count()
+    assert(rows.map(_._2).sum == nUsers, "levels partition the user base")
+    assert(rows.forall(r => r._1 >= 0 && r._1 <= 3))
+    // cross-check level>=1 against a direct count of users with a view
+    val viewers = events.where(col("event_type") === "view")
+      .select("user_id").distinct().count()
+    assert(rows.filter(_._1 >= 1).map(_._2).sum == viewers,
+      "level>=1 iff the user has any view event")
+  }
+}

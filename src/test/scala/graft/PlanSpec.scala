@@ -480,4 +480,18 @@ class PlanSpec extends SparkSpec {
     assert("\\bWindow\\b".r.findAllIn(plan).size == 1,
       s"16 lags must share a single Window node:\n$plan")
   }
+
+  test("q172 three chained funnel windows + user agg share ONE user exchange") {
+    // the aggregate-join-back formulation would exchange events three
+    // times; the chained-window shape must keep it to one
+    val plan = executed("q172_window_funnel")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
+      plan)
+  }
+
+  test("q171 transition matrix: one user window exchange, bounded tail") {
+    val plan = executed("q171_markov_transitions")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
+      plan)
+  }
 }
