@@ -286,7 +286,93 @@ object SketchOps {
           |   FROM a JOIN e USING (scope))
           | SELECT scope, n_sketch, hk, exact_users, kmv_est,
           |   CAST(floor(abs(kmv_est - exact_users) * 10000 / exact_users) AS BIGINT) AS err_bps
-          | FROM j ORDER BY scope""".stripMargin.replace("\n", "")))
+          | FROM j ORDER BY scope""".stripMargin.replace("\n", ""))),
+
+    // KMV INTERSECTION estimate for every audience pair (Theta-sketch
+    // set algebra over q156's per-type states): merge two bottom-64
+    // sketches into the pair's union sketch, count members present in
+    // BOTH input sketches (m_common), and estimate |A ∩ B| =
+    // (m / k') * est|A ∪ B| — the Bar-Yossef/Beyer ratio estimator.
+    // Everything after the per-type sketches touches only k-sized
+    // state: 10 audience pairs x <= 128 sketch values. The exact_inter
+    // column is gate calibration only (at scale the sketch REPLACES
+    // that corpus-wide pair join). Cross-engine exactness: same
+    // estimator arithmetic as q156 (63 * 2^60 exact in a double, one
+    // correctly-rounded division), ratio-then-multiply in pinned order,
+    // err through an explicit floor().
+    "q173_kmv_intersect" -> Q(
+      (s, dir) => {
+        val k = 64
+        val h = table(s, dir, "events")
+          .select(col("event_type").as("t"),
+            md5Long60(col("user_id").cast("string")).as("h"))
+          .distinct()
+        val sv = graft.plans.TopKPerGroup(h, Seq("t"), Seq(("h", false)), k)
+          .localCheckpoint(eager = true)
+        val types = sv.select("t").distinct()
+        val mA = sv.alias("x").join(types.alias("y"), col("x.t") < col("y.t"))
+          .select(col("x.t").as("ta"), col("y.t").as("tb"), col("x.h").as("h"),
+            lit(1L).as("in_a"), lit(0L).as("in_b"))
+        val mB = sv.alias("x").join(types.alias("y"), col("y.t") < col("x.t"))
+          .select(col("y.t").as("ta"), col("x.t").as("tb"), col("x.h").as("h"),
+            lit(0L).as("in_a"), lit(1L).as("in_b"))
+        val merged = mA.unionByName(mB)
+          .groupBy("ta", "tb", "h")
+          .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+        val u = graft.plans.TopKPerGroup(
+            merged, Seq("ta", "tb"), Seq(("h", false)), k)
+          .groupBy("ta", "tb")
+          .agg(count(lit(1)).as("n_sketch"), max("h").as("hk"),
+            sum(col("in_a") * col("in_b")).as("m_common"))
+        val exact = h.alias("x").join(h.alias("y"),
+            col("x.h") === col("y.h") && col("x.t") < col("y.t"))
+          .groupBy(col("x.t").as("ta"), col("y.t").as("tb"))
+          .agg(count(lit(1)).as("exact_inter"))
+        u.join(exact, Seq("ta", "tb"), "left")
+          .na.fill(0L, Seq("exact_inter"))
+          .withColumn("union_est",
+            when(col("n_sketch") < k, col("n_sketch").cast("double"))
+              .otherwise(lit(63.0 * 1152921504606846976.0) / col("hk")))
+          .withColumn("inter_est",
+            col("m_common").cast("double") / col("n_sketch").cast("double")
+              * col("union_est"))
+          .withColumn("err_bps", expr("cast(floor(abs(inter_est - exact_inter)" +
+            " * 10000 / greatest(exact_inter, 1)) as bigint)"))
+          .select(col("ta"), col("tb"), col("n_sketch"), col("m_common"),
+            col("union_est"), col("inter_est"), col("exact_inter"),
+            col("err_bps"))
+          .orderBy("ta", "tb")
+      },
+      Some(
+        """WITH h AS (SELECT DISTINCT event_type AS t,
+          |     ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          |   FROM events),
+          | r AS (SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rn FROM h),
+          | sv AS (SELECT t, h FROM r WHERE rn <= 64),
+          | ty AS (SELECT DISTINCT t FROM sv),
+          | m1 AS (SELECT x.t AS ta, y.t AS tb, x.h AS h, 1 AS in_a, 0 AS in_b
+          |   FROM sv x JOIN ty y ON x.t < y.t),
+          | m2 AS (SELECT y.t AS ta, x.t AS tb, x.h AS h, 0 AS in_a, 1 AS in_b
+          |   FROM sv x JOIN ty y ON y.t < x.t),
+          | mm AS (SELECT ta, tb, h, max(in_a) AS in_a, max(in_b) AS in_b
+          |   FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2) GROUP BY ta, tb, h),
+          | mr AS (SELECT *, row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn FROM mm),
+          | u AS (SELECT ta, tb, CAST(count(*) AS BIGINT) AS n_sketch, max(h) AS hk,
+          |     CAST(sum(in_a * in_b) AS BIGINT) AS m_common
+          |   FROM mr WHERE rn <= 64 GROUP BY ta, tb),
+          | ex AS (SELECT x.t AS ta, y.t AS tb, CAST(count(*) AS BIGINT) AS exact_inter
+          |   FROM h x JOIN h y ON x.h = y.h AND x.t < y.t GROUP BY 1, 2),
+          | est AS (SELECT u.ta, u.tb, n_sketch, m_common,
+          |     CASE WHEN n_sketch < 64 THEN CAST(n_sketch AS DOUBLE)
+          |       ELSE 63.0 * 1152921504606846976 / hk END AS union_est,
+          |     CAST(coalesce(exact_inter, 0) AS BIGINT) AS exact_inter
+          |   FROM u LEFT JOIN ex ON u.ta = ex.ta AND u.tb = ex.tb),
+          | f AS (SELECT ta, tb, n_sketch, m_common, union_est,
+          |     CAST(m_common AS DOUBLE) / CAST(n_sketch AS DOUBLE) * union_est AS inter_est,
+          |     exact_inter FROM est)
+          | SELECT ta, tb, n_sketch, m_common, union_est, inter_est, exact_inter,
+          |   CAST(floor(abs(inter_est - exact_inter) * 10000 / greatest(exact_inter, 1)) AS BIGINT) AS err_bps
+          | FROM f ORDER BY ta, tb""".stripMargin.replace("\n", "")))
   )
 
   /** Bitmap-index presence matrix (q162), kept beside the sketches: the

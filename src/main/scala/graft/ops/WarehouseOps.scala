@@ -1168,6 +1168,76 @@ object WarehouseOps {
           |   CAST(m.n_merged = f.n_full AS INT) AS n_match,
           |   CAST(m.cents_merged = f.cents_full AS INT) AS cents_match
           | FROM m JOIN f USING (event_type, day)
-          | ORDER BY event_type, day""".stripMargin.replace("\n", "")))
+          | ORDER BY event_type, day""".stripMargin.replace("\n", ""))),
+
+    // Market-basket association rules over the co-purchase graph: for
+    // every part pair sharing >= 2 orders, support / confidence in each
+    // direction / lift, top 20 by lift. Unlike coPurchasePairs (the
+    // globally-DEDUPED edge set q129/q152/q158 share) this needs the
+    // per-order pair COUNT, so it builds its own (order, u, v) frame —
+    // same bounded per-order fanout (<= C(width, 2)), map-side
+    // combinable counts. Item supports join back equi-keyed (the item
+    // frame is dimension-sized; AQE broadcasts it at gate SF, shuffles
+    // at catalog scale), the order total rides a broadcast 1-row frame,
+    // and the rank window sorts only the thresholded rule frame. lift =
+    // (pair * N) / (cnt_u * cnt_v): exact BIGINT products (< 2^53),
+    // one IEEE division — bit-identical cross-engine, so the lift-desc
+    // rank order agrees.
+    "q174_assoc_rules" -> Q(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+          .localCheckpoint(eager = true)
+        val pairCnt = li.alias("a").join(li.alias("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+          .agg(count(lit(1)).as("pair_orders"))
+          .where(col("pair_orders") >= 2)
+        val itemCnt = li.groupBy(col("p")).agg(count(lit(1)).as("item_orders"))
+        val nOrders = li.select("o").distinct()
+          .agg(count(lit(1)).as("n_orders"))
+        val rules = pairCnt
+          .join(itemCnt.select(col("p").as("u"), col("item_orders").as("cnt_u")), "u")
+          .join(itemCnt.select(col("p").as("v"), col("item_orders").as("cnt_v")), "v")
+          .crossJoin(broadcast(nOrders))
+          .select(col("u"), col("v"), col("pair_orders"), col("cnt_u"),
+            col("cnt_v"),
+            (col("pair_orders").cast("double") / col("n_orders").cast("double"))
+              .as("support"),
+            (col("pair_orders").cast("double") / col("cnt_u").cast("double"))
+              .as("conf_u_v"),
+            (col("pair_orders").cast("double") / col("cnt_v").cast("double"))
+              .as("conf_v_u"),
+            ((col("pair_orders") * col("n_orders")).cast("double") /
+              (col("cnt_u") * col("cnt_v")).cast("double")).as("lift"))
+        rules.withColumn("rank", row_number().over(
+            Window.orderBy(col("lift").desc, col("u"), col("v"))))
+          .where(col("rank") <= 20)
+          .select(col("rank"), col("u"), col("v"), col("pair_orders"),
+            col("cnt_u"), col("cnt_v"), col("support"), col("conf_u_v"),
+            col("conf_v_u"), col("lift"))
+          .orderBy("rank")
+      },
+      Some(
+        """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+          | pc AS (SELECT a.p AS u, b.p AS v, CAST(count(*) AS BIGINT) AS pair_orders
+          |   FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+          |   GROUP BY 1, 2 HAVING count(*) >= 2),
+          | ic AS (SELECT p, CAST(count(*) AS BIGINT) AS item_orders FROM li GROUP BY p),
+          | n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM li),
+          | rules AS (SELECT u, v, pair_orders, cu.item_orders AS cnt_u,
+          |     cv.item_orders AS cnt_v,
+          |     CAST(pair_orders AS DOUBLE) / CAST(n_orders AS DOUBLE) AS support,
+          |     CAST(pair_orders AS DOUBLE) / CAST(cu.item_orders AS DOUBLE) AS conf_u_v,
+          |     CAST(pair_orders AS DOUBLE) / CAST(cv.item_orders AS DOUBLE) AS conf_v_u,
+          |     CAST(pair_orders * n_orders AS DOUBLE) /
+          |       CAST(cu.item_orders * cv.item_orders AS DOUBLE) AS lift
+          |   FROM pc JOIN ic cu ON pc.u = cu.p JOIN ic cv ON pc.v = cv.p, n),
+          | rk AS (SELECT CAST(row_number() OVER (ORDER BY lift DESC, u, v) AS INT) AS rank, *
+          |   FROM rules)
+          | SELECT rank, u, v, pair_orders, cnt_u, cnt_v, support, conf_u_v,
+          |   conf_v_u, lift
+          | FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin.replace("\n", "")))
   )
 }
