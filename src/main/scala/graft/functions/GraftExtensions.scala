@@ -27,6 +27,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 3, "graft_lev_leq takes exactly 3 arguments")
         LevWithin(children.head, children(1), children(2))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerSim].getName, "graft_jaro_winkler"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_jaro_winkler takes exactly 2 arguments")
+        JaroWinklerSim(children.head, children(1))
+      }))
     ext.injectOptimizerRule(_ => graft.plans.BinnedRangeJoinRule)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }

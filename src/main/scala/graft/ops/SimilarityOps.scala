@@ -240,6 +240,57 @@ object SimilarityOps {
           |     / (a.nrm * b.nrm) AS cosine
           |   FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
           | SELECT v1, v2, cosine FROM p WHERE cosine > 0.3 ORDER BY v1, v2"""
-          .stripMargin.replace("\n", "")))
+          .stripMargin.replace("\n", ""))),
+
+    // Fuzzy catalog search: rank part names against a query phrase by
+    // Jaro-Winkler similarity — graft_jaro_winkler is a codegen'd
+    // Catalyst expression pinned BIT-FOR-BIT to DuckDB's
+    // jaro_winkler_similarity (20k-pair fuzz, zero bit mismatches), so
+    // the double scores hash-match, not just the ranking. Scale shape:
+    // one narrow scan + per-partition top-k (TakeOrdered), no shuffle
+    // of the scored corpus.
+    "q175_jaro_fuzzy_rank" -> Q(
+      (s, dir) => {
+        val query = "cold gadget"
+        table(s, dir, "part")
+          .select(col("p_partkey"), col("p_name"),
+            graft.functions.JaroWinklerSim
+              .jaroWinkler(col("p_name"), lit(query)).as("score"))
+          .orderBy(col("score").desc, col("p_partkey"))
+          .limit(20)
+      },
+      Some(
+        """SELECT p_partkey, p_name,
+          |   jaro_winkler_similarity(p_name, 'cold gadget') AS score
+          | FROM part ORDER BY score DESC, p_partkey LIMIT 20"""
+          .stripMargin.replace("\n", ""))),
+
+    // Fuzzy near-dup pairs over part names, BLOCKED on the type token
+    // (second word) so the quadratic runs per block, never corpus-wide
+    // — the q121 blocking argument with Jaro-Winkler as the verifier.
+    // The jw >= 0.9 predicate agrees across engines because the score
+    // bits do.
+    "q176_jaro_block_pairs" -> Q(
+      (s, dir) => {
+        val p = table(s, dir, "part")
+          .select(col("p_partkey").as("k"), col("p_name").as("name"),
+            element_at(split(col("p_name"), " "), 2).as("blk"))
+        p.alias("a").join(p.alias("b"),
+            col("a.blk") === col("b.blk") && col("a.k") < col("b.k"))
+          .select(col("a.k").as("k1"), col("b.k").as("k2"),
+            col("a.name").as("n1"), col("b.name").as("n2"),
+            graft.functions.JaroWinklerSim
+              .jaroWinkler(col("a.name"), col("b.name")).as("score"))
+          .where(col("score") >= 0.9)
+          .orderBy("k1", "k2")
+      },
+      Some(
+        """WITH p AS (SELECT p_partkey AS k, p_name AS name,
+          |     string_split(p_name, ' ')[2] AS blk FROM part)
+          | SELECT a.k AS k1, b.k AS k2, a.name AS n1, b.name AS n2,
+          |   jaro_winkler_similarity(a.name, b.name) AS score
+          | FROM p a JOIN p b ON a.blk = b.blk AND a.k < b.k
+          | WHERE jaro_winkler_similarity(a.name, b.name) >= 0.9
+          | ORDER BY k1, k2""".stripMargin.replace("\n", "")))
   )
 }
