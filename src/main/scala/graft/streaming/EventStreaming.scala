@@ -175,6 +175,52 @@ object EventStreaming {
       }
   }
 
+  final case class FunnelState(t1: Long, t2: Long, t3: Long)
+  final case class FunnelRow(user_id: Long, level: Int)
+
+  /** Streaming conversion funnel — the continuous twin of batch q172:
+    * per-user keyed state holds the greedy earliest-chain anchors
+    * (t1 = first view, t2 = first qualifying click, t3 = first
+    * qualifying purchase, 1-hour horizon from t1), O(1) per user, and
+    * each trigger emits the user's CURRENT funnel level. Anchors only
+    * ever move forward, so the level is monotone non-decreasing under
+    * ANY delivery order; it equals q172's batch level exactly when
+    * each user's events arrive in event-time order (the in-order
+    * replay the parity spec drives). Out-of-order deliveries would
+    * need the dropped events back to re-anchor — that reconstruction
+    * is the batch query's job, not a keyed keeper's.
+    */
+  def windowFunnel(events: Dataset[Event], horizonMs: Long = 3600 * 1000L)
+  : Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    val unset = Long.MaxValue
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelRow](GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(unset, unset, unset))
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime
+            e.event_type match {
+              case "view" if st.t1 == unset =>
+                st = st.copy(t1 = t)
+              case "click" if st.t1 != unset && st.t2 == unset &&
+                  t >= st.t1 && t <= st.t1 + horizonMs =>
+                st = st.copy(t2 = t)
+              case "purchase" if st.t2 != unset && st.t3 == unset &&
+                  t >= st.t2 && t <= st.t1 + horizonMs =>
+                st = st.copy(t3 = t)
+              case _ =>
+            }
+          }
+          state.update(st)
+          val level =
+            if (st.t3 != unset) 3 else if (st.t2 != unset) 2
+            else if (st.t1 != unset) 1 else 0
+          FunnelRow(userId, level)
+      }
+  }
+
   /** Gap-based sessionization with explicit keyed state
     * (mapGroupsWithState + processing-time timeout): emits the CURRENT
     * session per user each trigger; a gap larger than `gapMs` starts a

@@ -281,6 +281,40 @@ class AsofStreamingSpec extends SparkSpec {
         s"diff: ${(current diff batch) ++ (batch diff current)}")
     } finally query.stop()
   }
+
+  test("streaming window funnel on in-order replay equals batch q172") {
+    // each user's events replayed in event-time order across THREE
+    // triggers: the keyed anchors must carry across batch boundaries
+    // and the final per-level user counts must land on batch q172.
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.ops.TestData.table(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreaming.Event].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val stream = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreaming.Event]
+    val query = EventStreaming.windowFunnel(stream)
+      .writeStream.format("memory").queryName("funnel_test")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+    try {
+      def tuple(e: EventStreaming.Event) =
+        (e.event_id, e.ts, e.user_id, e.event_type, e.value)
+      val third = ev.length / 3
+      Seq(ev.take(third), ev.slice(third, 2 * third), ev.drop(2 * third))
+        .foreach { b => mem.addData(b.map(tuple).toSeq); query.processAllAvailable() }
+      // level is monotone per user -> max level per user is current
+      val streamed = spark.table("funnel_test")
+        .as[EventStreaming.FunnelRow].collect()
+        .groupBy(_.user_id).map { case (_, rs) => rs.map(_.level).max }
+        .groupBy(identity).map { case (l, us) => (l, us.size.toLong) }
+      val batch = SparkEntry.queries("q172_window_funnel")(spark, sf)
+        .as[(Int, Long)].collect().toMap
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+    } finally query.stop()
+  }
 }
 
 /** Static instrumentation for the batched-decode spec (local mode: the
