@@ -269,6 +269,60 @@ object AnalyticsOps {
           | ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS event_id
           |   FROM events WHERE event_type = 'click' GROUP BY user_id, ts) c
           | ON p.user_id = c.user_id AND c.ts <= p.ts
-          | ORDER BY p.event_id""".stripMargin.replace("\n", "")))
+          | ORDER BY p.event_id""".stripMargin.replace("\n", ""))),
+
+    // TPC-H Q8-flavored market share: per order-year, the share of
+    // discounted lineitem revenue supplied from one region. Revenue
+    // sums in exact scale-4 DECIMAL (the q31 rule: no intermediate
+    // scale-2 cast — Spark rounds HALF_UP where DuckDB goes
+    // half-to-even); the share is one double division of two exact
+    // sums. Plan shape: lineitem-orders is the co-keyed fact join
+    // (shuffle on orderkey, AQE-eligible), supplier->nation->region
+    // are broadcast dims, and the share pivot is a conditional
+    // aggregate — no second pass over the facts.
+    "q180_market_share" -> Q(
+      (s, dir) => {
+        val rev = (col("l_extendedprice").cast(d18_2) *
+          (lit(1) - col("l_discount").cast(d18_2)))
+        table(s, dir, "lineitem")
+          .join(table(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(table(s, dir, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(table(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(table(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(
+            sum(when(col("r_name") === "ASIA", rev)
+              .otherwise(lit(0).cast(d18_2))).as("region_rev_d"),
+            sum(rev).as("total_rev_d"))
+          .select(col("o_year"),
+            col("region_rev_d").cast("double").as("region_rev"),
+            col("total_rev_d").cast("double").as("total_rev"),
+            (col("region_rev_d").cast("double") /
+              col("total_rev_d").cast("double")).as("share"))
+          .orderBy("o_year")
+      },
+      Some(
+        """WITH f AS (SELECT year(o_orderdate) AS o_year, r_name,
+          |     CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |       (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev
+          |   FROM lineitem
+          |   JOIN orders ON l_orderkey = o_orderkey
+          |   JOIN supplier ON l_suppkey = s_suppkey
+          |   JOIN nation ON s_nationkey = n_nationkey
+          |   JOIN region ON n_regionkey = r_regionkey),
+          | a AS (SELECT o_year,
+          |     sum(CASE WHEN r_name = 'ASIA' THEN rev
+          |       ELSE CAST(0 AS DECIMAL(18,2)) END) AS region_rev_d,
+          |     sum(rev) AS total_rev_d
+          |   FROM f GROUP BY o_year)
+          | SELECT CAST(o_year AS INT) AS o_year, CAST(region_rev_d AS DOUBLE) AS region_rev,
+          |   CAST(total_rev_d AS DOUBLE) AS total_rev,
+          |   CAST(region_rev_d AS DOUBLE) / CAST(total_rev_d AS DOUBLE) AS share
+          | FROM a ORDER BY o_year"""
+          .stripMargin.replace("\n", "")))
   )
 }

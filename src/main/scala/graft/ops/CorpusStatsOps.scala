@@ -162,6 +162,56 @@ object CorpusStatsOps {
           |  GROUP BY p),
           | ranked AS (SELECT CAST(row_number() OVER (ORDER BY weight DESC, pair) AS INT) AS rank, pair, weight FROM pairs)
           | SELECT rank, pair, weight FROM ranked WHERE rank <= 20 ORDER BY rank"""
+          .stripMargin.replace("\n", ""))),
+
+    // Per-source Flesch-style readability: syllables approximated as
+    // maximal vowel runs (the standard heuristic), each doc treated as
+    // one sentence (the corpus has no terminators). All counts
+    // aggregate as integers; the score is computed ONCE per source
+    // from exact sums — never summed as per-doc doubles (unordered
+    // double sums don't reproduce across engines). Vowel runs via two
+    // regexp_replace lengths, identical in both engines; literals
+    // enter through correctly-rounded string->DOUBLE casts on the
+    // DuckDB side (bare SQL decimals are DECIMAL there, not DOUBLE).
+    "q178_readability" -> Q(
+      (s, dir) => {
+        val words = table(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            explode(split(col("text"), " ")).as("w"))
+          .where(length(col("w")) > 0)
+          .select(col("source"), col("doc_id"),
+            greatest(
+              length(regexp_replace(col("w"), "[aeiou]+", "V")) -
+                length(regexp_replace(col("w"), "[aeiou]+", "")),
+              lit(1)).cast("bigint").as("syl"))
+        words.groupBy("source")
+          .agg(count_distinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_words"), sum("syl").as("n_syllables"))
+          .select(col("source"), col("n_docs"), col("n_words"),
+            col("n_syllables"),
+            (lit(206.835) -
+              lit(1.015) * (col("n_words").cast("double") /
+                col("n_docs").cast("double")) -
+              lit(84.6) * (col("n_syllables").cast("double") /
+                col("n_words").cast("double"))).as("flesch"))
+          .orderBy("source")
+      },
+      Some(
+        """WITH w AS (SELECT source, doc_id,
+          |     unnest(string_split(text, ' ')) AS w FROM documents),
+          | syl AS (SELECT source, doc_id,
+          |     CAST(greatest(length(regexp_replace(w, '[aeiou]+', 'V', 'g')) -
+          |       length(regexp_replace(w, '[aeiou]+', '', 'g')), 1) AS BIGINT) AS syl
+          |   FROM w WHERE length(w) > 0),
+          | agg AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          |     CAST(count(*) AS BIGINT) AS n_words,
+          |     CAST(sum(syl) AS BIGINT) AS n_syllables
+          |   FROM syl GROUP BY source)
+          | SELECT source, n_docs, n_words, n_syllables,
+          |   CAST('206.835' AS DOUBLE) -
+          |     CAST('1.015' AS DOUBLE) * (CAST(n_words AS DOUBLE) / CAST(n_docs AS DOUBLE)) -
+          |     CAST('84.6' AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) AS flesch
+          | FROM agg ORDER BY source"""
           .stripMargin.replace("\n", "")))
   )
 }

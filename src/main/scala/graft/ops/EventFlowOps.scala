@@ -103,6 +103,57 @@ object EventFlowOps {
           |   WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS level,
           |  CAST(count(*) AS BIGINT) AS users
           | FROM u GROUP BY 1 ORDER BY level"""
+          .stripMargin.replace("\n", ""))),
+
+    // Interval-union coverage (gaps-and-islands): every event projects
+    // a 10-minute activity interval; per user, merge overlaps into
+    // islands and report island count + covered seconds. The merge is
+    // the classic running-max-of-end window — one user exchange, all
+    // arithmetic in integer epoch-micros (exact cross-engine), no
+    // interval self-join (the naive overlap join is quadratic per user
+    // and dies on power users at 100 TB; the window shape is linear).
+    "q177_interval_union" -> Q(
+      (s, dir) => {
+        val iv = table(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ss"),
+            (unix_micros(col("ts")) + lit(600000000L)).as("ee"))
+        val wPrev = Window.partitionBy("user_id").orderBy("ss", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wRun = Window.partitionBy("user_id").orderBy("ss", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val islands = iv
+          .withColumn("max_prev_e", max("ee").over(wPrev))
+          .withColumn("new_island",
+            when(col("max_prev_e").isNull ||
+              col("ss") > col("max_prev_e"), 1L).otherwise(0L))
+          .withColumn("island", sum("new_island").over(wRun))
+        islands.groupBy("user_id", "island")
+          .agg(count(lit(1)).as("n_ev"), min("ss").as("is_s"),
+            max("ee").as("is_e"))
+          .groupBy("user_id")
+          .agg(sum("n_ev").as("n_events"),
+            count(lit(1)).as("n_islands"),
+            expr("sum(is_e - is_s) div 1000000").as("covered_s"))
+          .orderBy("user_id")
+      },
+      Some(
+        """WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS ss,
+          |     epoch_us(ts) + 600000000 AS ee FROM events),
+          | mk AS (SELECT *, max(ee) OVER (PARTITION BY user_id ORDER BY ss, event_id
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_prev_e
+          |   FROM iv),
+          | fl AS (SELECT *, CASE WHEN max_prev_e IS NULL OR ss > max_prev_e
+          |     THEN 1 ELSE 0 END AS new_island FROM mk),
+          | isl AS (SELECT *, sum(new_island) OVER (PARTITION BY user_id
+          |     ORDER BY ss, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          |   FROM fl),
+          | g AS (SELECT user_id, island, CAST(count(*) AS BIGINT) AS n_ev,
+          |     min(ss) AS is_s, max(ee) AS is_e FROM isl GROUP BY 1, 2)
+          | SELECT user_id, CAST(sum(n_ev) AS BIGINT) AS n_events,
+          |   CAST(count(*) AS BIGINT) AS n_islands,
+          |   CAST(sum(is_e - is_s) // 1000000 AS BIGINT) AS covered_s
+          | FROM g GROUP BY user_id ORDER BY user_id"""
           .stripMargin.replace("\n", "")))
   )
 }

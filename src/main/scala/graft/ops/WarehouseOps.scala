@@ -1238,6 +1238,61 @@ object WarehouseOps {
           |   FROM rules)
           | SELECT rank, u, v, pair_orders, cnt_u, cnt_v, support, conf_u_v,
           |   conf_v_u, lift
-          | FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin.replace("\n", "")))
+          | FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin.replace("\n", ""))),
+
+    // Item-item collaborative filtering: top-3 neighbors per part by
+    // co-occurrence cosine pair / (sqrt(cnt_i) * sqrt(cnt_j)). sqrt is
+    // IEEE-correctly-rounded in BOTH engines (the one libm-adjacent
+    // function that IS in the exactness toolbox), so scores hash-match
+    // like q174's lift. Pairs are emitted in both directions so the
+    // rank window partitions by item — per-item work, no global sort.
+    "q179_item_cf" -> Q(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+          .localCheckpoint(eager = true)
+        val pairCnt = li.alias("a").join(li.alias("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+          .agg(count(lit(1)).as("pair_orders"))
+          .where(col("pair_orders") >= 2)
+        val both = pairCnt.unionByName(pairCnt.select(
+          col("v").as("u"), col("u").as("v"), col("pair_orders")))
+        val itemCnt = li.groupBy(col("p")).agg(count(lit(1)).as("cnt"))
+        val scored = both
+          .join(itemCnt.select(col("p").as("u"), col("cnt").as("cnt_u")), "u")
+          .join(itemCnt.select(col("p").as("v"), col("cnt").as("cnt_v")), "v")
+          .select(col("u").as("item"), col("v").as("neighbor"),
+            col("pair_orders"),
+            (col("pair_orders").cast("double") /
+              (sqrt(col("cnt_u").cast("double")) *
+                sqrt(col("cnt_v").cast("double")))).as("cosine"))
+        scored.withColumn("rank", row_number().over(
+            Window.partitionBy("item")
+              .orderBy(col("cosine").desc, col("neighbor"))))
+          .where(col("rank") <= 3)
+          .select(col("item"), col("rank"), col("neighbor"),
+            col("pair_orders"), col("cosine"))
+          .orderBy("item", "rank")
+      },
+      Some(
+        """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+          | pc AS (SELECT a.p AS u, b.p AS v, CAST(count(*) AS BIGINT) AS pair_orders
+          |   FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+          |   GROUP BY 1, 2 HAVING count(*) >= 2),
+          | bd AS (SELECT u, v, pair_orders FROM pc
+          |   UNION ALL SELECT v, u, pair_orders FROM pc),
+          | ic AS (SELECT p, CAST(count(*) AS BIGINT) AS cnt FROM li GROUP BY p),
+          | sc AS (SELECT b.u AS item, b.v AS neighbor, b.pair_orders,
+          |     CAST(b.pair_orders AS DOUBLE) /
+          |       (sqrt(CAST(cu.cnt AS DOUBLE)) * sqrt(CAST(cv.cnt AS DOUBLE))) AS cosine
+          |   FROM bd b JOIN ic cu ON b.u = cu.p JOIN ic cv ON b.v = cv.p),
+          | rk AS (SELECT item, CAST(row_number() OVER (PARTITION BY item
+          |     ORDER BY cosine DESC, neighbor) AS INT) AS rank,
+          |     neighbor, pair_orders, cosine FROM sc)
+          | SELECT item, rank, neighbor, pair_orders, cosine
+          | FROM rk WHERE rank <= 3 ORDER BY item, rank"""
+          .stripMargin.replace("\n", "")))
   )
 }

@@ -69,4 +69,19 @@ class CorpusStatsSpec extends SparkSpec {
       .agg(sum("c")).as[Long].collect().head
     assert(recount == top._3, s"top pair ${top._2}: $recount vs ${top._3}")
   }
+
+  test("q178 readability: integer accounting and score bounds") {
+    val rows = run("q178_readability")
+      .select("source", "n_docs", "n_words", "n_syllables", "flesch")
+      .as[(String, Long, Long, Long, Double)].collect()
+    val srcs = graft.ops.TestData.table(spark, sf, "documents")
+      .select("source").distinct().count()
+    assert(rows.length == srcs, "one row per source")
+    assert(rows.map(_._3).sum == tokens.count(), "words conserved")
+    rows.foreach { case (src, d, w, syl, f) =>
+      assert(w >= d, s"$src: at least one word per doc")
+      assert(syl >= w, s"$src: every word has >= 1 syllable")
+      assert(!f.isNaN && !f.isInfinite && f < 206.835, s"$src: $f")
+    }
+  }
 }

@@ -39,4 +39,21 @@ class EventFlowSpec extends SparkSpec {
     assert(rows.filter(_._1 >= 1).map(_._2).sum == viewers,
       "level>=1 iff the user has any view event")
   }
+
+  test("q177 interval union: coverage bounds and island accounting") {
+    val rows = run("q177_interval_union")
+      .select("user_id", "n_events", "n_islands", "covered_s")
+      .as[(Long, Long, Long, Long)].collect()
+    val nUsers = events.select("user_id").distinct().count()
+    assert(rows.length == nUsers, "one row per user")
+    assert(rows.map(_._2).sum == events.count(), "events conserved")
+    rows.foreach { case (u, n, isl, cov) =>
+      assert(isl >= 1 && isl <= n, s"user $u: island count")
+      // each island covers at least one 600 s interval; total coverage
+      // is bounded by disjoint intervals on one side and by a single
+      // island per event on the other
+      assert(cov >= 600 * isl, s"user $u: islands at least one interval long")
+      assert(cov <= 600L * n, s"user $u: coverage cannot exceed n * 600")
+    }
+  }
 }

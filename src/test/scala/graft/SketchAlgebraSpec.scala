@@ -55,4 +55,36 @@ class SketchAlgebraSpec extends SparkSpec {
       .join(li.where(col("p") === top._3).select("o"), "o").count()
     assert(recount == top._4, s"pair (${top._2},${top._3}): $recount vs ${top._4}")
   }
+
+  test("q179 item CF: per-item top-3, cosine bounds, symmetric scores") {
+    val rows = run("q179_item_cf")
+      .select("item", "rank", "neighbor", "pair_orders", "cosine")
+      .as[(Long, Int, Long, Long, Double)].collect()
+    rows.groupBy(_._1).foreach { case (item, g) =>
+      val ranks = g.map(_._2).sorted.toSeq
+      assert(ranks == (1 to g.length) && g.length <= 3, s"item $item ranks")
+      val cs = g.sortBy(_._2).map(_._5)
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
+        s"item $item cosine order")
+    }
+    rows.foreach(r => assert(r._5 > 0 && r._5 <= 1.0 + 1e-12, s"cosine ${r._5}"))
+    // symmetry of the underlying score: if j is i's neighbor, the pair
+    // score is identical when seen from j (even if rank differs)
+    val byPair = rows.map(r => ((r._1, r._3), r._5)).toMap
+    byPair.foreach { case ((i, j), c) =>
+      byPair.get((j, i)).foreach(c2 => assert(c == c2, s"($i,$j) score"))
+    }
+  }
+
+  test("q180 market share: shares in [0,1], consistent with totals") {
+    val rows = run("q180_market_share")
+      .select("o_year", "region_rev", "total_rev", "share")
+      .as[(Int, Double, Double, Double)].collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (y, r, t, s) =>
+      assert(r >= 0 && r <= t, s"year $y revenue bounds")
+      assert(s >= 0.0 && s <= 1.0, s"year $y share $s")
+      assert(s == r / t, s"year $y share recompute")
+    }
+  }
 }
