@@ -323,6 +323,54 @@ object AnalyticsOps {
           |   CAST(total_rev_d AS DOUBLE) AS total_rev,
           |   CAST(region_rev_d AS DOUBLE) / CAST(total_rev_d AS DOUBLE) AS share
           | FROM a ORDER BY o_year"""
+          .stripMargin.replace("\n", ""))),
+
+    // ABC / Pareto inventory classification: parts ranked by revenue,
+    // class A = first 80% of cumulative revenue share, B to 95%, C the
+    // tail. Revenue per part sums in exact scale-4 DECIMAL; the
+    // cumulative window also sums DECIMAL (exact), and only the share
+    // — one double division of exact sums — decides the class, so both
+    // engines agree on every boundary. The ranking window sorts the
+    // PART-level aggregate (dimension-sized, ≪ facts — the q168 rank
+    // argument), never the fact table.
+    "q181_abc_classes" -> Q(
+      (s, dir) => {
+        val rev = (col("l_extendedprice").cast(d18_2) *
+          (lit(1) - col("l_discount").cast(d18_2)))
+        val perPart = table(s, dir, "lineitem")
+          .groupBy(col("l_partkey"))
+          .agg(sum(rev).as("rev_d"))
+        val w = Window.orderBy(col("rev_d").desc, col("l_partkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        perPart
+          .withColumn("cum_d", sum("rev_d").over(w))
+          .withColumn("tot_d", sum("rev_d").over(wAll))
+          .withColumn("share",
+            col("cum_d").cast("double") / col("tot_d").cast("double"))
+          .withColumn("abc_class",
+            when(col("share") <= 0.80, "A")
+              .when(col("share") <= 0.95, "B").otherwise("C"))
+          .groupBy("abc_class")
+          .agg(count(lit(1)).as("n_parts"),
+            sum("rev_d").cast("double").as("class_rev"))
+          .orderBy("abc_class")
+      },
+      Some(
+        """WITH pp AS (SELECT l_partkey,
+          |     sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |       (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev_d
+          |   FROM lineitem GROUP BY l_partkey),
+          | c AS (SELECT l_partkey, rev_d,
+          |     sum(rev_d) OVER (ORDER BY rev_d DESC, l_partkey) AS cum_d,
+          |     sum(rev_d) OVER () AS tot_d FROM pp),
+          | k AS (SELECT *, CAST(cum_d AS DOUBLE) / CAST(tot_d AS DOUBLE) AS share FROM c),
+          | cl AS (SELECT CASE WHEN share <= 0.80 THEN 'A'
+          |     WHEN share <= 0.95 THEN 'B' ELSE 'C' END AS abc_class, rev_d FROM k)
+          | SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+          |   CAST(sum(rev_d) AS DOUBLE) AS class_rev
+          | FROM cl GROUP BY abc_class ORDER BY abc_class"""
           .stripMargin.replace("\n", "")))
   )
 }

@@ -154,6 +154,114 @@ object EventFlowOps {
           |   CAST(count(*) AS BIGINT) AS n_islands,
           |   CAST(sum(is_e - is_s) // 1000000 AS BIGINT) AS covered_s
           | FROM g GROUP BY user_id ORDER BY user_id"""
+          .stripMargin.replace("\n", ""))),
+
+    // Funnel time-to-convert: q172's greedy chain re-derived per user
+    // over a 7-DAY horizon (this stream is sparse commerce — ~7 events
+    // per user per year — so the weekly consideration window is the
+    // one that converts; q172 keeps the tight 1 h web-session horizon),
+    // then EXACT discrete percentiles of (t3 - t1) over the converted
+    // population — index selection on a row_number, all integer
+    // arithmetic (idx_q = ceil(q * n) computed as (q*n + den-1) div
+    // den), no interpolating percentile() whose float semantics differ
+    // across engines. Scale: the percentile sort runs over the
+    // CONVERTED-USER aggregate (three window passes collapse events to
+    // one row per user first), a small fraction of the user dimension.
+    "q182_funnel_latency" -> Q(
+      (s, dir) => {
+        val wu = Window.partitionBy("user_id")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val horizon = col("t1") + expr("INTERVAL 7 DAYS")
+        val conv = table(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_type"))
+          .withColumn("t1",
+            min(when(col("event_type") === "view", col("ts"))).over(wu))
+          .withColumn("t2",
+            min(when(col("event_type") === "click" &&
+              col("ts") >= col("t1") && col("ts") <= horizon, col("ts")))
+              .over(wu))
+          .withColumn("t3",
+            min(when(col("event_type") === "purchase" &&
+              col("ts") >= col("t2") && col("ts") <= horizon, col("ts")))
+              .over(wu))
+          .groupBy("user_id")
+          .agg(min("t1").as("t1"), min("t3").as("t3"))
+          .where(col("t3").isNotNull)
+          .select(col("user_id"),
+            expr("(unix_micros(t3) - unix_micros(t1)) div 1000000")
+              .as("lat_s"))
+        val wRank = Window.orderBy("lat_s", "user_id")
+        val wN = Window
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        conv
+          .withColumn("rn", row_number().over(wRank))
+          .withColumn("n", count(lit(1)).over(wN))
+          .agg(
+            max("n").as("n_converted"),
+            max(when(col("rn") === expr("(n + 1) div 2"), col("lat_s")))
+              .as("p50_s"),
+            max(when(col("rn") === expr("(9 * n + 9) div 10"), col("lat_s")))
+              .as("p90_s"),
+            max("lat_s").as("max_s"))
+      },
+      Some(
+        """WITH e1 AS (SELECT user_id, ts, event_type,
+          |  min(CASE WHEN event_type = 'view' THEN ts END) OVER (PARTITION BY user_id) AS t1
+          |  FROM events),
+          | e2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts >= t1
+          |    AND ts <= t1 + INTERVAL 7 DAYS THEN ts END) OVER (PARTITION BY user_id) AS t2
+          |  FROM e1),
+          | e3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= t2
+          |    AND ts <= t1 + INTERVAL 7 DAYS THEN ts END) OVER (PARTITION BY user_id) AS t3
+          |  FROM e2),
+          | u AS (SELECT user_id, min(t1) AS t1, min(t3) AS t3 FROM e3 GROUP BY user_id),
+          | conv AS (SELECT user_id,
+          |    (epoch_us(t3) - epoch_us(t1)) // 1000000 AS lat_s
+          |  FROM u WHERE t3 IS NOT NULL),
+          | r AS (SELECT lat_s, row_number() OVER (ORDER BY lat_s, user_id) AS rn,
+          |    CAST(count(*) OVER () AS BIGINT) AS n FROM conv)
+          | SELECT max(n) AS n_converted,
+          |  max(CASE WHEN rn = (n + 1) // 2 THEN lat_s END) AS p50_s,
+          |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN lat_s END) AS p90_s,
+          |  max(lat_s) AS max_s FROM r"""
+          .stripMargin.replace("\n", ""))),
+
+    // Daily active / new / returning users: a user is NEW on the day of
+    // their first event, RETURNING on every later active day. All
+    // integer (epoch-day buckets, first-seen via min) — the standard
+    // growth-accounting rollup. Two aggregations over the deduped
+    // (user, day) frame; the day join is day-dimension-sized.
+    "q185_new_returning" -> Q(
+      (s, dir) => {
+        val userDay = table(s, dir, "events")
+          .select(col("user_id"),
+            expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+              .as("day"))
+          .distinct()
+          .localCheckpoint(eager = true)
+        val active = userDay.groupBy("day")
+          .agg(count(lit(1)).as("active_users"))
+        val firstDay = userDay.groupBy("user_id")
+          .agg(min("day").as("day"))
+          .groupBy("day").agg(count(lit(1)).as("new_users"))
+        active.join(firstDay, Seq("day"), "left")
+          .na.fill(0L, Seq("new_users"))
+          .select(col("day"), col("active_users"), col("new_users"),
+            (col("active_users") - col("new_users")).as("returning_users"))
+          .orderBy("day")
+      },
+      Some(
+        """WITH ud AS (SELECT DISTINCT user_id,
+          |     epoch_us(date_trunc('day', ts)) // 86400000000 AS day FROM events),
+          | a AS (SELECT day, CAST(count(*) AS BIGINT) AS active_users
+          |   FROM ud GROUP BY day),
+          | f AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users
+          |   FROM (SELECT user_id, min(day) AS day FROM ud GROUP BY user_id)
+          |   GROUP BY day)
+          | SELECT a.day, a.active_users,
+          |   CAST(coalesce(f.new_users, 0) AS BIGINT) AS new_users,
+          |   a.active_users - CAST(coalesce(f.new_users, 0) AS BIGINT) AS returning_users
+          | FROM a LEFT JOIN f ON a.day = f.day ORDER BY a.day"""
           .stripMargin.replace("\n", "")))
   )
 }

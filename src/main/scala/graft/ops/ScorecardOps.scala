@@ -151,6 +151,50 @@ object ScorecardOps {
           | SELECT digit, observed, expected,
           |  (CAST(observed AS DOUBLE) - expected) * (CAST(observed AS DOUBLE) - expected) / expected AS chi_term
           | FROM e ORDER BY digit"""
+          .stripMargin.replace("\n", ""))),
+
+    // Chi-square independence audit for the (job x y) contingency
+    // table: expected cell = row_total * col_total / N — exact BIGINT
+    // product into one IEEE division — and the per-cell chi term in the
+    // q167 arithmetic shape. Emitting per-cell terms (not the summed
+    // statistic) keeps the output free of unordered double summation.
+    // One pass over the frame + two marginal re-aggregations of the
+    // 15-cell table.
+    "q184_chi2_independence" -> Q(
+      (s, dir) => {
+        val cells = bankFrame(s, dir).groupBy("job", "y")
+          .agg(count(lit(1)).as("observed"))
+          .localCheckpoint(eager = true)
+        val rowTot = cells.groupBy("job").agg(sum("observed").as("row_tot"))
+        val colTot = cells.groupBy("y").agg(sum("observed").as("col_tot"))
+        val n = cells.agg(sum("observed").as("n_tot"))
+        cells.join(rowTot, "job").join(colTot, "y")
+          .crossJoin(broadcast(n))
+          .withColumn("expected",
+            (col("row_tot") * col("col_tot")).cast("double") /
+              col("n_tot").cast("double"))
+          .select(col("job"), col("y"), col("observed"), col("row_tot"),
+            col("col_tot"), col("expected"),
+            ((col("observed").cast("double") - col("expected")) *
+              (col("observed").cast("double") - col("expected")) /
+              col("expected")).as("chi_term"))
+          .orderBy("job", "y")
+      },
+      Some(bankCte +
+        """, cells AS (SELECT job, y, CAST(count(*) AS BIGINT) AS observed
+          |   FROM bank GROUP BY job, y),
+          | rt AS (SELECT job, CAST(sum(observed) AS BIGINT) AS row_tot
+          |   FROM cells GROUP BY job),
+          | ct AS (SELECT y, CAST(sum(observed) AS BIGINT) AS col_tot
+          |   FROM cells GROUP BY y),
+          | n AS (SELECT CAST(sum(observed) AS BIGINT) AS n_tot FROM cells),
+          | e AS (SELECT job, y, observed, row_tot, col_tot,
+          |     CAST(row_tot * col_tot AS DOUBLE) / CAST(n_tot AS DOUBLE) AS expected
+          |   FROM cells JOIN rt USING (job) JOIN ct USING (y), n)
+          | SELECT job, y, observed, row_tot, col_tot, expected,
+          |   (CAST(observed AS DOUBLE) - expected) * (CAST(observed AS DOUBLE) - expected)
+          |     / expected AS chi_term
+          | FROM e ORDER BY job, y"""
           .stripMargin.replace("\n", "")))
   )
 }

@@ -1293,6 +1293,64 @@ object WarehouseOps {
           |     neighbor, pair_orders, cosine FROM sc)
           | SELECT item, rank, neighbor, pair_orders, cosine
           | FROM rk WHERE rank <= 3 ORDER BY item, rank"""
+          .stripMargin.replace("\n", ""))),
+
+    // Referential-integrity audit: orphan counts for every FK edge of
+    // the star schema (lineitem->orders/part/supplier, orders->
+    // customer). Each edge is one left-anti join on the key — shuffle
+    // joins AQE can plan freely; the audit output is 4 rows. A healthy
+    // warehouse reads all-zero orphans; the query is the ASSERTION, so
+    // zero rows matching is the green path, and orphan_bps floors
+    // through integer arithmetic (both engines on the same BIGINT).
+    "q183_fk_audit" -> Q(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val ords = table(s, dir, "orders")
+        // fully declarative: each edge is two lazy aggregates combined
+        // by a 1-row cross join — no eager count() on the driver, so
+        // the whole audit is ONE Spark job of independent branches
+        def edge(name: String, fact: DataFrame, key: String,
+                 dim: DataFrame, dimKey: String): DataFrame = {
+          val tot = fact.agg(count(lit(1)).as("fact_rows"))
+          val orph = fact.select(col(key))
+            .join(dim.select(col(dimKey).as(key)), Seq(key), "left_anti")
+            .agg(count(lit(1)).as("orphan_rows"))
+          tot.crossJoin(orph).select(lit(name).as("fk_edge"),
+            col("fact_rows"), col("orphan_rows"),
+            expr("orphan_rows * 10000 div greatest(fact_rows, 1)")
+              .as("orphan_bps"))
+        }
+        edge("lineitem.orderkey", li, "l_orderkey", ords, "o_orderkey")
+          .unionByName(edge("lineitem.partkey", li, "l_partkey",
+            table(s, dir, "part"), "p_partkey"))
+          .unionByName(edge("lineitem.suppkey", li, "l_suppkey",
+            table(s, dir, "supplier"), "s_suppkey"))
+          .unionByName(edge("orders.custkey", ords, "o_custkey",
+            table(s, dir, "customer"), "c_custkey"))
+          .orderBy("fk_edge")
+      },
+      Some(
+        """WITH e1 AS (SELECT 'lineitem.orderkey' AS fk_edge,
+          |     (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS fact_rows,
+          |     (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+          |        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS orphan_rows),
+          | e2 AS (SELECT 'lineitem.partkey',
+          |     (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+          |     (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+          |        WHERE l_partkey NOT IN (SELECT p_partkey FROM part))),
+          | e3 AS (SELECT 'lineitem.suppkey',
+          |     (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+          |     (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+          |        WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))),
+          | e4 AS (SELECT 'orders.custkey',
+          |     (SELECT CAST(count(*) AS BIGINT) FROM orders),
+          |     (SELECT CAST(count(*) AS BIGINT) FROM orders
+          |        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))),
+          | u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+          |   UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4)
+          | SELECT fk_edge, fact_rows, orphan_rows,
+          |   orphan_rows * 10000 // greatest(fact_rows, 1) AS orphan_bps
+          | FROM u ORDER BY fk_edge"""
           .stripMargin.replace("\n", "")))
   )
 }
