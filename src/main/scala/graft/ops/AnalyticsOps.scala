@@ -371,6 +371,128 @@ object AnalyticsOps {
           | SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
           |   CAST(sum(rev_d) AS DOUBLE) AS class_rev
           | FROM cl GROUP BY abc_class ORDER BY abc_class"""
+          .stripMargin.replace("\n", ""))),
+
+    // 2-attribute skyline (Pareto front): parts where no other part is
+    // cheaper-or-equal AND bigger-or-equal with one strict. The classic
+    // skyline needs a quadratic dominance join; in 2D it collapses to
+    // sort-by-price + running-max-size — computed on the DISTINCT-price
+    // frame (dimension-sized) and joined back per part, so no window
+    // ever sees the full fact grain and nothing is quadratic. A part is
+    // dominated iff a strictly-cheaper price level reaches its size, or
+    // its own price level holds a strictly larger size.
+    "q186_skyline_parts" -> Q(
+      (s, dir) => {
+        val p = table(s, dir, "part")
+          .select(col("p_partkey"), col("p_name"),
+            col("p_retailprice").as("price"), col("p_size").as("size"))
+        val perPrice = p.groupBy("price")
+          .agg(max("size").as("max_size_here"))
+        val wPrev = Window.orderBy("price")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val levels = perPrice.withColumn("max_size_cheaper",
+          max("max_size_here").over(wPrev))
+        p.join(levels, "price")
+          .where(
+            (col("max_size_cheaper").isNull ||
+              col("max_size_cheaper") < col("size")) &&
+              col("max_size_here") <= col("size"))
+          .select(col("p_partkey"), col("p_name"), col("price"), col("size"))
+          .orderBy("p_partkey")
+      },
+      Some(
+        """WITH p AS (SELECT p_partkey, p_name, p_retailprice AS price,
+          |     p_size AS size FROM part),
+          | pp AS (SELECT price, max(size) AS max_size_here FROM p GROUP BY price),
+          | lv AS (SELECT price, max_size_here,
+          |     max(max_size_here) OVER (ORDER BY price
+          |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_size_cheaper
+          |   FROM pp)
+          | SELECT p.p_partkey, p.p_name, p.price, p.size
+          | FROM p JOIN lv USING (price)
+          | WHERE (max_size_cheaper IS NULL OR max_size_cheaper < size)
+          |   AND max_size_here <= size
+          | ORDER BY p_partkey"""
+          .stripMargin.replace("\n", ""))),
+
+    // Exact weighted median of customer balance per nation, weighted by
+    // the customer's order count: the smallest balance whose cumulative
+    // weight reaches half the nation's total (2*cum >= tot — integer
+    // compare, no halving). Windows run over the customer dimension
+    // partitioned by nation; weights come from one fact-side aggregate.
+    "q187_weighted_median" -> Q(
+      (s, dir) => {
+        val w = table(s, dir, "orders").groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("wt"))
+        val cust = table(s, dir, "customer")
+          .join(w, col("c_custkey") === col("o_custkey"))
+          .join(broadcast(table(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name"), col("c_custkey"), col("c_acctbal"), col("wt"))
+        val wCum = Window.partitionBy("n_name")
+          .orderBy("c_acctbal", "c_custkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wTot = Window.partitionBy("n_name")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        cust
+          .withColumn("cum_w", sum("wt").over(wCum))
+          .withColumn("tot_w", sum("wt").over(wTot))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n_cust"), max("tot_w").as("tot_w"),
+            min(when(col("cum_w") * 2 >= col("tot_w"), col("c_acctbal")))
+              .as("wmedian_bal"))
+          .orderBy("n_name")
+      },
+      Some(
+        """WITH w AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS wt
+          |   FROM orders GROUP BY o_custkey),
+          | cust AS (SELECT n_name, c_custkey, c_acctbal, wt
+          |   FROM customer JOIN w ON c_custkey = o_custkey
+          |   JOIN nation ON c_nationkey = n_nationkey),
+          | cc AS (SELECT *,
+          |     CAST(sum(wt) OVER (PARTITION BY n_name ORDER BY c_acctbal, c_custkey
+          |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_w,
+          |     CAST(sum(wt) OVER (PARTITION BY n_name) AS BIGINT) AS tot_w
+          |   FROM cust)
+          | SELECT n_name, CAST(count(*) AS BIGINT) AS n_cust,
+          |   max(tot_w) AS tot_w,
+          |   min(CASE WHEN cum_w * 2 >= tot_w THEN c_acctbal END) AS wmedian_bal
+          | FROM cc GROUP BY n_name ORDER BY n_name"""
+          .stripMargin.replace("\n", ""))),
+
+    // Longest consecutive-active-day streak per user (gaps-and-islands
+    // by the day - row_number trick): all integer epoch-day arithmetic
+    // over the deduped (user, day) frame, one user exchange.
+    "q188_activity_streaks" -> Q(
+      (s, dir) => {
+        val ud = table(s, dir, "events")
+          .select(col("user_id"),
+            expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+              .as("day"))
+          .distinct()
+        val wRn = Window.partitionBy("user_id").orderBy("day")
+        val streaks = ud
+          .withColumn("grp", col("day") - row_number().over(wRn))
+          .groupBy("user_id", "grp")
+          .agg(count(lit(1)).as("len"), min("day").as("streak_start"))
+        streaks.groupBy("user_id")
+          .agg(sum("len").as("active_days"),
+            count(lit(1)).as("n_streaks"),
+            max("len").as("longest_streak"))
+          .orderBy("user_id")
+      },
+      Some(
+        """WITH ud AS (SELECT DISTINCT user_id,
+          |     epoch_us(date_trunc('day', ts)) // 86400000000 AS day FROM events),
+          | g AS (SELECT user_id, day,
+          |     day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+          |   FROM ud),
+          | st AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+          |   FROM g GROUP BY 1, 2)
+          | SELECT user_id, CAST(sum(len) AS BIGINT) AS active_days,
+          |   CAST(count(*) AS BIGINT) AS n_streaks,
+          |   CAST(max(len) AS BIGINT) AS longest_streak
+          | FROM st GROUP BY user_id ORDER BY user_id"""
           .stripMargin.replace("\n", "")))
   )
 }

@@ -80,4 +80,69 @@ class AuditOpsSpec extends SparkSpec {
     }
     assert(rows.head._2 == rows.head._3, "first day has no returning users")
   }
+
+  test("q186 skyline: members are mutually non-dominating and cover the frontier") {
+    val sky = run("q186_skyline_parts")
+      .select("p_partkey", "price", "size")
+      .as[(Long, Double, Int)].collect()
+    assert(sky.nonEmpty)
+    // no skyline member dominates another
+    for (a <- sky; b <- sky if a._1 != b._1) {
+      val dominates = a._2 <= b._2 && a._3 >= b._3 &&
+        (a._2 < b._2 || a._3 > b._3)
+      assert(!dominates, s"${a._1} dominates ${b._1}")
+    }
+    // brute-force check on the fixture: every non-member is dominated
+    val all = graft.ops.TestData.table(spark, sf, "part")
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .as[(Long, Double, Int)].collect()
+    val skySet = sky.map(_._1).toSet
+    all.filterNot(p => skySet(p._1)).foreach { p =>
+      val dominated = all.exists(q => q._1 != p._1 && q._2 <= p._2 &&
+        q._3 >= p._3 && (q._2 < p._2 || q._3 > p._3))
+      assert(dominated, s"part ${p._1} excluded but not dominated")
+    }
+  }
+
+  test("q187 weighted median: member value, mass split law") {
+    val rows = run("q187_weighted_median")
+      .select("n_name", "n_cust", "tot_w", "wmedian_bal")
+      .as[(String, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val cust = graft.ops.TestData.table(spark, sf, "customer")
+    val orders = graft.ops.TestData.table(spark, sf, "orders")
+    val nation = graft.ops.TestData.table(spark, sf, "nation")
+    val joined = cust.join(orders, col("c_custkey") === col("o_custkey"))
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "c_custkey").agg(
+        first("c_acctbal").as("bal"), count(lit(1)).as("wt"))
+      .as[(String, Long, Double, Long)].collect()
+      .groupBy(_._1)
+    rows.foreach { case (n, nCust, totW, med) =>
+      val g = joined(n)
+      assert(g.length == nCust && g.map(_._4).sum == totW, s"$n accounting")
+      assert(g.exists(_._3 == med), s"$n median is a member value")
+      // at least half the weight sits at or below the weighted median
+      val below = g.filter(_._3 <= med).map(_._4).sum
+      assert(2 * below >= totW, s"$n mass split")
+    }
+  }
+
+  test("q188 streaks: conservation vs q185-style day counts") {
+    val rows = run("q188_activity_streaks")
+      .select("user_id", "active_days", "n_streaks", "longest_streak")
+      .as[(Long, Long, Long, Long)].collect()
+    val ud = graft.ops.TestData.table(spark, sf, "events")
+      .select(col("user_id"),
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000").as("day"))
+      .distinct().groupBy("user_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(rows.map(_._1).toSet == ud.keySet)
+    rows.foreach { case (u, days, streaks, longest) =>
+      assert(days == ud(u), s"user $u active days")
+      assert(longest >= 1 && longest <= days && streaks >= 1 && streaks <= days)
+      // pigeonhole: longest streak at least ceil(days / streaks)
+      assert(longest * streaks >= days, s"user $u pigeonhole")
+    }
+  }
 }
