@@ -493,6 +493,55 @@ object AnalyticsOps {
           |   CAST(count(*) AS BIGINT) AS n_streaks,
           |   CAST(max(len) AS BIGINT) AS longest_streak
           | FROM st GROUP BY user_id ORDER BY user_id"""
+          .stripMargin.replace("\n", ""))),
+
+    // Fulfillment-latency SLA report: ship minus order date in whole
+    // days, per order priority — count, mean (one IEEE division of
+    // exact integer sums), exact lower-median via the q182 index-
+    // selection trick (no interpolating percentile across engines),
+    // and max. One orderkey fact join, one priority-partitioned window
+    // over the joined grain.
+    "q189_ship_latency" -> Q(
+      (s, dir) => {
+        val lat = table(s, dir, "lineitem")
+          .join(table(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderpriority").as("priority"), col("l_orderkey"),
+            col("l_linenumber"),
+            // shipdate/orderdate arrive as TIMESTAMP_NTZ; the session
+            // is pinned UTC so the cast preserves the wall-clock micros
+            expr("(unix_micros(CAST(l_shipdate AS TIMESTAMP)) - " +
+              "unix_micros(CAST(o_orderdate AS TIMESTAMP))) div 86400000000")
+              .as("days"))
+        val wRank = Window.partitionBy("priority")
+          .orderBy("days", "l_orderkey", "l_linenumber")
+        val wAll = Window.partitionBy("priority")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        lat
+          .withColumn("rn", row_number().over(wRank))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .groupBy("priority")
+          .agg(max("n").as("n_lines"),
+            (sum("days").cast("double") / max("n").cast("double"))
+              .as("mean_days"),
+            max(when(col("rn") === expr("(n + 1) div 2"), col("days")))
+              .as("p50_days"),
+            max("days").as("max_days"))
+          .orderBy("priority")
+      },
+      Some(
+        """WITH lat AS (SELECT o_orderpriority AS priority, l_orderkey,
+          |     l_linenumber,
+          |     (epoch_us(l_shipdate) - epoch_us(o_orderdate)) // 86400000000 AS days
+          |   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          | r AS (SELECT *,
+          |     row_number() OVER (PARTITION BY priority ORDER BY days, l_orderkey, l_linenumber) AS rn,
+          |     CAST(count(*) OVER (PARTITION BY priority) AS BIGINT) AS n FROM lat)
+          | SELECT priority, max(n) AS n_lines,
+          |   CAST(sum(days) AS DOUBLE) / CAST(max(n) AS DOUBLE) AS mean_days,
+          |   max(CASE WHEN rn = (n + 1) // 2 THEN days END) AS p50_days,
+          |   max(days) AS max_days
+          | FROM r GROUP BY priority ORDER BY priority"""
           .stripMargin.replace("\n", "")))
   )
 }

@@ -212,6 +212,53 @@ object CorpusStatsOps {
           |     CAST('1.015' AS DOUBLE) * (CAST(n_words AS DOUBLE) / CAST(n_docs AS DOUBLE)) -
           |     CAST('84.6' AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) AS flesch
           | FROM agg ORDER BY source"""
+          .stripMargin.replace("\n", ""))),
+
+    // Per-document 3-gram novelty: the fraction of a doc's distinct
+    // word trigrams that first appear in THAT doc (first = min doc_id
+    // — the order an incremental ingest observes). The diversity/
+    // novelty curve a data-curation pipeline watches to detect a
+    // source going stale. Gram extraction guards short docs explicitly
+    // (Spark's sequence(1, 0) DESCENDS instead of returning empty —
+    // the guard keeps both engines on the same gram set); the
+    // first-seen pass is one gram-keyed aggregation, joined back
+    // equi-keyed — no quadratic doc-vs-doc comparison anywhere.
+    "q190_ngram_novelty" -> Q(
+      (s, dir) => {
+        val grams = table(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .where(size(col("w")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', " +
+              "element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))"))
+            .as("gram"))
+          .distinct()
+          .localCheckpoint(eager = true)
+        val firstSeen = grams.groupBy("gram")
+          .agg(min("doc_id").as("first_doc"))
+        grams.join(firstSeen, "gram")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .select(col("doc_id"), col("n_grams"), col("n_novel"),
+            (col("n_novel").cast("double") / col("n_grams").cast("double"))
+              .as("novelty"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH g0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          | grams AS (SELECT DISTINCT doc_id,
+          |     unnest(list_transform(range(1, length(w) - 1),
+          |       i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS gram
+          |   FROM g0 WHERE length(w) >= 3),
+          | fs AS (SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram)
+          | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+          |   CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+          |   CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE) /
+          |     CAST(count(*) AS DOUBLE) AS novelty
+          | FROM grams JOIN fs USING (gram)
+          | GROUP BY doc_id ORDER BY doc_id"""
           .stripMargin.replace("\n", "")))
   )
 }

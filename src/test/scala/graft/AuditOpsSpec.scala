@@ -145,4 +145,41 @@ class AuditOpsSpec extends SparkSpec {
       assert(longest * streaks >= days, s"user $u pigeonhole")
     }
   }
+
+  test("q189 ship latency: line conservation, p50 within bounds") {
+    val rows = run("q189_ship_latency")
+      .select("priority", "n_lines", "mean_days", "p50_days", "max_days")
+      .as[(String, Long, Double, Long, Long)].collect()
+    val lines = graft.ops.TestData.table(spark, sf, "lineitem").count()
+    assert(rows.map(_._2).sum == lines, "every lineitem has a latency")
+    rows.foreach { case (p, n, mean, p50, mx) =>
+      assert(n > 0 && p50 <= mx, p)
+      assert(mean >= 0 && mean <= mx, s"$p mean in range")
+      // lower median is never above the mean by more than the range
+      assert(p50 >= 0, s"$p ship date at/after order date")
+    }
+  }
+
+  test("q190 novelty: doc 0 fully novel, grams conserved, ratios in (0,1]") {
+    val rows = run("q190_ngram_novelty")
+      .select("doc_id", "n_grams", "n_novel", "novelty")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.head._1 == 0 && rows.head._4 == 1.0,
+      "the first doc's grams are all first-seen")
+    val distinctGrams = rows.map(_._3).sum
+    // every distinct gram in the corpus is novel in exactly one doc
+    val direct = graft.ops.TestData.table(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', " +
+          "element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))"))
+        .as("gram"))
+      .distinct().count()
+    assert(distinctGrams == direct, "novel counts partition the gram space")
+    rows.foreach { case (d, g, nv, r) =>
+      assert(g > 0 && nv >= 0 && nv <= g, s"doc $d counts")
+      assert(r >= 0.0 && r <= 1.0, s"doc $d ratio")
+    }
+  }
 }
