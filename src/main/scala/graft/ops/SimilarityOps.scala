@@ -265,32 +265,44 @@ object SimilarityOps {
           | FROM part ORDER BY score DESC, p_partkey LIMIT 20"""
           .stripMargin.replace("\n", ""))),
 
-    // Fuzzy near-dup pairs over part names, BLOCKED on the type token
-    // (second word) so the quadratic runs per block, never corpus-wide
-    // — the q121 blocking argument with Jaro-Winkler as the verifier.
-    // The jw >= 0.9 predicate agrees across engines because the score
-    // bits do.
+    // Fuzzy near-dup NAME pairs, exact-collapse first: part names
+    // repeat massively (64 distinct names across 20k parts at sf0.1),
+    // so the corpus collapses to the distinct-name frame before any
+    // similarity work — q110's collapse-then-near-dup-over-
+    // representatives pattern. Pairs block on the type token (second
+    // word) so the quadratic runs per block over REPRESENTATIVES (the
+    // q121 blocking argument), and each surviving name pair carries its
+    // part multiplicities (pair_count = the part-level pair cardinality
+    // the naive quadratic would have materialized — reported, never
+    // built). The jw >= 0.9 predicate agrees across engines because
+    // the score bits do. The first cut of this query scored all
+    // part-level pairs directly: ~27M Jaro-Winkler evaluations at
+    // sf0.1 for the same 2k name pairs — 14 s where this shape takes
+    // a fraction of one.
     "q176_jaro_block_pairs" -> Q(
       (s, dir) => {
-        val p = table(s, dir, "part")
-          .select(col("p_partkey").as("k"), col("p_name").as("name"),
-            element_at(split(col("p_name"), " "), 2).as("blk"))
-        p.alias("a").join(p.alias("b"),
-            col("a.blk") === col("b.blk") && col("a.k") < col("b.k"))
-          .select(col("a.k").as("k1"), col("b.k").as("k2"),
-            col("a.name").as("n1"), col("b.name").as("n2"),
+        val names = table(s, dir, "part")
+          .groupBy(col("p_name").as("name"))
+          .agg(count(lit(1)).as("n_parts"))
+          .withColumn("blk", element_at(split(col("name"), " "), 2))
+        names.alias("a").join(names.alias("b"),
+            col("a.blk") === col("b.blk") && col("a.name") < col("b.name"))
+          .select(col("a.name").as("n1"), col("b.name").as("n2"),
+            col("a.n_parts").as("parts_1"), col("b.n_parts").as("parts_2"),
+            (col("a.n_parts") * col("b.n_parts")).as("pair_count"),
             graft.functions.JaroWinklerSim
               .jaroWinkler(col("a.name"), col("b.name")).as("score"))
           .where(col("score") >= 0.9)
-          .orderBy("k1", "k2")
+          .orderBy("n1", "n2")
       },
       Some(
-        """WITH p AS (SELECT p_partkey AS k, p_name AS name,
-          |     string_split(p_name, ' ')[2] AS blk FROM part)
-          | SELECT a.k AS k1, b.k AS k2, a.name AS n1, b.name AS n2,
+        """WITH nm AS (SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_parts,
+          |     string_split(p_name, ' ')[2] AS blk FROM part GROUP BY p_name)
+          | SELECT a.name AS n1, b.name AS n2, a.n_parts AS parts_1,
+          |   b.n_parts AS parts_2, a.n_parts * b.n_parts AS pair_count,
           |   jaro_winkler_similarity(a.name, b.name) AS score
-          | FROM p a JOIN p b ON a.blk = b.blk AND a.k < b.k
+          | FROM nm a JOIN nm b ON a.blk = b.blk AND a.name < b.name
           | WHERE jaro_winkler_similarity(a.name, b.name) >= 0.9
-          | ORDER BY k1, k2""".stripMargin.replace("\n", "")))
+          | ORDER BY n1, n2""".stripMargin.replace("\n", "")))
   )
 }
