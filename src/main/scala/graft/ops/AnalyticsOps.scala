@@ -542,6 +542,159 @@ object AnalyticsOps {
           |   max(CASE WHEN rn = (n + 1) // 2 THEN days END) AS p50_days,
           |   max(days) AS max_days
           | FROM r GROUP BY priority ORDER BY priority"""
+          .stripMargin.replace("\n", ""))),
+
+    // Churn cohort: customers active in 1997 with no 1998 order, per
+    // nation. One distinct-custkey frame per year, a left-anti join on
+    // the customer key, dims broadcast; churn_bps in integer floor
+    // arithmetic. The anti join is the scale shape — a NOT IN subquery
+    // over the raw fact grain re-scans per row.
+    "q191_churned_customers" -> Q(
+      (s, dir) => {
+        def activeIn(y: Int) = table(s, dir, "orders")
+          .where(year(col("o_orderdate")) === y)
+          .select(col("o_custkey")).distinct()
+        val churned = activeIn(1997).join(activeIn(1998),
+            Seq("o_custkey"), "left_anti")
+          .select(col("o_custkey"), lit(1L).as("is_churned"))
+        activeIn(1997)
+          .join(churned, Seq("o_custkey"), "left").na.fill(0L, Seq("is_churned"))
+          .join(table(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(table(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("active_1997"),
+            sum("is_churned").as("churned"))
+          .select(col("n_name"), col("active_1997"), col("churned"),
+            expr("churned * 10000 div active_1997").as("churn_bps"))
+          .orderBy("n_name")
+      },
+      Some(
+        """WITH a97 AS (SELECT DISTINCT o_custkey FROM orders
+          |     WHERE year(o_orderdate) = 1997),
+          | a98 AS (SELECT DISTINCT o_custkey FROM orders
+          |     WHERE year(o_orderdate) = 1998),
+          | ch AS (SELECT a97.o_custkey,
+          |     CASE WHEN a98.o_custkey IS NULL THEN 1 ELSE 0 END AS is_churned
+          |   FROM a97 LEFT JOIN a98 USING (o_custkey)),
+          | g AS (SELECT n_name, CAST(count(*) AS BIGINT) AS active_1997,
+          |     CAST(sum(is_churned) AS BIGINT) AS churned
+          |   FROM ch JOIN customer ON o_custkey = c_custkey
+          |   JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name)
+          | SELECT n_name, active_1997, churned,
+          |   churned * 10000 // active_1997 AS churn_bps
+          | FROM g ORDER BY n_name"""
+          .stripMargin.replace("\n", ""))),
+
+    // Seasonal index: each calendar month's share of annual-average
+    // revenue (index 1.0 = flat seasonality). Revenue in exact
+    // DECIMAL; the index is (12 * month_rev) — still exact DECIMAL —
+    // over total, one double division.
+    "q192_seasonal_index" -> Q(
+      (s, dir) => {
+        val wAll = Window
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        table(s, dir, "orders")
+          .groupBy(month(col("o_orderdate")).as("month"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(d18_2)).as("rev_d"))
+          .withColumn("tot_d", sum("rev_d").over(wAll))
+          .select(col("month"), col("n_orders"),
+            col("rev_d").cast("double").as("revenue"),
+            ((col("rev_d") * 12).cast("double") /
+              col("tot_d").cast("double")).as("seasonal_index"))
+          .orderBy("month")
+      },
+      Some(
+        """WITH m AS (SELECT CAST(month(o_orderdate) AS INT) AS month,
+          |     CAST(count(*) AS BIGINT) AS n_orders,
+          |     sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_d
+          |   FROM orders GROUP BY 1),
+          | t AS (SELECT *, sum(rev_d) OVER () AS tot_d FROM m)
+          | SELECT month, n_orders, CAST(rev_d AS DOUBLE) AS revenue,
+          |   CAST(rev_d * 12 AS DOUBLE) / CAST(tot_d AS DOUBLE) AS seasonal_index
+          | FROM t ORDER BY month"""
+          .stripMargin.replace("\n", ""))),
+
+    // Supplier concentration (Herfindahl-Hirschman) per nation, on
+    // lineitem-count shares: HHI = sum(cnt_i^2) / total^2 — the
+    // squared-sums identity keeps every aggregate an exact BIGINT
+    // (cnt^2 sums stay far under 2^63 at gate SF; a 100 TB run lifts
+    // the squares into DECIMAL(38,0), same shape) and the index is one
+    // double division. hhi_bps floors through integer-safe arithmetic.
+    "q194_supplier_hhi" -> Q(
+      (s, dir) => {
+        val perSupp = table(s, dir, "lineitem")
+          .join(broadcast(table(s, dir, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(table(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy("n_name", "s_suppkey")
+          .agg(count(lit(1)).as("cnt"))
+        perSupp.groupBy("n_name")
+          .agg(count(lit(1)).as("n_suppliers"),
+            sum("cnt").as("n_lines"),
+            sum(col("cnt") * col("cnt")).as("sum_sq"))
+          .select(col("n_name"), col("n_suppliers"), col("n_lines"),
+            (col("sum_sq").cast("double") /
+              (col("n_lines") * col("n_lines")).cast("double")).as("hhi"),
+            expr("sum_sq * 10000 div (n_lines * n_lines)").as("hhi_bps"))
+          .orderBy("n_name")
+      },
+      Some(
+        """WITH ps AS (SELECT n_name, s_suppkey, CAST(count(*) AS BIGINT) AS cnt
+          |   FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          |   JOIN nation ON s_nationkey = n_nationkey
+          |   GROUP BY n_name, s_suppkey),
+          | g AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+          |     CAST(sum(cnt) AS BIGINT) AS n_lines,
+          |     CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq
+          |   FROM ps GROUP BY n_name)
+          | SELECT n_name, n_suppliers, n_lines,
+          |   CAST(sum_sq AS DOUBLE) / CAST(n_lines * n_lines AS DOUBLE) AS hhi,
+          |   sum_sq * 10000 // (n_lines * n_lines) AS hhi_bps
+          | FROM g ORDER BY n_name"""
+          .stripMargin.replace("\n", ""))),
+
+    // Gini coefficient of customer revenue: the sorted-rank identity
+    // G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) on exact cents —
+    // every sum a BIGINT (bounds documented in-line: rank*cents stays
+    // under 2^55 here; DECIMAL(38,0) at warehouse scale), one IEEE
+    // division at the end. The rank window sorts the customer
+    // aggregate (dimension-sized — the q168/q181 argument).
+    "q195_gini_revenue" -> Q(
+      (s, dir) => {
+        val perCust = table(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+            .as("cents"))
+        val ranked = perCust.withColumn("i",
+          row_number().over(Window.orderBy("cents", "o_custkey"))
+            .cast("bigint"))
+        ranked.agg(count(lit(1)).as("n_customers"),
+            sum("cents").as("total_cents"),
+            sum(col("i") * col("cents")).as("swx"))
+          .select(col("n_customers"), col("total_cents"),
+            ((lit(2) * col("swx") -
+              (col("n_customers") + 1) * col("total_cents")).cast("double") /
+              (col("n_customers") * col("total_cents")).cast("double"))
+              .as("gini"))
+      },
+      Some(
+        """WITH pc AS (SELECT o_custkey,
+          |     CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+          |   FROM orders GROUP BY o_custkey),
+          | r AS (SELECT cents,
+          |     CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS i
+          |   FROM pc),
+          | a AS (SELECT CAST(count(*) AS BIGINT) AS n_customers,
+          |     CAST(sum(cents) AS BIGINT) AS total_cents,
+          |     CAST(sum(i * cents) AS BIGINT) AS swx FROM r)
+          | SELECT n_customers, total_cents,
+          |   CAST(2 * swx - (n_customers + 1) * total_cents AS DOUBLE) /
+          |     CAST(n_customers * total_cents AS DOUBLE) AS gini
+          | FROM a"""
           .stripMargin.replace("\n", "")))
   )
 }

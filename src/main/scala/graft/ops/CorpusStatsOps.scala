@@ -259,6 +259,35 @@ object CorpusStatsOps {
           |     CAST(count(*) AS DOUBLE) AS novelty
           | FROM grams JOIN fs USING (gram)
           | GROUP BY doc_id ORDER BY doc_id"""
+          .stripMargin.replace("\n", ""))),
+
+    // Exact-duplicate cluster-size distribution: group docs by the
+    // catalog's canonical normalized fingerprint (TextOps.normalizedFp
+    // — the single source q22/q96/streaming curation share), then
+    // histogram the group sizes. The dedup-health view an ingest
+    // pipeline watches: how much of the corpus sits in clusters of
+    // size s, and how many docs dedup would drop. Two map-side-
+    // combinable aggregations; output bounded by max cluster size.
+    "q193_cluster_size_dist" -> Q(
+      (s, dir) => {
+        val groups = table(s, dir, "documents")
+          .select(TextOps.normalizedFp.as("fp"))
+          .groupBy("fp").agg(count(lit(1)).as("sz"))
+        groups.groupBy(col("sz").as("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"))
+          .select(col("cluster_size"), col("n_clusters"),
+            (col("cluster_size") * col("n_clusters")).as("docs"),
+            ((col("cluster_size") - 1) * col("n_clusters"))
+              .as("dedup_drops"))
+          .orderBy("cluster_size")
+      },
+      Some(
+        """WITH g AS (SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+          |     CAST(count(*) AS BIGINT) AS sz FROM documents GROUP BY 1)
+          | SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+          |   sz * CAST(count(*) AS BIGINT) AS docs,
+          |   (sz - 1) * CAST(count(*) AS BIGINT) AS dedup_drops
+          | FROM g GROUP BY sz ORDER BY cluster_size"""
           .stripMargin.replace("\n", "")))
   )
 }

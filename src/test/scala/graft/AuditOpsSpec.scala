@@ -182,4 +182,62 @@ class AuditOpsSpec extends SparkSpec {
       assert(r >= 0.0 && r <= 1.0, s"doc $d ratio")
     }
   }
+
+  test("q191 churn: churned is a subset of active, bps consistent") {
+    val rows = run("q191_churned_customers")
+      .select("n_name", "active_1997", "churned", "churn_bps")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, a, c, bps) =>
+      assert(c >= 0 && c <= a, s"$n subset")
+      assert(bps == c * 10000 / a, s"$n bps")
+    }
+    // cross-check one nation by hand
+    val orders = graft.ops.TestData.table(spark, sf, "orders")
+    val a97 = orders.where(year(col("o_orderdate")) === 1997)
+      .select("o_custkey").distinct()
+    val a98 = orders.where(year(col("o_orderdate")) === 1998)
+      .select("o_custkey").distinct()
+    val churnTotal = a97.join(a98, Seq("o_custkey"), "left_anti").count()
+    assert(rows.map(_._3).sum == churnTotal, "churn total")
+  }
+
+  test("q192 seasonal index: 12 months, weighted mean exactly 12/12") {
+    val rows = run("q192_seasonal_index")
+      .select("month", "n_orders", "revenue", "seasonal_index")
+      .as[(Int, Long, Double, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1 to 12))
+    // sum of month revenues' indices weighted by revenue share is 12
+    val idxSum = rows.map(_._4).sum
+    assert(math.abs(idxSum - 12.0) < 1e-9, s"index sum $idxSum")
+    rows.foreach(r => assert(r._4 > 0 && !r._4.isNaN))
+  }
+
+  test("q194 HHI: bounds [1/n, 1], bps floor consistent") {
+    val rows = run("q194_supplier_hhi")
+      .select("n_name", "n_suppliers", "n_lines", "hhi", "hhi_bps")
+      .as[(String, Long, Long, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, ns, nl, hhi, bps) =>
+      assert(hhi >= 1.0 / ns - 1e-12 && hhi <= 1.0, s"$n HHI range")
+      assert(bps <= (hhi * 10000).round + 1 && bps >= 0, s"$n bps")
+      assert(nl >= ns, s"$n at least one line per supplier")
+    }
+  }
+
+  test("q195 Gini: range [0, 1), matches a direct mean-difference recompute") {
+    val r = run("q195_gini_revenue")
+      .select("n_customers", "total_cents", "gini")
+      .as[(Long, Long, Double)].collect().head
+    assert(r._3 >= 0.0 && r._3 < 1.0, s"gini ${r._3}")
+    // direct O(n^2) recompute on the fixture: sum |xi - xj| / (2 n^2 mu)
+    val cents = graft.ops.TestData.table(spark, sf, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+        .as("c")).select("c").as[Long].collect()
+    val n = cents.length.toLong
+    val meanDiff = (for (a <- cents; b <- cents) yield math.abs(a - b)).map(BigInt(_)).sum
+    val direct = meanDiff.toDouble / (2.0 * n * n * (cents.sum.toDouble / n))
+    assert(math.abs(r._3 - direct) < 1e-9, s"${r._3} vs $direct")
+  }
 }

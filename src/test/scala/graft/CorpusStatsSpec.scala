@@ -84,4 +84,19 @@ class CorpusStatsSpec extends SparkSpec {
       assert(!f.isNaN && !f.isInfinite && f < 206.835, s"$src: $f")
     }
   }
+
+  test("q193 cluster sizes: docs conserved, drops consistent with q22-style dedup") {
+    val rows = run("q193_cluster_size_dist")
+      .select("cluster_size", "n_clusters", "docs", "dedup_drops")
+      .as[(Long, Long, Long, Long)].collect()
+    val docs = graft.ops.TestData.table(spark, sf, "documents")
+    assert(rows.map(_._3).sum == docs.count(), "docs conserved")
+    rows.foreach { case (sz, nc, d, drops) =>
+      assert(d == sz * nc && drops == (sz - 1) * nc, s"size $sz arithmetic")
+    }
+    // total drops = corpus - distinct fingerprints
+    val distinctFp = docs.select(graft.ops.TextOps.normalizedFp.as("fp"))
+      .distinct().count()
+    assert(rows.map(_._4).sum == docs.count() - distinctFp, "drop accounting")
+  }
 }
