@@ -695,6 +695,76 @@ object AnalyticsOps {
           |   CAST(2 * swx - (n_customers + 1) * total_cents AS DOUBLE) /
           |     CAST(n_customers * total_cents AS DOUBLE) AS gini
           | FROM a"""
+          .stripMargin.replace("\n", ""))),
+
+    // Sample autocorrelation of the DAILY ORDER-COUNT series at lags
+    // 1..7 — the weekly-seasonality / ingest-cadence detector for
+    // pipeline telemetry (a spike at lag 7 means weekday structure; a
+    // flat profile means Poisson-ish arrivals). The series is
+    // gap-filled over the full [min, max] order-date calendar (missing
+    // days count 0 — absence IS signal in a rate series). All moments
+    // are exact BIGINT: with n days, S = sum x, Qx = sum x^2, and
+    // per-lag C = sum x_t*x_{t+l} with aligned head/tail sums A and B,
+    //   acf_l = (n^2*C - n*S*(A+B) + (n-l)*S^2) / (n*(n*Qx - S^2)),
+    // every term integer and ONE IEEE division at the end. The lead
+    // window runs over the DAY-level frame (calendar-bounded — ~2.4k
+    // rows for 6.5 years, never corpus-sized), so the single-partition
+    // sort is fine at any corpus scale; the integer bound is
+    // n*S*(A+B) < 2^63, true until daily volume exceeds ~1e9 rows/day
+    // (pre-scale the series past that).
+    "q197_acf_daily" -> Q(
+      (s, dir) => {
+        val orders = table(s, dir, "orders")
+          .select(to_date(col("o_orderdate")).as("d"))
+        val daily = orders.groupBy("d").agg(count(lit(1)).as("x"))
+        val cal = orders.agg(min("d").as("d0"), max("d").as("d1"))
+          .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+        val series = cal.join(daily, Seq("d"), "left")
+          .select(col("d"), coalesce(col("x"), lit(0L)).as("x"))
+        val w = Window.orderBy("d")
+        val leads = series.select(
+          col("x") +: (1 to 7).map(l =>
+            lead("x", l).over(w).as(s"y$l")): _*)
+        val tot = leads.agg(count(lit(1)).as("n"), sum("x").as("s"),
+          sum(col("x") * col("x")).as("qx"))
+        val pairs = leads.selectExpr("x",
+          "stack(7, " + (1 to 7).map(l => s"${l}L, y$l").mkString(", ") +
+            ") as (lag, y)")
+          .where(col("y").isNotNull)
+          .groupBy("lag")
+          .agg(sum(col("x") * col("y")).as("c"),
+            sum("x").as("a"), sum("y").as("b"))
+        pairs.crossJoin(tot)
+          .select(col("lag"), col("n"), col("c"), col("a"), col("b"),
+            ((col("n") * col("n") * col("c")
+              - col("n") * col("s") * (col("a") + col("b"))
+              + (col("n") - col("lag")) * col("s") * col("s")).cast("double")
+              / (col("n") * (col("n") * col("qx") - col("s") * col("s")))
+                .cast("double")).as("acf"))
+          .orderBy("lag")
+      },
+      Some(
+        """WITH od AS (SELECT CAST(o_orderdate AS DATE) AS d FROM orders),
+          | daily AS (SELECT d, CAST(count(*) AS BIGINT) AS x FROM od GROUP BY d),
+          | bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM od),
+          | cal AS (SELECT d0 + CAST(g AS INT) AS d FROM bounds,
+          |   (SELECT unnest(generate_series(0, (SELECT d1 - d0 FROM bounds))) AS g)),
+          | series AS (SELECT cal.d, coalesce(daily.x, 0) AS x
+          |   FROM cal LEFT JOIN daily ON cal.d = daily.d),
+          | tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          |   CAST(sum(x) AS BIGINT) AS s,
+          |   CAST(sum(x * x) AS BIGINT) AS qx FROM series),
+          | lags AS (SELECT CAST(unnest(generate_series(1, 7)) AS BIGINT) AS lag),
+          | pairs AS (SELECT l.lag, CAST(sum(s1.x * s2.x) AS BIGINT) AS c,
+          |     CAST(sum(s1.x) AS BIGINT) AS a, CAST(sum(s2.x) AS BIGINT) AS b
+          |   FROM lags l JOIN series s1 ON true
+          |   JOIN series s2 ON s2.d = s1.d + CAST(l.lag AS INT)
+          |   GROUP BY l.lag)
+          | SELECT p.lag, t.n, p.c, p.a, p.b,
+          |   CAST(t.n * t.n * p.c - t.n * t.s * (p.a + p.b)
+          |     + (t.n - p.lag) * t.s * t.s AS DOUBLE) /
+          |   CAST(t.n * (t.n * t.qx - t.s * t.s) AS DOUBLE) AS acf
+          | FROM pairs p CROSS JOIN tot t ORDER BY lag"""
           .stripMargin.replace("\n", "")))
   )
 }

@@ -537,6 +537,76 @@ object DedupOps {
            | WHERE 2 * it.inter >= ca.n + cb.n - it.inter
            | ORDER BY d1, d2""".stripMargin.replace("\n", ""))),
 
+    // CONTAINMENT (asymmetric) similarity join: (da, db) pairs where at
+    // least 3/4 of da's distinct shingles also occur in db — the
+    // quote/excerpt relation symmetric Jaccard misses (a 100-word
+    // excerpt inside a 10k-word page has jaccard ~0.01 but containment
+    // ~1.0; q148's winnowing catches shared RUNS, this catches shared
+    // SETS under paraphrase-reordering). Candidate generation is the
+    // ONE-SIDED prefix filter: under the global rarest-first (df, s)
+    // token order, if none of da's first floor(n_a/4)+1 tokens occur in
+    // db then inter <= n_a - floor(n_a/4) - 1 = ceil(3*n_a/4) - 1, so
+    // every qualifying pair collides on a probe-prefix token —
+    // recall-exact while only the rarest quarter of each doc ever
+    // probes the index. Join volume is sum(df) over prefix tokens (hub
+    // shingles sort out of every prefix); verification is the sorted-
+    // array intersection (q151's shape), never a 3-way join. At 100 TB
+    // the full-shingle index side partitions by hash and the probe
+    // carries ~n/4 of the corpus shingle volume.
+    "q196_containment_pairs" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val sh = hashedShingles(table(s, dir, "documents"))
+          .localCheckpoint(eager = true)
+        val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+        val pre = sh.join(dfreq, "s")
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "s")))
+          .join(cnt, "doc_id")
+          .where(col("rk") <= expr("n div 4 + 1"))
+          .select(col("doc_id"), col("s"))
+        val cand = pre.as("a").join(sh.as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .distinct()
+          .localCheckpoint(eager = true)
+        val arrs = sh.groupBy("doc_id")
+          .agg(sort_array(collect_list(col("s"))).as("arr"))
+        cand
+          .join(arrs.select(col("doc_id").as("da"), col("arr").as("sa")),
+            "da")
+          .join(arrs.select(col("doc_id").as("db"), col("arr").as("sb")),
+            "db")
+          .select(col("da"), col("db"),
+            size(col("sa")).cast("bigint").as("na"),
+            size(col("sb")).cast("bigint").as("nb"),
+            size(array_intersect(col("sa"), col("sb"))).cast("bigint")
+              .as("inter"))
+          .where(col("inter") * 4 >= col("na") * 3)
+          .select(col("da"), col("db"), col("na"), col("nb"), col("inter"),
+            expr("inter * 10000 div na").as("containment_bps"))
+          .orderBy("da", "db")
+      },
+      Some(
+        s"""WITH $jaccardCte,
+           | dfq AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+           | rk AS (SELECT sh.doc_id, sh.s, cnt.n,
+           |     row_number() OVER (PARTITION BY sh.doc_id ORDER BY dfq.df, sh.s) AS rk
+           |   FROM sh JOIN dfq USING (s) JOIN cnt USING (doc_id)),
+           | pre AS (SELECT doc_id, s FROM rk WHERE rk <= n // 4 + 1),
+           | cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           |   FROM pre a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id),
+           | it AS (SELECT c.da, c.db, count(*) AS inter FROM cand c
+           |   JOIN sh x ON x.doc_id = c.da
+           |   JOIN sh y ON y.doc_id = c.db AND y.s = x.s GROUP BY 1, 2)
+           | SELECT it.da, it.db, ca.n AS na, cb.n AS nb, it.inter,
+           |   CAST(it.inter * 10000 // ca.n AS BIGINT) AS containment_bps
+           | FROM it JOIN cnt ca ON it.da = ca.doc_id
+           |   JOIN cnt cb ON it.db = cb.doc_id
+           | WHERE 4 * it.inter >= 3 * ca.n
+           | ORDER BY da, db""".stripMargin.replace("\n", ""))),
+
     "q24_jaccard_pairs" -> Q(
       (s, dir) => jaccardPairs(table(s, dir, "documents"))
         .orderBy(desc("jaccard"), col("d1"), col("d2"))

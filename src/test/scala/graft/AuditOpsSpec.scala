@@ -240,4 +240,38 @@ class AuditOpsSpec extends SparkSpec {
     val direct = meanDiff.toDouble / (2.0 * n * n * (cents.sum.toDouble / n))
     assert(math.abs(r._3 - direct) < 1e-9, s"${r._3} vs $direct")
   }
+
+  test("q197 ACF: 7 lags, |acf| <= 1, matches a BigInt series replay") {
+    val rows = run("q197_acf_daily")
+      .select("lag", "n", "c", "a", "b", "acf")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to 7L), "exactly lags 1..7")
+    rows.foreach(r => assert(math.abs(r._6) <= 1.0, s"|acf| > 1 at lag ${r._1}"))
+    // independent replay: rebuild the gap-filled daily series locally
+    // and recompute every moment in BigInt — the engine's windowed
+    // moment algebra must match a direct definition-level computation
+    val byDay = graft.ops.TestData.table(spark, sf, "orders")
+      .select(to_date(col("o_orderdate")).as("d")).groupBy("d").count()
+      .as[(java.sql.Date, Long)].collect()
+      .map { case (d, c) => d.toLocalDate -> c }.toMap
+    val (d0, d1) = (byDay.keys.min, byDay.keys.max)
+    val series = Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1))
+      .map(d => BigInt(byDay.getOrElse(d, 0L))).toVector
+    val n = BigInt(series.length)
+    val s = series.sum
+    val qx = series.map(x => x * x).sum
+    rows.foreach { case (lag, rn, rc, ra, rb, racf) =>
+      val l = lag.toInt
+      val head = series.dropRight(l)
+      val tail = series.drop(l)
+      assert(rn == n, "n mismatch")
+      assert(BigInt(rc) == head.zip(tail).map { case (x, y) => x * y }.sum)
+      assert(BigInt(ra) == head.sum && BigInt(rb) == tail.sum)
+      val num = n * n * BigInt(rc) - n * s * (BigInt(ra) + BigInt(rb)) +
+        (n - l) * s * s
+      val den = n * (n * qx - s * s)
+      assert(math.abs(racf - num.toDouble / den.toDouble) < 1e-15,
+        s"acf mismatch at lag $l")
+    }
+  }
 }

@@ -142,4 +142,34 @@ class PairSourceSpec extends SparkSpec {
       s"missing: ${(full -- pref).take(5)}; extra: ${(pref -- full).take(5)}")
     assert(pref.nonEmpty, "fixture corpus must contain near-dup pairs")
   }
+
+  test("q196 one-sided prefix probe loses no containment pair at 3/4") {
+    // recall-completeness of the asymmetric candidate source: the
+    // probe-prefix join's qualifying (da, db) set must EQUAL the
+    // brute-force set derived from the FULL shingle self-join — both
+    // directions of every unordered pair judged against its own side's
+    // set size. Also pins the threshold algebra: 4*inter >= 3*na with
+    // integer inter/na, never a float ratio.
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.ops.TestData.table(spark, sf, "documents")
+    val pairs = DedupOps.jaccardPairs(docs)
+      .select("d1", "d2", "inter").as[(Long, Long, Long)].collect()
+    val n = DedupOps.shingles(docs).groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    val brute = pairs.flatMap { case (d1, d2, inter) =>
+      Seq((d1, d2, n(d1)), (d2, d1, n(d2))).collect {
+        case (a, b, na) if 4 * inter >= 3 * na => (a, b)
+      }
+    }.toSet
+    val got = SparkEntry.queries("q196_containment_pairs")(spark, sf)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(got == brute,
+      s"missing: ${(brute -- got).take(5)}; extra: ${(got -- brute).take(5)}")
+    assert(got.nonEmpty, "fixture corpus must contain containment pairs")
+    // (at sf0.001 the planted near-dups are size-balanced, so pairs may
+    // all be mutual — the asymmetric direction is covered by the brute
+    // equality above, which judges each direction against its own side)
+    info(s"one-directional pairs: ${got.count(p => !got.contains(p.swap))}" +
+      s" of ${got.size}")
+  }
 }
