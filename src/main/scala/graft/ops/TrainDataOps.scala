@@ -1176,6 +1176,91 @@ object TrainDataOps {
            | ORDER BY query_id, rnk""".stripMargin.replace("\n", "")
       }),
 
+    // IVF (inverted-file) ANN top-k — the third leg of the similarity
+    // stack: q27 scans exactly (tiled O(N^2)), q83/q28 hash
+    // probabilistically (LSH), q119 compresses (PQ codes); IVF bounds
+    // the SCAN: the corpus partitions into k Lloyd cells (q101's
+    // exactly-replayable trajectory), each query probes only its 2
+    // nearest cells, and exact L2 runs on the ~2/k of the corpus in
+    // them. The output is SELF-CALIBRATING: the IVF ranking left-joins
+    // the exact full-scan top-k on the bounded query panel (a fixed fraction of
+    // vectors), so every row carries its own recall audit (in_exact) —
+    // the number an operator watches before raising nprobe. Ranking
+    // runs through TopKPerGroup (map-side k-heaps, answer-proportional
+    // shuffle); the rnk window sorts the <= panel x 5 result, never the
+    // candidate set. At 100 TB: centroids broadcast (k rows), cells
+    // partition by cid, k grows with the corpus, and the exact audit
+    // branch stays panel-bounded (drop or subsample it when no audit
+    // is wanted).
+    "q199_ivf_topk" -> Q(
+      (s, dir) => {
+        val points = embPoints(s, dir)
+        val cent = kmeansCentroids(points, kmeansK(s))
+        val cells = kmeansAssign(points, cent).select("vec_id", "v", "cid")
+        val qs = points.where(col("vec_id") % 250 === 0)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        val fold = "aggregate(zip_with(qv, %s, (x, y) -> (x - y) * (x - y)), " +
+          "cast(0 as double), (a, p) -> a + p)"
+        val probed = qs.crossJoin(broadcast(cent.agg(sort_array(
+            collect_list(struct(col("cid"), col("c")))).as("cs"))))
+          .select(col("qid"), col("qv"), explode(expr(
+            "transform(cs, ct -> struct(" +
+              fold.format("ct.c") + " as cdist2, ct.cid as cid))")).as("pc"))
+          .select(col("qid"), col("qv"), col("pc.cid").as("cid"),
+            col("pc.cdist2").as("cdist2"))
+          .withColumn("crk", row_number().over(
+            Window.partitionBy("qid").orderBy("cdist2", "cid")))
+          .where(col("crk") <= 2)
+          .select("qid", "qv", "cid")
+        val cand = probed.join(cells, "cid")
+          .select(col("qid"), col("vec_id"),
+            expr(fold.format("v")).as("dist2"))
+        val ivf = graft.plans.TopKPerGroup(cand, Seq("qid"),
+            Seq(("dist2", false), ("vec_id", false)), 5)
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("qid").orderBy(col("dist2"), col("vec_id")))
+            .cast("int"))
+        val ex = cells.select("vec_id", "v")
+          .crossJoin(broadcast(qs))
+          .select(col("qid"), col("vec_id"), expr(fold.format("v")).as("dist2"))
+        val ext = graft.plans.TopKPerGroup(ex, Seq("qid"),
+            Seq(("dist2", false), ("vec_id", false)), 5)
+          .select(col("qid").as("eqid"), col("vec_id").as("evid"))
+        ivf.join(ext,
+            col("qid") === col("eqid") && col("vec_id") === col("evid"),
+            "left")
+          .select(col("qid"), col("rnk"), col("vec_id"), col("dist2"),
+            col("evid").isNotNull.cast("int").as("in_exact"))
+          .orderBy("qid", "rnk")
+      },
+      Some {
+        def d2(a: String, b: String) =
+          s"list_reduce(list_transform(list_zip($a, $b), " +
+            "q -> (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE)) * " +
+            "(CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE))), (x, y) -> x + y)"
+        s"""WITH $kmeansCteSql,
+           | cells AS (SELECT vec_id, v, cid FROM a3 WHERE rnk = 1),
+           | qp AS (SELECT vec_id AS qid, v AS qv FROM pts WHERE vec_id % 250 = 0),
+           | qc AS (SELECT qid, qv, cid, cdist2,
+           |     row_number() OVER (PARTITION BY qid ORDER BY cdist2, cid) AS crk
+           |   FROM (SELECT q.qid, q.qv, c.cid, ${d2("q.qv", "c.c")} AS cdist2
+           |     FROM qp q CROSS JOIN c2 c)),
+           | probe AS (SELECT qid, qv, cid FROM qc WHERE crk <= 2),
+           | cand AS (SELECT p.qid, s.vec_id, ${d2("p.qv", "s.v")} AS dist2
+           |   FROM probe p JOIN cells s ON s.cid = p.cid),
+           | ivf AS (SELECT qid, vec_id, dist2,
+           |   CAST(row_number() OVER (PARTITION BY qid ORDER BY dist2, vec_id) AS INT) AS rnk
+           |   FROM cand),
+           | ex AS (SELECT q.qid, s.vec_id,
+           |   row_number() OVER (PARTITION BY q.qid ORDER BY ${d2("q.qv", "s.v")}, s.vec_id) AS xrk
+           |   FROM qp q CROSS JOIN cells s),
+           | ext AS (SELECT qid, vec_id FROM ex WHERE xrk <= 5)
+           | SELECT i.qid, i.rnk, i.vec_id, i.dist2,
+           |   CAST(e.vec_id IS NOT NULL AS INT) AS in_exact
+           | FROM ivf i LEFT JOIN ext e ON e.qid = i.qid AND e.vec_id = i.vec_id
+           | WHERE i.rnk <= 5 ORDER BY i.qid, i.rnk""".stripMargin.replace("\n", "")
+      }),
+
     // Cross-document repeated-span statistics (the measurement half of
     // exact substring dedup, Lee et al. 2022): word-8-grams occurring in
     // more than one document mark their token spans as boilerplate; the

@@ -168,6 +168,40 @@ class WarehouseGraphSpec extends SparkSpec {
       again.sortBy(r => (r._1, r._2)).toSeq)
   }
 
+  test("q199 IVF ranking: complete, self-top, audit flags match brute force") {
+    val out = run("q199_ivf_topk")
+      .select("qid", "rnk", "vec_id", "dist2", "in_exact")
+      .as[(Long, Int, Long, Double, Int)].collect()
+    val vecs = TestData.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val panel = vecs.keys.filter(_ % 250 == 0).toSeq.sorted
+    assert(out.map(_._1).distinct.sorted.toSeq == panel,
+      "one ranking per panel query")
+    out.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to 5), s"query $q ranks")
+      // self is always in its own probed cell: rank 1, distance 0, hit
+      assert(sorted.head._3 == q && sorted.head._4 == 0.0 &&
+        sorted.head._5 == 1, s"query $q self row")
+      assert(sorted.map(_._4).sliding(2).forall {
+        case Array(a, b) => a <= b; case _ => true
+      }, s"query $q dist2 not nondecreasing")
+      // the audit flag must agree with a local brute-force exact top-5
+      def d2(a: Seq[Double], b: Seq[Double]) =
+        a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+          acc + (x - y) * (x - y) }
+      val exact = vecs.toSeq
+        .map { case (vid, v) => (d2(vecs(q), v), vid) }
+        .sortBy(identity).take(5).map(_._2).toSet
+      rs.foreach { r =>
+        assert((r._5 == 1) == exact.contains(r._3),
+          s"query $q candidate ${r._3} audit flag")
+      }
+      info(s"query $q recall@5 = ${rs.count(_._5 == 1)}/5")
+    }
+  }
+
   test("q121 entity clusters are closed and canonically labeled") {
     val rows = run("q121_entity_resolution")
       .select("c_custkey", "entity_id", "cluster_size")
