@@ -607,6 +607,80 @@ object DedupOps {
            | WHERE 4 * it.inter >= 3 * ca.n
            | ORDER BY da, db""".stripMargin.replace("\n", ""))),
 
+    // Golden-record SURVIVORSHIP — the merge step after dedup: q85
+    // only picks which doc survives; this builds the merged record a
+    // warehouse actually keeps. Per near-dup cluster (q64's jaccard >=
+    // 0.5 components) the survivor rules are: representative = min
+    // doc_id (stable keep-first), best text = longest member (max
+    // n_chars, tie min doc_id — the completeness rule), provenance =
+    // distinct source count, lang = modal value with deterministic
+    // ties (count desc, then lang). The member attributes join the
+    // cluster map on doc_id; every rule is a window/aggregate over the
+    // SAME cluster key, so the best-row rank and survivor aggregate
+    // reuse one exchange, and the modal-lang rank runs over the
+    // collapsed (cluster, lang) aggregate — cluster-sized frames,
+    // never corpus-sized.
+    "q198_golden_record" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val jp = jaccardPairs(table(s, dir, "documents"))
+          .where(col("jaccard") >= 0.5).select("d1", "d2")
+        val cc = connectedComponents(jp)
+          .select(col("v").as("doc_id"), col("c").as("cluster_id"))
+        val m = cc.join(table(s, dir, "documents")
+            .select(col("doc_id"), col("source"), col("lang"),
+              col("n_chars")), "doc_id")
+          .localCheckpoint(eager = true)
+        val best = m.withColumn("brk", row_number().over(
+            Window.partitionBy("cluster_id")
+              .orderBy(col("n_chars").desc, col("doc_id"))))
+          .where(col("brk") === 1)
+          .select(col("cluster_id"), col("doc_id").as("best_doc_id"),
+            col("n_chars").as("best_n_chars"))
+        val a = m.groupBy("cluster_id").agg(count(lit(1)).as("n_members"),
+          min("doc_id").as("rep_doc_id"),
+          countDistinct("source").as("n_sources"))
+        val ml = m.groupBy("cluster_id", "lang").agg(count(lit(1)).as("c"))
+          .withColumn("lrk", row_number().over(
+            Window.partitionBy("cluster_id")
+              .orderBy(col("c").desc, col("lang"))))
+          .where(col("lrk") === 1)
+          .select(col("cluster_id"), col("lang").as("modal_lang"))
+        a.join(best, "cluster_id").join(ml, "cluster_id")
+          .select(col("cluster_id"), col("rep_doc_id"), col("n_members"),
+            col("n_sources"), col("best_doc_id"), col("best_n_chars"),
+            col("modal_lang"))
+          .orderBy("rep_doc_id")
+      },
+      Some(
+        s"""WITH RECURSIVE $jaccardCte,
+           | jp AS (SELECT p.d1, p.d2 FROM p
+           |   JOIN cnt ca ON p.d1 = ca.doc_id JOIN cnt cb ON p.d2 = cb.doc_id
+           |   WHERE p.inter * 1.0 / (ca.n + cb.n - p.inter) >= 0.5),
+           | edges AS (SELECT d1 AS a, d2 AS b FROM jp UNION ALL SELECT d2, d1 FROM jp),
+           | nodes AS (SELECT DISTINCT a AS v FROM edges),
+           | reach(v, m) AS (SELECT v, v FROM nodes
+           |   UNION SELECT e.a, r.m FROM edges e JOIN reach r ON r.v = e.b),
+           | cm AS (SELECT r.v AS doc_id, min(r.m) AS cluster_id FROM reach r GROUP BY r.v),
+           | mm AS (SELECT cm.cluster_id, d.doc_id, d.source, d.lang, d.n_chars
+           |   FROM cm JOIN documents d ON d.doc_id = cm.doc_id),
+           | best AS (SELECT cluster_id, doc_id AS best_doc_id, n_chars AS best_n_chars,
+           |     row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS brk
+           |   FROM mm),
+           | a AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+           |     min(doc_id) AS rep_doc_id,
+           |     CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+           |   FROM mm GROUP BY cluster_id),
+           | lc AS (SELECT cluster_id, lang, count(*) AS c FROM mm GROUP BY cluster_id, lang),
+           | ml AS (SELECT cluster_id, lang AS modal_lang,
+           |     row_number() OVER (PARTITION BY cluster_id ORDER BY c DESC, lang) AS lrk
+           |   FROM lc)
+           | SELECT a.cluster_id, a.rep_doc_id, a.n_members, a.n_sources,
+           |   b.best_doc_id, b.best_n_chars, ml.modal_lang
+           | FROM a JOIN best b ON b.cluster_id = a.cluster_id AND b.brk = 1
+           |   JOIN ml ON ml.cluster_id = a.cluster_id AND ml.lrk = 1
+           | ORDER BY rep_doc_id""".stripMargin.replace("\n", ""))),
+
     "q24_jaccard_pairs" -> Q(
       (s, dir) => jaccardPairs(table(s, dir, "documents"))
         .orderBy(desc("jaccard"), col("d1"), col("d2"))

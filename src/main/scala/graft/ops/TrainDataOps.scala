@@ -1261,6 +1261,68 @@ object TrainDataOps {
            | WHERE i.rnk <= 5 ORDER BY i.qid, i.rnk""".stripMargin.replace("\n", "")
       }),
 
+    // DSIR-style importance weights (after Data Selection via
+    // Importance Resampling, Xie et al. 2023): score each document by
+    // how much it resembles a TARGET domain (here lang='en') relative
+    // to the raw corpus, via hashed-unigram bucket distributions — the
+    // method a 100 TB pipeline uses to up-sample target-like data
+    // without training a classifier. Instead of DSIR's log-ratio sum
+    // (libm logs never cross engines in this repo, and the dyadic
+    // floor-log2 has only 1-bit resolution — measured all-zero on this
+    // corpus), each word contributes the smoothed likelihood RATIO in
+    // exact ppm: r(b) = (c_t(b)+1) * N_all * 1e6 div ((c_all(b)+1) *
+    // N_t), and a doc's weight is its mean ratio (E_target[p/q] >=
+    // E_corpus[p/q] = 1, so target-like docs rank up; the fixture
+    // measures en highest). Every r and per-doc sum is BIGINT (exact
+    // while c_t * N_all <= ~9e12 — shard or pre-scale beyond); the one
+    // IEEE division is the final per-word mean. Scale: two corpus
+    // aggregations collapse map-side (one is 256 rows), the 256-row
+    // ratio table broadcasts, and the per-doc sum is ONE doc-key
+    // exchange.
+    "q200_dsir_weights" -> Q(
+      (s, dir) => {
+        val w = table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("wd"))
+          .where(length(col("wd")) > 0)
+          .select(col("doc_id"), col("lang"),
+            (DedupOps.md5Long60(col("wd")) % 256).as("b"))
+        val tot = w.agg(count(lit(1)).as("n_all"),
+          count(when(col("lang") === "en", 1)).as("n_t"))
+        val cb = w.groupBy("b").agg(count(lit(1)).as("c_all"),
+          count(when(col("lang") === "en", 1)).as("c_t"))
+        val sc = cb.crossJoin(tot).select(col("b"),
+          expr("(c_t + 1) * n_all * 1000000 div ((c_all + 1) * n_t)")
+            .cast("bigint").as("r"))
+        w.join(broadcast(sc), "b")
+          .groupBy("doc_id", "lang")
+          .agg(count(lit(1)).as("n_words"), sum("r").as("ratio_sum"))
+          .select(col("doc_id"), col("lang"), col("n_words"),
+            col("ratio_sum"),
+            (col("ratio_sum").cast("double") /
+              col("n_words").cast("double")).as("per_word"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH w0 AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS wd FROM documents),
+          | w AS (SELECT doc_id, lang,
+          |     ('0x' || substr(md5(wd), 1, 15))::BIGINT % 256 AS b
+          |   FROM w0 WHERE length(wd) > 0),
+          | tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all,
+          |   CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_t FROM w),
+          | cb AS (SELECT b, CAST(count(*) AS BIGINT) AS c_all,
+          |   CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS c_t
+          |   FROM w GROUP BY b),
+          | sc AS (SELECT b,
+          |   CAST((c_t + 1) * t.n_all * 1000000 // ((c_all + 1) * t.n_t) AS BIGINT) AS r
+          |   FROM cb, tot t),
+          | ds AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_words,
+          |   CAST(sum(sc.r) AS BIGINT) AS ratio_sum
+          |   FROM w JOIN sc USING (b) GROUP BY doc_id, lang)
+          | SELECT doc_id, lang, n_words, ratio_sum,
+          |   CAST(ratio_sum AS DOUBLE) / CAST(n_words AS DOUBLE) AS per_word
+          | FROM ds ORDER BY doc_id""".stripMargin.replace("\n", ""))),
+
     // Cross-document repeated-span statistics (the measurement half of
     // exact substring dedup, Lee et al. 2022): word-8-grams occurring in
     // more than one document mark their token spans as boilerplate; the

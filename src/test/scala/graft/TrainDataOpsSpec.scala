@@ -225,4 +225,33 @@ class TrainDataOpsSpec extends SparkSpec {
     assert(rows.nonEmpty)
     assert(rows.forall { case (qid, cid) => labels(qid) != labels(cid) })
   }
+
+  test("q200 DSIR weights: total coverage, ratio bounds, target ranks up") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q200_dsir_weights")(spark, dir)
+      .select("doc_id", "lang", "n_words", "ratio_sum", "per_word")
+      .as[(Long, String, Long, Long, Double)].collect()
+    val docs = graft.ops.TestData.table(spark, dir, "documents")
+    assert(rows.length == docs.count(), "one weight per document")
+    // word-count conservation against a direct recount
+    val totalWords = docs
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(col("text"), " ")).as("w"))
+      .where(org.apache.spark.sql.functions.length(col("w")) > 0).count()
+    assert(rows.map(_._3).sum == totalWords, "n_words conservation")
+    // smoothed ppm ratios stay near 1e6 on a shared-vocab corpus; the
+    // sanity band catches unit mistakes (ppm vs raw, div direction)
+    rows.foreach { r =>
+      assert(r._5 > 5e5 && r._5 < 2e6, s"per_word out of band: $r")
+      assert(math.abs(r._5 - r._4.toDouble / r._3) < 1e-9)
+    }
+    // E_target[p/q] >= E_corpus[p/q]: the target language's mean weight
+    // must top every other language's mean on the deterministic fixture
+    val byLang = rows.groupBy(_._2).map { case (l, rs) =>
+      l -> rs.map(_._5).sum / rs.length
+    }
+    byLang.filter(_._1 != "en").foreach { case (l, m) =>
+      assert(byLang("en") > m, s"en mean ${byLang("en")} !> $l mean $m")
+    }
+  }
 }

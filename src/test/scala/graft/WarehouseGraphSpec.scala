@@ -202,6 +202,36 @@ class WarehouseGraphSpec extends SparkSpec {
     }
   }
 
+  test("q198 golden records replay survivorship rules from the q64 clusters") {
+    val rows = run("q198_golden_record")
+      .select("cluster_id", "rep_doc_id", "n_members", "n_sources",
+        "best_doc_id", "best_n_chars", "modal_lang")
+      .as[(Long, Long, Long, Long, Long, Long, String)].collect()
+    assert(rows.nonEmpty, "fixture corpus must contain near-dup clusters")
+    val members = run("q64_dup_clusters")
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect()
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val attrs = TestData.table(spark, sf, "documents")
+      .select("doc_id", "source", "lang", "n_chars")
+      .as[(Long, String, String, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows.map(_._1).toSet == members.keySet,
+      "one golden record per q64 cluster")
+    rows.foreach { r =>
+      val ms = members(r._1).map(attrs)
+      assert(r._2 == members(r._1).min && r._2 == r._1,
+        s"rep/canonical label mismatch in cluster ${r._1}")
+      assert(r._3 == ms.size, s"n_members in cluster ${r._1}")
+      assert(r._4 == ms.map(_._2).size, s"n_sources in cluster ${r._1}")
+      val best = ms.toSeq.sortBy(m => (-m._4, m._1)).head
+      assert(r._5 == best._1 && r._6 == best._4,
+        s"best-member rule in cluster ${r._1}")
+      val modal = ms.toSeq.groupBy(_._3).toSeq
+        .sortBy { case (l, g) => (-g.size, l) }.head._1
+      assert(r._7 == modal, s"modal lang in cluster ${r._1}")
+    }
+  }
+
   test("q121 entity clusters are closed and canonically labeled") {
     val rows = run("q121_entity_resolution")
       .select("c_custkey", "entity_id", "cluster_size")
