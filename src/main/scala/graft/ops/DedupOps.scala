@@ -571,9 +571,18 @@ object DedupOps {
           .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
           .distinct()
           .localCheckpoint(eager = true)
+        // size pre-filter before the array verify: containment needs
+        // inter >= 3/4*na and inter <= nb, so 4*nb >= 3*na — sound to
+        // drop undersized containers on long keys before any shingle
+        // array moves (measured at sf0.1: 391k -> 284k pairs)
+        val sized = cand
+          .join(cnt.select(col("doc_id").as("da"), col("n").as("pna")), "da")
+          .join(cnt.select(col("doc_id").as("db"), col("n").as("pnb")), "db")
+          .where(col("pnb") * 4 >= col("pna") * 3)
+          .select("da", "db")
         val arrs = sh.groupBy("doc_id")
           .agg(sort_array(collect_list(col("s"))).as("arr"))
-        cand
+        sized
           .join(arrs.select(col("doc_id").as("da"), col("arr").as("sa")),
             "da")
           .join(arrs.select(col("doc_id").as("db"), col("arr").as("sb")),

@@ -315,6 +315,38 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q196 one-sided containment probe stays equi-keyed") {
+    // the probe-prefix x full-index join and both verify joins must be
+    // hash/sort equi-joins on the shingle hash / doc ids — a nested
+    // loop here means the prefix filter degenerated to a cross product.
+    val plan = executed("q196_containment_pairs")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q199 IVF search: centroids broadcast, ranking through TopKPerGroup") {
+    // both rankings (IVF candidates and the exact audit) run the
+    // map-side k-heap operator, the centroid array and query panel
+    // arrive by broadcast, and nothing plans as a cross product over
+    // the corpus.
+    val plan = executed("q199_ivf_topk")
+    assert(plan.contains("TopKPerGroupPartial") &&
+      plan.contains("TopKPerGroupFinal"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q200 DSIR scoring: ratio table broadcast, bounded exchanges") {
+    // the 256-row ratio table must reach the corpus word stream by
+    // broadcast; the only hash exchanges are the bucket aggregation
+    // (256-key, map-side collapsed) and the per-doc sum.
+    val plan = executed("q200_dsir_weights")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"ratio table not broadcast:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q129 adjacency joins broadcast by default, degrade to shuffles with the flag off") {
     // graphHint gate (VERDICT r6 #3): the adjacency frame grows with E,
     // so the broadcast must be opt-out-able. Default: both closing
