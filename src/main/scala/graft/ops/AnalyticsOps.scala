@@ -765,6 +765,61 @@ object AnalyticsOps {
           |     + (t.n - p.lag) * t.s * t.s AS DOUBLE) /
           |   CAST(t.n * (t.n * t.qx - t.s * t.s) AS DOUBLE) AS acf
           | FROM pairs p CROSS JOIN tot t ORDER BY lag"""
+          .stripMargin.replace("\n", ""))),
+
+    // STL-lite weekday seasonality: detrend the gap-filled daily
+    // order-count series with a CENTERED 7-day moving sum (a full
+    // weekly cycle, so any weekday structure cancels out of the trend
+    // by construction), then average the residual per weekday — the
+    // decomposition a pipeline runs before alerting on daily volume
+    // (compare q192's monthly index, q197's ACF). Integer exactness:
+    // residual is kept as 7*x - trend7 (scale by 7 instead of dividing
+    // the trend), so every sum is BIGINT and the single IEEE division
+    // is the final per-weekday mean. Edge days without a full 7-day
+    // window are excluded by the window-count check, not zero-padded.
+    // The trend window sorts the calendar-bounded day frame (the q197
+    // argument); weekday mapping is pinned to 0=Monday on both engines
+    // (Spark weekday(), DuckDB isodow - 1).
+    "q201_weekday_seasonality" -> Q(
+      (s, dir) => {
+        val orders = table(s, dir, "orders")
+          .select(to_date(col("o_orderdate")).as("d"))
+        val daily = orders.groupBy("d").agg(count(lit(1)).as("x"))
+        val cal = orders.agg(min("d").as("d0"), max("d").as("d1"))
+          .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+        val series = cal.join(daily, Seq("d"), "left")
+          .select(col("d"), coalesce(col("x"), lit(0L)).as("x"))
+        val w = Window.orderBy("d").rowsBetween(-3, 3)
+        val detr = series
+          .select(col("d"), col("x"), sum("x").over(w).as("t7"),
+            count(lit(1)).over(w).as("wn"))
+          .where(col("wn") === 7)
+          .select(col("d"), (col("x") * 7 - col("t7")).as("r7"))
+        detr.groupBy(expr("weekday(d)").cast("bigint").as("dow"))
+          .agg(count(lit(1)).as("n_days"), sum("r7").as("resid7_sum"))
+          .select(col("dow"), col("n_days"), col("resid7_sum"),
+            (col("resid7_sum").cast("double") /
+              (col("n_days") * 7).cast("double")).as("mean_resid"))
+          .orderBy("dow")
+      },
+      Some(
+        """WITH od AS (SELECT CAST(o_orderdate AS DATE) AS d FROM orders),
+          | daily AS (SELECT d, CAST(count(*) AS BIGINT) AS x FROM od GROUP BY d),
+          | bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM od),
+          | cal AS (SELECT d0 + CAST(g AS INT) AS d FROM bounds,
+          |   (SELECT unnest(generate_series(0, (SELECT d1 - d0 FROM bounds))) AS g)),
+          | series AS (SELECT cal.d, coalesce(daily.x, 0) AS x
+          |   FROM cal LEFT JOIN daily ON cal.d = daily.d),
+          | det AS (SELECT d, x,
+          |   CAST(sum(x) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS t7,
+          |   count(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn
+          |   FROM series),
+          | r AS (SELECT d, CAST(x * 7 - t7 AS BIGINT) AS r7 FROM det WHERE wn = 7)
+          | SELECT CAST(isodow(d) - 1 AS BIGINT) AS dow,
+          |   CAST(count(*) AS BIGINT) AS n_days,
+          |   CAST(sum(r7) AS BIGINT) AS resid7_sum,
+          |   CAST(sum(r7) AS DOUBLE) / CAST(count(*) * 7 AS DOUBLE) AS mean_resid
+          | FROM r GROUP BY 1 ORDER BY dow"""
           .stripMargin.replace("\n", "")))
   )
 }

@@ -372,7 +372,60 @@ object SketchOps {
           |     exact_inter FROM est)
           | SELECT ta, tb, n_sketch, m_common, union_est, inter_est, exact_inter,
           |   CAST(floor(abs(inter_est - exact_inter) * 10000 / greatest(exact_inter, 1)) AS BIGINT) AS err_bps
-          | FROM f ORDER BY ta, tb""".stripMargin.replace("\n", "")))
+          | FROM f ORDER BY ta, tb""".stripMargin.replace("\n", ""))),
+
+    // Deterministic Poisson bootstrap — confidence intervals for a
+    // 100 TB aggregate in ONE pass, no RNG: each (row, replicate) pair
+    // draws a Poisson(1) pseudo-weight by inverting the CDF at the
+    // md5-60 hash of "orderkey:replicate" (cumulative thresholds
+    // precomputed exactly as floor(F(k) * 2^60) BIGINT literals, so
+    // both engines draw the identical weight), and replicate b's total
+    // is sum(w * cents). 32 replicates fan out map-side and collapse
+    // to a 32-row frame by partial aggregation — the resample never
+    // shuffles the corpus, which is why Poisson bootstrap (not the
+    // classical n-out-of-n multinomial, which needs a global draw) is
+    // THE resampling scheme for distributed data. The spread of the 32
+    // totals IS the standard error estimate; all totals exact BIGINT
+    // cents.
+    "q203_poisson_bootstrap" -> Q(
+      (s, dir) => {
+        val cents = table(s, dir, "orders").select(col("o_orderkey"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            .as("cents"))
+        cents
+          .select(col("o_orderkey"), col("cents"),
+            explode(expr("sequence(1, 32)")).as("b"))
+          .select(col("b").cast("bigint").as("b"), col("cents"),
+            md5Long60(concat_ws(":", col("o_orderkey"), col("b")))
+              .as("h"))
+          .select(col("b"), col("cents"),
+            when(col("h") < 424136118829305344L, 0L)
+              .when(col("h") < 848272237658610688L, 1L)
+              .when(col("h") < 1060340297073263360L, 2L)
+              .when(col("h") < 1131029650211480960L, 3L)
+              .otherwise(4L).as("w"))
+          .groupBy("b")
+          .agg(sum("w").as("n_eff"),
+            sum(col("w") * col("cents")).as("total_cents"))
+          .orderBy("b")
+      },
+      Some(
+        """WITH cents AS (SELECT o_orderkey,
+          |     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+          |   FROM orders),
+          | reps AS (SELECT CAST(unnest(generate_series(1, 32)) AS BIGINT) AS b),
+          | h AS (SELECT r.b, c.cents,
+          |     ('0x' || substr(md5(c.o_orderkey::VARCHAR || ':' || r.b::VARCHAR), 1, 15))::BIGINT AS h
+          |   FROM cents c CROSS JOIN reps r),
+          | w AS (SELECT b, cents,
+          |     CASE WHEN h < 424136118829305344 THEN 0
+          |          WHEN h < 848272237658610688 THEN 1
+          |          WHEN h < 1060340297073263360 THEN 2
+          |          WHEN h < 1131029650211480960 THEN 3
+          |          ELSE 4 END AS w FROM h)
+          | SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
+          |   CAST(sum(w * cents) AS BIGINT) AS total_cents
+          | FROM w GROUP BY b ORDER BY b""".stripMargin.replace("\n", "")))
   )
 
   /** Bitmap-index presence matrix (q162), kept beside the sketches: the

@@ -897,6 +897,55 @@ object WarehouseOps {
           | SELECT term, df, tf, posting_checksum, posting_head FROM top
           | ORDER BY df DESC, term""".stripMargin.replace("\n", ""))),
 
+    // Posting-list compression pre-flight: the delta-gap bitwidth
+    // histogram that sizes q137's inverted index BEFORE choosing a
+    // codec (varint/PForDelta budgets are a direct read-off). Per
+    // (term, doc_id) posting in doc_id order, the delta gap is
+    // doc_id - lag(doc_id) (first posting stored as doc_id + 1, so
+    // every gap is >= 1), and its bitwidth is length(bin(gap)) — the
+    // exact integer bit count in both engines. Rows out: one per
+    // bitwidth with gap count, total encoded bits, and the share of
+    // the encoded size in bps — flat-64 comparison is n_gaps * 64.
+    // One distinct + one term-key window; frames after the histogram
+    // collapse are <= 64 rows.
+    "q202_posting_gap_bits" -> Q(
+      (s, dir) => {
+        val dist = table(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .where(col("term") =!= "")
+          .select("term", "doc_id").distinct()
+        val wr = Window.partitionBy("term").orderBy("doc_id")
+        val gaps = dist
+          .select(col("term"),
+            coalesce(col("doc_id") - lag("doc_id", 1).over(wr),
+              col("doc_id") + 1).as("g"))
+          .select(expr("length(bin(g))").cast("bigint").as("bitwidth"))
+        val hist = gaps.groupBy("bitwidth")
+          .agg(count(lit(1)).as("n_gaps"))
+          .select(col("bitwidth"), col("n_gaps"),
+            (col("bitwidth") * col("n_gaps")).as("bits"))
+        val tot = hist.agg(sum("bits").as("tb"))
+        hist.crossJoin(tot)
+          .select(col("bitwidth"), col("n_gaps"), col("bits"),
+            expr("bits * 10000 div tb").as("bits_share_bps"))
+          .orderBy("bitwidth")
+      },
+      Some(
+        """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          |   FROM documents),
+          | dist AS (SELECT DISTINCT term, doc_id FROM tok WHERE term <> ''),
+          | gaps AS (SELECT CAST(length(bin(coalesce(doc_id - lag(doc_id) OVER
+          |     (PARTITION BY term ORDER BY doc_id), doc_id + 1))) AS BIGINT) AS bitwidth
+          |   FROM dist),
+          | hist AS (SELECT bitwidth, CAST(count(*) AS BIGINT) AS n_gaps,
+          |     CAST(bitwidth * count(*) AS BIGINT) AS bits
+          |   FROM gaps GROUP BY bitwidth),
+          | tot AS (SELECT CAST(sum(bits) AS BIGINT) AS tb FROM hist)
+          | SELECT bitwidth, n_gaps, bits,
+          |   CAST(bits * 10000 // tb AS BIGINT) AS bits_share_bps
+          | FROM hist CROSS JOIN tot ORDER BY bitwidth"""
+          .stripMargin.replace("\n", ""))),
+
     // Cross-source content-overlap matrix — the provenance diagnostic a
     // curation pipeline runs before mixing corpora: for every source
     // pair, how many distinct word-3-gram shingles they share, with
@@ -1351,6 +1400,63 @@ object WarehouseOps {
           | SELECT fk_edge, fact_rows, orphan_rows,
           |   orphan_rows * 10000 // greatest(fact_rows, 1) AS orphan_bps
           | FROM u ORDER BY fk_edge"""
+          .stripMargin.replace("\n", ""))),
+
+    // Deletion-impact (right-to-be-forgotten) cascade plan: given a
+    // deletion cohort (customers with custkey % 97 = 0 — the stand-in
+    // for an erasure request list), report the blast radius per table
+    // BEFORE running the deletes: direct customer rows, their orders,
+    // the lineitems under those orders (two-hop cascade via orderkey),
+    // and matching event streams. Every hop is a LEFT SEMI join on the
+    // parent key set — the key list grows with the corpus, so nothing
+    // assumes broadcastability, and each branch collapses to one count
+    // map-side. The output is the 4-row compliance checklist an
+    // operator signs off on (rows affected + share in bps per table).
+    "q204_deletion_impact" -> Q(
+      (s, dir) => {
+        val del = table(s, dir, "customer")
+          .where(pmod(col("c_custkey"), lit(97)) === 0)
+          .select(col("c_custkey").as("k"))
+        val orders = table(s, dir, "orders")
+        val affOrders = orders.join(del, col("o_custkey") === col("k"),
+          "left_semi")
+        def row(name: String, total: DataFrame, affected: DataFrame) =
+          affected.agg(count(lit(1)).as("rows_affected"))
+            .crossJoin(total.agg(count(lit(1)).as("rows_total")))
+            .select(lit(name).as("table_name"), col("rows_total"),
+              col("rows_affected"),
+              expr("rows_affected * 10000 div rows_total")
+                .as("share_bps"))
+        val li = table(s, dir, "lineitem")
+        val ev = table(s, dir, "events")
+        row("customer", table(s, dir, "customer"),
+            table(s, dir, "customer").join(del,
+              col("c_custkey") === col("k"), "left_semi"))
+          .unionByName(row("orders", orders, affOrders))
+          .unionByName(row("lineitem", li,
+            li.join(affOrders.select(col("o_orderkey").as("ok")),
+              col("l_orderkey") === col("ok"), "left_semi")))
+          .unionByName(row("events", ev,
+            ev.join(del, col("user_id") === col("k"), "left_semi")))
+          .orderBy("table_name")
+      },
+      Some(
+        """WITH del AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0),
+          | ao AS (SELECT * FROM orders WHERE o_custkey IN (SELECT k FROM del)),
+          | u AS (
+          |   SELECT 'customer' AS table_name,
+          |     (SELECT count(*) FROM customer) AS rows_total,
+          |     (SELECT count(*) FROM customer WHERE c_custkey IN (SELECT k FROM del)) AS rows_affected
+          |   UNION ALL SELECT 'orders', (SELECT count(*) FROM orders),
+          |     (SELECT count(*) FROM ao)
+          |   UNION ALL SELECT 'lineitem', (SELECT count(*) FROM lineitem),
+          |     (SELECT count(*) FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM ao))
+          |   UNION ALL SELECT 'events', (SELECT count(*) FROM events),
+          |     (SELECT count(*) FROM events WHERE user_id IN (SELECT k FROM del)))
+          | SELECT table_name, CAST(rows_total AS BIGINT) AS rows_total,
+          |   CAST(rows_affected AS BIGINT) AS rows_affected,
+          |   CAST(rows_affected * 10000 // rows_total AS BIGINT) AS share_bps
+          | FROM u ORDER BY table_name"""
           .stripMargin.replace("\n", "")))
   )
 }

@@ -274,4 +274,43 @@ class AuditOpsSpec extends SparkSpec {
         s"acf mismatch at lag $l")
     }
   }
+
+  test("q201 weekday residuals: 7 rows, day conservation, zero-sum trend") {
+    val rows = run("q201_weekday_seasonality")
+      .select("dow", "n_days", "resid7_sum", "mean_resid")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0L to 6L), "weekdays 0=Mon..6=Sun")
+    // full-window days = calendar span minus 3 on each edge
+    val span = graft.ops.TestData.table(spark, sf, "orders")
+      .select(to_date(col("o_orderdate")).as("d"))
+      .agg(datediff(max("d"), min("d"))).as[Int].collect().head + 1
+    assert(rows.map(_._2).sum == span - 6, "day conservation")
+    rows.foreach(r => assert(math.abs(r._4 - r._3.toDouble / (r._2 * 7)) < 1e-9))
+    // the centered 7-day trend absorbs the weekly mean: residuals sum
+    // to ~zero across weekdays (exactly zero up to calendar-edge terms)
+    val total = rows.map(_._3).sum.toDouble
+    val scale = rows.map(r => math.abs(r._3.toDouble)).sum.max(1.0)
+    assert(math.abs(total) <= scale, s"trend left gross bias: $total")
+  }
+
+  test("q204 deletion impact: cascade counts match direct recomputation") {
+    val rows = run("q204_deletion_impact")
+      .select("table_name", "rows_total", "rows_affected", "share_bps")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(rows.keySet == Set("customer", "orders", "lineitem", "events"))
+    val cust = graft.ops.TestData.table(spark, sf, "customer")
+    val del = cust.where(pmod(col("c_custkey"), lit(97)) === 0)
+      .select("c_custkey").as[Long].collect().toSet
+    assert(rows("customer")._3 == del.size)
+    val orders = graft.ops.TestData.table(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey").as[(Long, Long)].collect()
+    val affOrders = orders.filter(o => del.contains(o._2)).map(_._1).toSet
+    assert(rows("orders")._3 == affOrders.size)
+    val liAff = graft.ops.TestData.table(spark, sf, "lineitem")
+      .select("l_orderkey").as[Long].collect().count(affOrders.contains)
+    assert(rows("lineitem")._3 == liAff)
+    rows.values.foreach { r =>
+      assert(r._3 <= r._2 && r._4 == r._3 * 10000 / r._2, s"accounting: $r")
+    }
+  }
 }

@@ -87,4 +87,27 @@ class SketchAlgebraSpec extends SparkSpec {
       assert(s == r / t, s"year $y share recompute")
     }
   }
+
+  test("q203 Poisson bootstrap: replicate totals bracket the true total") {
+    val rows = run("q203_poisson_bootstrap")
+      .select("b", "n_eff", "total_cents").as[(Long, Long, Long)].collect()
+    assert(rows.map(_._1).sorted.toSeq == (1L to 32L), "32 replicates")
+    val truth = graft.ops.TestData.table(spark, sf, "orders")
+      .select(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("c"))
+      .agg(sum("c")).as[Long].collect().head
+    val n = graft.ops.TestData.table(spark, sf, "orders").count()
+    // Poisson(1) weights: each replicate is an unbiased resample of the
+    // total; at n ~ 1.5k rows the relative sd is a few percent
+    rows.foreach { case (b, ne, tc) =>
+      assert(math.abs(tc - truth).toDouble / truth < 0.2, s"replicate $b far: $tc vs $truth")
+      assert(math.abs(ne - n).toDouble / n < 0.2, s"replicate $b n_eff $ne vs $n")
+    }
+    val mean = rows.map(_._3).sum.toDouble / rows.length
+    assert(math.abs(mean - truth) / truth < 0.05,
+      s"replicate mean $mean vs truth $truth")
+    // determinism: the hash-derived draws are a pure function of keys
+    val again = run("q203_poisson_bootstrap")
+      .select("b", "n_eff", "total_cents").as[(Long, Long, Long)].collect()
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
 }

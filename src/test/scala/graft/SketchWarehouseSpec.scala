@@ -361,4 +361,23 @@ class SketchWarehouseSpec extends SparkSpec {
         s"depth $j: over_bps inconsistent")
     }
   }
+
+  test("q202 gap-bitwidth histogram conserves postings and beats flat-64") {
+    val rows = run("q202_posting_gap_bits")
+      .select("bitwidth", "n_gaps", "bits", "bits_share_bps")
+      .as[(Long, Long, Long, Long)].collect()
+    val postings = TestData.table(spark, sf, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .where(col("t") =!= "").select("t", "doc_id").distinct().count()
+    assert(rows.map(_._2).sum == postings, "every posting yields one gap")
+    rows.foreach { r =>
+      assert(r._1 >= 1 && r._3 == r._1 * r._2, s"bits accounting at $r")
+    }
+    val totalBits = rows.map(_._3).sum
+    assert(totalBits < postings * 64,
+      "delta-gap encoding must beat flat 64-bit postings")
+    val shareSum = rows.map(_._4).sum
+    assert(shareSum <= 10000 && shareSum > 10000 - rows.length,
+      s"share accounting: $shareSum")
+  }
 }
