@@ -820,6 +820,93 @@ object AnalyticsOps {
           |   CAST(sum(r7) AS BIGINT) AS resid7_sum,
           |   CAST(sum(r7) AS DOUBLE) / CAST(count(*) * 7 AS DOUBLE) AS mean_resid
           | FROM r GROUP BY 1 ORDER BY dow"""
-          .stripMargin.replace("\n", "")))
+          .stripMargin.replace("\n", ""))),
+
+    // Pairwise feature covariance/correlation matrix over the lineitem
+    // numerics — the feature-stats pass an ML pipeline runs before
+    // model fitting (collinearity detection, whitening). All 15
+    // moments (n, 4 sums, 4 squares, 6 cross products) accumulate in
+    // ONE map-side-combinable aggregation over integer-scaled features
+    // (quantity; price in hundreds of dollars; discount and tax in
+    // bps — scaling chosen so n * sum(x*y) keeps int64 headroom to
+    // ~1e7 rows; beyond that, per-partition moments combine in
+    // DECIMAL(38)). Covariance and correlation derive from the exact
+    // BIGINT moments: cov = (n*Sxy - Sx*Sy) / n^2, corr divides by the
+    // product of two correctly-rounded sqrts — both deterministic
+    // cross-engine. The 1-row moment frame is checkpointed so the six
+    // pair rows read it without re-scanning the fact table.
+    "q207_feature_corr" -> Q(
+      (s, dir) => {
+        val f = table(s, dir, "lineitem").select(
+          expr("CAST(l_quantity AS BIGINT)").as("q"),
+          expr("CAST(floor(l_extendedprice / 100) AS BIGINT)").as("p"),
+          expr("CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)").as("d"),
+          expr("CAST(floor(l_tax * 10000 + 0.5) AS BIGINT)").as("t"))
+        val m = f.agg(count(lit(1)).as("n"),
+            sum("q").as("sq"), sum("p").as("sp"), sum("d").as("sd"),
+            sum("t").as("st"),
+            sum(col("q") * col("q")).as("sqq"),
+            sum(col("p") * col("p")).as("spp"),
+            sum(col("d") * col("d")).as("sdd"),
+            sum(col("t") * col("t")).as("stt"),
+            sum(col("q") * col("p")).as("sqp"),
+            sum(col("q") * col("d")).as("sqd"),
+            sum(col("q") * col("t")).as("sqt"),
+            sum(col("p") * col("d")).as("spd"),
+            sum(col("p") * col("t")).as("spt"),
+            sum(col("d") * col("t")).as("sdt"))
+          .localCheckpoint(eager = true)
+        val pairs = Seq(
+          ("disc", "tax", "sd", "st", "sdd", "stt", "sdt"),
+          ("price", "disc", "sp", "sd", "spp", "sdd", "spd"),
+          ("price", "tax", "sp", "st", "spp", "stt", "spt"),
+          ("qty", "disc", "sq", "sd", "sqq", "sdd", "sqd"),
+          ("qty", "price", "sq", "sp", "sqq", "spp", "sqp"),
+          ("qty", "tax", "sq", "st", "sqq", "stt", "sqt"))
+        pairs.map { case (f1, f2, sx, sy, sxx, syy, sxy) =>
+          val num = col("n") * col(sxy) - col(sx) * col(sy)
+          val vx = col("n") * col(sxx) - col(sx) * col(sx)
+          val vy = col("n") * col(syy) - col(sy) * col(sy)
+          m.select(lit(f1).as("f1"), lit(f2).as("f2"), col("n"),
+            num.as("cov_num"),
+            (num.cast("double") / (col("n") * col("n")).cast("double"))
+              .as("cov"),
+            (num.cast("double") /
+              (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
+              .as("corr"))
+        }.reduce(_ unionByName _).orderBy("f1", "f2")
+      },
+      Some {
+        val pairSel = Seq(
+          ("disc", "tax", "sd", "st", "sdd", "stt", "sdt"),
+          ("price", "disc", "sp", "sd", "spp", "sdd", "spd"),
+          ("price", "tax", "sp", "st", "spp", "stt", "spt"),
+          ("qty", "disc", "sq", "sd", "sqq", "sdd", "sqd"),
+          ("qty", "price", "sq", "sp", "sqq", "spp", "sqp"),
+          ("qty", "tax", "sq", "st", "sqq", "stt", "sqt"))
+          .map { case (f1, f2, sx, sy, sxx, syy, sxy) =>
+            s"SELECT '$f1' AS f1, '$f2' AS f2, n, " +
+              s"CAST(n * $sxy - $sx * $sy AS BIGINT) AS cov_num, " +
+              s"CAST(n * $sxy - $sx * $sy AS DOUBLE) / CAST(n * n AS DOUBLE) AS cov, " +
+              s"CAST(n * $sxy - $sx * $sy AS DOUBLE) / " +
+              s"(sqrt(CAST(n * $sxx - $sx * $sx AS DOUBLE)) * " +
+              s"sqrt(CAST(n * $syy - $sy * $sy AS DOUBLE))) AS corr FROM m"
+          }.mkString(" UNION ALL ")
+        """WITH f AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+          |   CAST(floor(l_extendedprice / 100) AS BIGINT) AS p,
+          |   CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS d,
+          |   CAST(floor(l_tax * 10000 + 0.5) AS BIGINT) AS t FROM lineitem),
+          | m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          |   CAST(sum(q) AS BIGINT) AS sq, CAST(sum(p) AS BIGINT) AS sp,
+          |   CAST(sum(d) AS BIGINT) AS sd, CAST(sum(t) AS BIGINT) AS st,
+          |   CAST(sum(q * q) AS BIGINT) AS sqq, CAST(sum(p * p) AS BIGINT) AS spp,
+          |   CAST(sum(d * d) AS BIGINT) AS sdd, CAST(sum(t * t) AS BIGINT) AS stt,
+          |   CAST(sum(q * p) AS BIGINT) AS sqp, CAST(sum(q * d) AS BIGINT) AS sqd,
+          |   CAST(sum(q * t) AS BIGINT) AS sqt, CAST(sum(p * d) AS BIGINT) AS spd,
+          |   CAST(sum(p * t) AS BIGINT) AS spt, CAST(sum(d * t) AS BIGINT) AS sdt
+          |   FROM f)
+          | SELECT * FROM (""".stripMargin.replace("\n", "") +
+          pairSel + ") ORDER BY f1, f2"
+      })
   )
 }

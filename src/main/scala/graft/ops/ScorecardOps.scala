@@ -195,6 +195,55 @@ object ScorecardOps {
           |   (CAST(observed AS DOUBLE) - expected) * (CAST(observed AS DOUBLE) - expected)
           |     / expected AS chi_term
           | FROM e ORDER BY job, y"""
+          .stripMargin.replace("\n", ""))),
+
+    // Score-calibration reliability diagram: bucket customers by the
+    // BEHAVIORAL part of the reference's engagement score and compare
+    // each bucket's mean predicted score to its observed subscription
+    // rate — the diagram an ML-eval pipeline draws before trusting a
+    // score as a probability. The y term is deliberately EXCLUDED from
+    // the predictor (the reference folds the label into its score,
+    // bp.py:201 — faithful elsewhere, but calibrating a score against
+    // a label it contains is leakage, so the diagram uses the leak-free
+    // part). Integer exactness: the scaled predictor E = 100*least(
+    // previous,10) + 100*least(campaign,10) + least(duration,1000) is
+    // the reference arithmetic times 3000 with the label term dropped;
+    // buckets are E div 300 clamped to [0,9], every aggregate is
+    // BIGINT, and the two IEEE divisions are the final per-bucket
+    // means. One pass + a 10-row frame.
+    "q205_score_calibration" -> Q(
+      (s, dir) => {
+        val e = expr("100 * least(previous, 10) + 100 * least(campaign, 10)" +
+          " + least(duration, 1000)")
+        bankFrame(s, dir)
+          .select(e.cast("bigint").as("e"),
+            when(col("y") === "yes", 1L).otherwise(0L).as("yy"))
+          .select(greatest(lit(0L), least(lit(9L), expr("e div 300")))
+            .as("bucket"), col("e"), col("yy"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), sum("e").as("e_sum"),
+            sum("yy").as("n_yes"))
+          .select(col("bucket"), col("n"), col("n_yes"),
+            (col("e_sum").cast("double") /
+              (col("n") * 3000).cast("double")).as("mean_pred"),
+            (col("n_yes").cast("double") / col("n").cast("double"))
+              .as("actual_rate"))
+          .orderBy("bucket")
+      },
+      Some(bankCte +
+        """, sc AS (SELECT
+          |   CAST(100 * least(previous, 10) + 100 * least(campaign, 10)
+          |     + least(duration, 1000) AS BIGINT) AS e,
+          |   CASE WHEN y = 'yes' THEN 1 ELSE 0 END AS yy FROM bank),
+          | b AS (SELECT greatest(0, least(9, e // 300)) AS bucket, e, yy FROM sc),
+          | g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+          |     CAST(sum(e) AS BIGINT) AS e_sum,
+          |     CAST(sum(yy) AS BIGINT) AS n_yes
+          |   FROM b GROUP BY bucket)
+          | SELECT bucket, n, n_yes,
+          |   CAST(e_sum AS DOUBLE) / CAST(n * 3000 AS DOUBLE) AS mean_pred,
+          |   CAST(n_yes AS DOUBLE) / CAST(n AS DOUBLE) AS actual_rate
+          | FROM g ORDER BY bucket"""
           .stripMargin.replace("\n", "")))
   )
 }

@@ -1323,6 +1323,67 @@ object TrainDataOps {
           |   CAST(ratio_sum AS DOUBLE) / CAST(n_words AS DOUBLE) AS per_word
           | FROM ds ORDER BY doc_id""".stripMargin.replace("\n", ""))),
 
+    // Held-out context-coverage audit: what fraction of val/test word
+    // 4-grams never occur in the train split — the backoff/generalization
+    // rate an n-gram LM (or any context-keyed cache) trained on train
+    // will face on held-out data. Builds on q98's LEAK-SAFE split:
+    // because exact dups share a canonical id and land in one split,
+    // duplicate leakage cannot mask the unseen rate (with a naive
+    // random split, a doc's twin in train would report near-zero OOV).
+    // train's own unseen rate is structurally 0 — the in-query control
+    // row. 4-grams travel as md5-60 longs; the train-gram set is
+    // corpus-scale, so coverage is a SHUFFLED left join on the gram
+    // hash (never a broadcast), and each split's counts collapse
+    // map-side. Measured at sf0.001: ~85% of held-out 4-grams are
+    // unseen — the fixture's vocab is tiny (31 words) but its 4-gram
+    // space is not, which is exactly why context coverage (not unigram
+    // OOV, which is 0 here) is the audit that matters.
+    "q206_heldout_coverage" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val sp = leakSafeSplit(docs).select("doc_id", "split")
+        val grams = docs
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .where(size(col("w")) >= 4)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(w) - 3), i -> concat_ws(' ', " +
+              "element_at(w, i), element_at(w, i + 1), " +
+              "element_at(w, i + 2), element_at(w, i + 3)))")).as("gm"))
+          .select(col("doc_id"), DedupOps.md5Long60(col("gm")).as("g"))
+          .join(sp, "doc_id")
+        val tv = grams.where(col("split") === "train")
+          .select("g").distinct()
+        grams.join(tv.withColumn("seen", lit(1L)), Seq("g"), "left")
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_grams"),
+            count(when(col("seen").isNull, 1)).as("unseen_grams"))
+          .select(col("split"), col("n_grams"), col("unseen_grams"),
+            expr("unseen_grams * 10000 div n_grams").as("unseen_bps"))
+          .orderBy("split")
+      },
+      Some(
+        """WITH f AS (SELECT doc_id,
+          |   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+          |   FROM documents),
+          | c AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS canonical_id FROM f),
+          | sp AS (SELECT doc_id, CASE
+          |   WHEN ('0x' || substr(md5(canonical_id::VARCHAR), 1, 15))::BIGINT % 10 < 8 THEN 'train'
+          |   WHEN ('0x' || substr(md5(canonical_id::VARCHAR), 1, 15))::BIGINT % 10 = 8 THEN 'val'
+          |   ELSE 'test' END AS split FROM c),
+          | s0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          |   WHERE len(string_split(text, ' ')) >= 4),
+          | gm AS (SELECT doc_id,
+          |     ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]), 1, 15))::BIGINT AS g
+          |   FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 3)) AS i FROM s0)),
+          | gs AS (SELECT gm.doc_id, sp.split, gm.g FROM gm JOIN sp USING (doc_id)),
+          | tv AS (SELECT DISTINCT g FROM gs WHERE split = 'train')
+          | SELECT gs.split, CAST(count(*) AS BIGINT) AS n_grams,
+          |   CAST(count(*) FILTER (WHERE tv.g IS NULL) AS BIGINT) AS unseen_grams,
+          |   CAST(count(*) FILTER (WHERE tv.g IS NULL) * 10000 // count(*) AS BIGINT) AS unseen_bps
+          | FROM gs LEFT JOIN tv ON gs.g = tv.g
+          | GROUP BY gs.split ORDER BY gs.split"""
+          .stripMargin.replace("\n", ""))),
+
     // Cross-document repeated-span statistics (the measurement half of
     // exact substring dedup, Lee et al. 2022): word-8-grams occurring in
     // more than one document mark their token spans as boilerplate; the

@@ -313,4 +313,33 @@ class AuditOpsSpec extends SparkSpec {
       assert(r._3 <= r._2 && r._4 == r._3 * 10000 / r._2, s"accounting: $r")
     }
   }
+
+  test("q207 correlations: bounded, exact moments match a BigInt replay") {
+    val rows = run("q207_feature_corr")
+      .select("f1", "f2", "n", "cov_num", "cov", "corr")
+      .as[(String, String, Long, Long, Double, Double)].collect()
+    assert(rows.length == 6 && rows.map(r => (r._1, r._2)).distinct.length == 6)
+    val feats = graft.ops.TestData.table(spark, sf, "lineitem")
+      .select(expr("CAST(l_quantity AS BIGINT)"),
+        expr("CAST(floor(l_extendedprice / 100) AS BIGINT)"),
+        expr("CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)"),
+        expr("CAST(floor(l_tax * 10000 + 0.5) AS BIGINT)"))
+      .as[(Long, Long, Long, Long)].collect()
+    val byName = Map[String, Seq[BigInt]](
+      "qty" -> feats.map(f => BigInt(f._1)).toSeq,
+      "price" -> feats.map(f => BigInt(f._2)).toSeq,
+      "disc" -> feats.map(f => BigInt(f._3)).toSeq,
+      "tax" -> feats.map(f => BigInt(f._4)).toSeq)
+    val n = BigInt(feats.length)
+    rows.foreach { case (f1, f2, rn, num, cov, corr) =>
+      assert(rn == n, "n mismatch")
+      val (xs, ys) = (byName(f1), byName(f2))
+      val expect = n * xs.zip(ys).map { case (x, y) => x * y }.sum -
+        xs.sum * ys.sum
+      assert(BigInt(num) == expect, s"($f1,$f2) covariance numerator")
+      assert(math.abs(cov - expect.toDouble / (n * n).toDouble) < 1e-9)
+      assert(corr >= -1.0 - 1e-12 && corr <= 1.0 + 1e-12,
+        s"($f1,$f2) corr $corr out of range")
+    }
+  }
 }

@@ -65,4 +65,24 @@ class ScorecardSpec extends SparkSpec {
       assert(e > 0 && chi >= 0.0 && !chi.isNaN)
     }
   }
+
+  test("q205 calibration: buckets partition customers, rates bounded") {
+    val rows = run("q205_score_calibration")
+      .select("bucket", "n", "n_yes", "mean_pred", "actual_rate")
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1)
+    val bank = graft.ops.TestData.bankFrame(spark, sf)
+    assert(rows.map(_._2).sum == bank.count(), "buckets partition customers")
+    assert(rows.map(_._3).sum ==
+      bank.where(col("y") === "yes").count(), "yes conservation")
+    rows.foreach { r =>
+      assert(r._1 >= 0 && r._1 <= 9, s"bucket range: $r")
+      assert(r._4 >= -0.1 && r._4 <= 1.0, s"mean_pred range: $r")
+      assert(r._5 >= 0.0 && r._5 <= 1.0 && r._3 <= r._2, s"rate range: $r")
+    }
+    // mean predicted score rises with the bucket index by construction
+    rows.map(_._4).sliding(2).foreach {
+      case Array(a, b) => assert(a < b, "bucket means must increase")
+      case _ =>
+    }
+  }
 }

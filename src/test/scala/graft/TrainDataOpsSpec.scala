@@ -254,4 +254,24 @@ class TrainDataOpsSpec extends SparkSpec {
       assert(byLang("en") > m, s"en mean ${byLang("en")} !> $l mean $m")
     }
   }
+
+  test("q206 held-out coverage: train is its own vocabulary, held-out is not") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q206_heldout_coverage")(spark, dir)
+      .select("split", "n_grams", "unseen_grams", "unseen_bps")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(rows.keySet == Set("train", "val", "test"))
+    assert(rows("train")._3 == 0, "train 4-grams are all in the train set")
+    Seq("val", "test").foreach { sp =>
+      val r = rows(sp)
+      assert(r._3 > 0 && r._3 <= r._2, s"$sp unseen accounting")
+      assert(r._4 == r._3 * 10000 / r._2, s"$sp bps accounting")
+    }
+    // gram conservation vs a direct recount
+    val total = graft.ops.TestData.table(spark, dir, "documents")
+      .select(split(col("text"), " ").as("w")).where(size(col("w")) >= 4)
+      .select((size(col("w")) - 3).cast("long").as("k"))
+      .agg(sum("k")).as[Long].collect().head
+    assert(rows.values.map(_._2).sum == total, "4-gram conservation")
+  }
 }
