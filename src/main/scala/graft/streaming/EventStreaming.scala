@@ -252,4 +252,63 @@ object EventStreaming {
             new Timestamp(st.lastTs), st.nEvents, st.valueSum)
       }
   }
+
+  final case class RateState(n: Long, s1: Long, s2: Long, curHour: Long,
+                             curCnt: Long, flagged: Long, late: Long)
+  final case class RateRow(user_id: Long, closed_hours: Long,
+                           closed_events: Long, closed_sq: Long,
+                           cur_hour: Long, cur_cnt: Long,
+                           flagged_hours: Long, late_events: Long)
+
+  /** Fold the open hour into the moments and run the batch-q142
+    * integer z-test against the moments INCLUDING it ("prequential"
+    * scoring: each hour is judged the moment it closes, on exactly the
+    * history available then).
+    */
+  private def closeRateHour(st: RateState): RateState =
+    if (st.curHour == Long.MinValue) st
+    else {
+      val n = st.n + 1
+      val s1 = st.s1 + st.curCnt
+      val s2 = st.s2 + st.curCnt * st.curCnt
+      val d = n * st.curCnt - s1
+      val flag = n >= 4 && d > 0 && d * d > 9L * (n * s2 - s1 * s1)
+      RateState(n, s1, s2, st.curHour, st.curCnt,
+        st.flagged + (if (flag) 1L else 0L), st.late)
+    }
+
+  /** Streaming per-user rate-anomaly keeper — the continuous twin of
+    * batch q142: keyed state holds the BIGINT moments (n, S1, S2) of
+    * CLOSED hourly counts plus the one open hour, so state per user is
+    * O(1) forever. When an event advances the hour, the finished hour
+    * folds into the moments and is z-tested with the same integer
+    * inequality as q142 ((n*x - S1)^2 > 9*(n*S2 - S1^2), no IEEE
+    * mean/stddev). Differences from batch, by design: scoring is
+    * prequential (an hour is judged on history up to and including
+    * itself, not the full future), and an event older than the open
+    * hour counts as late rather than reopening it (at-least-once
+    * replay safety). Moment parity with the batch derivation over the
+    * same log is law-tested in AsofStreamingSpec.
+    */
+  def rateAnomaly(events: Dataset[Event]): Dataset[RateRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[RateState, RateRow](GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[RateState]) =>
+          var st = state.getOption.getOrElse(
+            RateState(0L, 0L, 0L, Long.MinValue, 0L, 0L, 0L))
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val h = e.ts.getTime / 3600000L
+            if (h == st.curHour) st = st.copy(curCnt = st.curCnt + 1)
+            else if (h > st.curHour) {
+              st = closeRateHour(st)
+              st = st.copy(curHour = h, curCnt = 1L)
+            } else st = st.copy(late = st.late + 1)
+          }
+          state.update(st)
+          RateRow(userId, st.n, st.s1, st.s2, st.curHour, st.curCnt,
+            st.flagged, st.late)
+      }
+  }
 }

@@ -315,6 +315,62 @@ class AsofStreamingSpec extends SparkSpec {
       assert(streamed == batch, s"streamed $streamed vs batch $batch")
     } finally query.stop()
   }
+
+  test("streaming rate keeper: moments match batch, flags match replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.ops.TestData.table(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreaming.Event].collect().toSeq
+    val cut = ev.map(_.ts.getTime).sorted.apply(ev.length / 2)
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val stream = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreaming.Event]
+    val query = EventStreaming.rateAnomaly(stream)
+      .writeStream.format("memory").queryName("rate_test")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+    try {
+      def tuple(e: EventStreaming.Event) =
+        (e.event_id, e.ts, e.user_id, e.event_type, e.value)
+      mem.addData(ev.filter(_.ts.getTime <= cut).map(tuple))
+      query.processAllAvailable()
+      mem.addData(ev.filter(_.ts.getTime > cut).map(tuple))
+      query.processAllAvailable()
+      // latest trigger's row per user: closed state only grows
+      val current = spark.table("rate_test")
+        .as[EventStreaming.RateRow].collect()
+        .groupBy(_.user_id)
+        .map { case (_, rs) => rs.maxBy(r => (r.closed_hours, r.cur_hour)) }
+      // time-split batches can never deliver late events
+      assert(current.forall(_.late_events == 0))
+      // per-user hour counts, event-time order — the shared ground truth
+      val hours = ev.groupBy(_.user_id).map { case (u, es) =>
+        u -> es.groupBy(_.ts.getTime / 3600000L).toSeq
+          .map { case (h, g) => (h, g.size.toLong) }.sortBy(_._1)
+      }
+      current.foreach { r =>
+        val hs = hours(r.user_id)
+        // fold the open hour back in: moments must equal the batch
+        // (q142-style) per-user moments over ALL hours
+        val n = r.closed_hours + 1
+        val s1 = r.closed_events + r.cur_cnt
+        val s2 = r.closed_sq + r.cur_cnt * r.cur_cnt
+        assert(n == hs.length && s1 == hs.map(_._2).sum &&
+          s2 == hs.map(c => c._2 * c._2).sum, s"user ${r.user_id} moments")
+        assert((r.cur_hour, r.cur_cnt) == hs.last, s"user ${r.user_id} open hour")
+        // prequential flag replay over closed hours
+        var (pn, ps1, ps2, flags) = (0L, 0L, 0L, 0L)
+        hs.dropRight(1).foreach { case (_, c) =>
+          pn += 1; ps1 += c; ps2 += c * c
+          val d = pn * c - ps1
+          if (pn >= 4 && d > 0 && d * d > 9L * (pn * ps2 - ps1 * ps1))
+            flags += 1
+        }
+        assert(r.flagged_hours == flags, s"user ${r.user_id} flags")
+      }
+    } finally query.stop()
+  }
 }
 
 /** Static instrumentation for the batched-decode spec (local mode: the
