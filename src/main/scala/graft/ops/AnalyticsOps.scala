@@ -907,6 +907,121 @@ object AnalyticsOps {
           |   FROM f)
           | SELECT * FROM (""".stripMargin.replace("\n", "") +
           pairSel + ") ORDER BY f1, f2"
-      })
+      }),
+
+    // Cohort LTV curve: customers grouped by first-order month, revenue
+    // tracked by months-since-acquisition — the unit-economics view
+    // (q130 tracks RETENTION counts; this tracks cumulative VALUE).
+    // Month index is pure integer calendar arithmetic ((y2-y1)*12 +
+    // m2-m1), revenue is exact cents, and the cumulative sum windows
+    // over the (cohort x month-index) aggregate — a frame bounded by
+    // calendar-months squared, never the order count. Two exchanges:
+    // the per-customer first-order aggregate and the cohort rollup.
+    "q209_cohort_ltv" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val o = table(s, dir, "orders").select(col("o_custkey"),
+          year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+        val first = o.groupBy("o_custkey")
+          .agg(min(col("y") * 12 + col("m")).as("c0"))
+        val sized = first.groupBy("c0").agg(count(lit(1)).as("cohort_size"))
+        val rolled = o.join(first, "o_custkey")
+          .groupBy(col("c0"),
+            (col("y") * 12 + col("m") - col("c0")).as("month_index"))
+          .agg(sum("cents").as("rev_cents"))
+        val cum = rolled.withColumn("cum_rev_cents",
+          sum("rev_cents").over(Window.partitionBy("c0")
+            .orderBy("month_index")))
+        cum.join(sized, "c0")
+          .select(
+            concat_ws("-", expr("(c0 - 1) div 12"),
+              lpad(((col("c0") - 1) % 12 + 1).cast("string"), 2, "0"))
+              .as("cohort"),
+            col("month_index").cast("bigint").as("month_index"),
+            col("cohort_size"), col("rev_cents"), col("cum_rev_cents"))
+          .orderBy("cohort", "month_index")
+      },
+      Some(
+        """WITH o AS (SELECT o_custkey,
+          |     year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+          |     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+          |   FROM orders),
+          | f AS (SELECT o_custkey, min(ym) AS c0 FROM o GROUP BY o_custkey),
+          | sz AS (SELECT c0, CAST(count(*) AS BIGINT) AS cohort_size FROM f GROUP BY c0),
+          | r AS (SELECT f.c0, o.ym - f.c0 AS month_index,
+          |     CAST(sum(o.cents) AS BIGINT) AS rev_cents
+          |   FROM o JOIN f USING (o_custkey) GROUP BY 1, 2),
+          | c AS (SELECT c0, month_index, rev_cents,
+          |     CAST(sum(rev_cents) OVER (PARTITION BY c0 ORDER BY month_index) AS BIGINT) AS cum_rev_cents
+          |   FROM r)
+          | SELECT CAST((c.c0 - 1) // 12 AS VARCHAR) || '-' ||
+          |     lpad(CAST((c.c0 - 1) % 12 + 1 AS VARCHAR), 2, '0') AS cohort,
+          |   CAST(month_index AS BIGINT) AS month_index,
+          |   sz.cohort_size, rev_cents, cum_rev_cents
+          | FROM c JOIN sz ON c.c0 = sz.c0
+          | ORDER BY cohort, month_index"""
+          .stripMargin.replace("\n", ""))),
+
+    // Winsorization pre-flight: locate the discrete p01/p99 order
+    // statistics of order value (exact cents, row_number rank — the
+    // q48/q115 discrete-percentile discipline, no interpolation) and
+    // report how much mass clipping at them would move: row counts and
+    // the exact cents delta on each tail. The rank window sorts the
+    // ORDER-level frame; at warehouse scale the same statistic comes
+    // from the value-collapsed histogram (q140) — documented, not
+    // needed at this row count. One row out; clip thresholds keyed to
+    // n via integer arithmetic so both engines pick the same ranks.
+    "q210_winsorize_audit" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val o = table(s, dir, "orders").select(
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"),
+          col("o_orderkey"))
+        val ranked = o.withColumn("rn",
+            row_number().over(Window.orderBy("cents", "o_orderkey"))
+              .cast("long"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(1))))
+        val marked = ranked.select(col("cents"), col("rn"), col("n"),
+          expr("greatest(1L, n div 100)").as("ilo"),
+          expr("n - n div 100").as("ihi"))
+        marked.agg(
+            max("n").as("n_orders"),
+            max(when(col("rn") === col("ilo"), col("cents"))).as("p01_cents"),
+            max(when(col("rn") === col("ihi"), col("cents"))).as("p99_cents"),
+            sum(when(col("rn") < col("ilo"), lit(1L)).otherwise(lit(0L)))
+              .as("n_below"),
+            sum(when(col("rn") > col("ihi"), lit(1L)).otherwise(lit(0L)))
+              .as("n_above"),
+            sum(when(col("rn") < col("ilo"), col("cents")).otherwise(lit(0L)))
+              .as("below_cents"),
+            sum(when(col("rn") > col("ihi"), col("cents")).otherwise(lit(0L)))
+              .as("above_cents"))
+          .select(col("n_orders"), col("p01_cents"), col("p99_cents"),
+            col("n_below"), col("n_above"),
+            (col("n_below") * col("p01_cents") - col("below_cents"))
+              .as("lift_cents"),
+            (col("above_cents") - col("n_above") * col("p99_cents"))
+              .as("trim_cents"))
+      },
+      Some(
+        """WITH o AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+          |     o_orderkey FROM orders),
+          | r AS (SELECT cents,
+          |     CAST(row_number() OVER (ORDER BY cents, o_orderkey) AS BIGINT) AS rn,
+          |     CAST(count(*) OVER () AS BIGINT) AS n FROM o),
+          | m AS (SELECT cents, rn, n, greatest(1, n // 100) AS ilo,
+          |     n - n // 100 AS ihi FROM r)
+          | SELECT max(n) AS n_orders,
+          |   max(CASE WHEN rn = ilo THEN cents END) AS p01_cents,
+          |   max(CASE WHEN rn = ihi THEN cents END) AS p99_cents,
+          |   CAST(sum(CASE WHEN rn < ilo THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+          |   CAST(sum(CASE WHEN rn > ihi THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+          |   CAST(sum(CASE WHEN rn < ilo THEN 1 ELSE 0 END) * max(CASE WHEN rn = ilo THEN cents END)
+          |     - sum(CASE WHEN rn < ilo THEN cents ELSE 0 END) AS BIGINT) AS lift_cents,
+          |   CAST(sum(CASE WHEN rn > ihi THEN cents ELSE 0 END)
+          |     - sum(CASE WHEN rn > ihi THEN 1 ELSE 0 END) * max(CASE WHEN rn = ihi THEN cents END) AS BIGINT) AS trim_cents
+          | FROM m"""
+          .stripMargin.replace("\n", "")))
   )
 }

@@ -262,6 +262,53 @@ object EventFlowOps {
           |   CAST(coalesce(f.new_users, 0) AS BIGINT) AS new_users,
           |   a.active_users - CAST(coalesce(f.new_users, 0) AS BIGINT) AS returning_users
           | FROM a LEFT JOIN f ON a.day = f.day ORDER BY a.day"""
+          .stripMargin.replace("\n", ""))),
+
+    // Orphan-conversion audit — the as-of ANTI join: purchases with NO
+    // click by the same user in the preceding hour (attribution's
+    // complement; a rising orphan share means lost upstream tracking).
+    // q36/q49 emit the matches; absence needs different machinery: a
+    // per-user running max of click times over a RANGE frame (so a
+    // click sharing the purchase's exact timestamp counts regardless
+    // of event-id order — the tie rule the NOT EXISTS oracle implies),
+    // then a null/age test. ONE user-key exchange, no range explosion,
+    // no anti-join of corpus against corpus; the daily rollup is the
+    // only other shuffle.
+    "q208_orphan_purchases" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = table(s, dir, "events")
+          .where(col("event_type").isin("click", "purchase"))
+          .select(col("user_id"), col("event_type"), col("ts"),
+            expr("unix_micros(ts)").as("tus"))
+        val w = Window.partitionBy("user_id").orderBy("tus")
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        val scored = ev
+          .withColumn("last_click",
+            max(when(col("event_type") === "click", col("tus"))).over(w))
+          .where(col("event_type") === "purchase")
+          .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+            (col("last_click").isNull ||
+              col("tus") - col("last_click") > 3600L * 1000000L)
+              .cast("long").as("orphan"))
+        scored.groupBy("day")
+          .agg(count(lit(1)).as("n_purchases"), sum("orphan").as("n_orphans"))
+          .select(col("day"), col("n_purchases"), col("n_orphans"),
+            expr("n_orphans * 10000 div n_purchases").as("orphan_bps"))
+          .orderBy("day")
+      },
+      Some(
+        """WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+          | o AS (SELECT strftime(p.ts, '%Y-%m-%d') AS day,
+          |     CASE WHEN NOT EXISTS (SELECT 1 FROM events c
+          |       WHERE c.event_type = 'click' AND c.user_id = p.user_id
+          |         AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR)
+          |     THEN 1 ELSE 0 END AS orphan
+          |   FROM p)
+          | SELECT day, CAST(count(*) AS BIGINT) AS n_purchases,
+          |   CAST(sum(orphan) AS BIGINT) AS n_orphans,
+          |   CAST(sum(orphan) * 10000 // count(*) AS BIGINT) AS orphan_bps
+          | FROM o GROUP BY day ORDER BY day"""
           .stripMargin.replace("\n", "")))
   )
 }

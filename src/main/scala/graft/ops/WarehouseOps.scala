@@ -1457,6 +1457,54 @@ object WarehouseOps {
           |   CAST(rows_affected AS BIGINT) AS rows_affected,
           |   CAST(rows_affected * 10000 // rows_total AS BIGINT) AS share_bps
           | FROM u ORDER BY table_name"""
+          .stripMargin.replace("\n", ""))),
+
+    // Candidate-key discovery audit: exact distinct-count per column of
+    // the orders table, uniqueness ratio in bps, and an is_key verdict
+    // — the profiling pass that finds join keys and dedup keys in an
+    // unfamiliar table (q132 checks DECLARED constraints; this
+    // DISCOVERS them). All five exact distincts ride one aggregation
+    // (Spark plans multi-distinct via a single expand), the 1-row
+    // moment frame is checkpointed, and the 5-row report derives from
+    // it without re-scanning.
+    "q211_key_uniqueness" -> Q(
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+        val m = o.agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("o_orderkey")).as("d_orderkey"),
+            countDistinct(col("o_custkey")).as("d_custkey"),
+            countDistinct(to_date(col("o_orderdate"))).as("d_orderdate"),
+            countDistinct(col("o_orderpriority")).as("d_priority"),
+            countDistinct(col("o_orderstatus")).as("d_status"))
+          .localCheckpoint(eager = true)
+        Seq(("o_orderkey", "d_orderkey"), ("o_custkey", "d_custkey"),
+          ("o_orderdate", "d_orderdate"),
+          ("o_orderpriority", "d_priority"),
+          ("o_orderstatus", "d_status")).map { case (cn, dn) =>
+          m.select(lit(cn).as("column_name"), col("n_rows"),
+            col(dn).as("n_distinct"),
+            expr(s"$dn * 10000 div n_rows").as("uniqueness_bps"),
+            (col(dn) === col("n_rows")).cast("int").as("is_key"))
+        }.reduce(_ unionByName _).orderBy("column_name")
+      },
+      Some(
+        """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          |   CAST(count(DISTINCT o_orderkey) AS BIGINT) AS d_orderkey,
+          |   CAST(count(DISTINCT o_custkey) AS BIGINT) AS d_custkey,
+          |   CAST(count(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS d_orderdate,
+          |   CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS d_priority,
+          |   CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS d_status
+          |   FROM orders),
+          | u AS (
+          |   SELECT 'o_orderkey' AS column_name, n_rows, d_orderkey AS n_distinct FROM m
+          |   UNION ALL SELECT 'o_custkey', n_rows, d_custkey FROM m
+          |   UNION ALL SELECT 'o_orderdate', n_rows, d_orderdate FROM m
+          |   UNION ALL SELECT 'o_orderpriority', n_rows, d_priority FROM m
+          |   UNION ALL SELECT 'o_orderstatus', n_rows, d_status FROM m)
+          | SELECT column_name, n_rows, n_distinct,
+          |   CAST(n_distinct * 10000 // n_rows AS BIGINT) AS uniqueness_bps,
+          |   CAST(n_distinct = n_rows AS INT) AS is_key
+          | FROM u ORDER BY column_name"""
           .stripMargin.replace("\n", "")))
   )
 }

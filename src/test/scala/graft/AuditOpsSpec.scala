@@ -342,4 +342,66 @@ class AuditOpsSpec extends SparkSpec {
         s"($f1,$f2) corr $corr out of range")
     }
   }
+
+  test("q209 LTV: cohorts partition customers, cumulative conserves revenue") {
+    val rows = run("q209_cohort_ltv")
+      .select("cohort", "month_index", "cohort_size", "rev_cents",
+        "cum_rev_cents")
+      .as[(String, Long, Long, Long, Long)].collect()
+    val orders = graft.ops.TestData.table(spark, sf, "orders")
+    // cohort sizes count each customer once
+    val sizes = rows.groupBy(_._1).map { case (c, g) => (c, g.head._3) }
+    assert(sizes.values.sum ==
+      orders.select("o_custkey").distinct().count(), "customer partition")
+    // final cumulative across cohorts equals total revenue cents
+    val finals = rows.groupBy(_._1).map(_._2.maxBy(_._2)._5).sum
+    val total = orders
+      .select(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("c"))
+      .agg(sum("c")).as[Long].collect().head
+    assert(finals == total, s"revenue conservation: $finals vs $total")
+    rows.groupBy(_._1).foreach { case (c, g) =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.head._2 == 0, s"$c starts at month 0")
+      assert(sorted.map(_._5).zip(sorted.map(_._4))
+        .foldLeft((true, 0L)) { case ((ok, acc), (cum, rev)) =>
+          (ok && cum == acc + rev, acc + rev)
+        }._1, s"$c cumulative accounting")
+    }
+  }
+
+  test("q210 winsorize: thresholds ordered, tails exact vs local sort") {
+    val r = run("q210_winsorize_audit")
+      .select("n_orders", "p01_cents", "p99_cents", "n_below", "n_above",
+        "lift_cents", "trim_cents")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    val cents = graft.ops.TestData.table(spark, sf, "orders")
+      .select(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+      .as[Long].collect().sorted
+    val n = cents.length.toLong
+    assert(r._1 == n)
+    val ilo = math.max(1L, n / 100)
+    val ihi = n - n / 100
+    assert(r._2 == cents((ilo - 1).toInt) && r._3 == cents((ihi - 1).toInt),
+      "discrete percentile thresholds")
+    assert(r._2 <= r._3 && r._4 == ilo - 1 && r._5 == n - ihi)
+    val below = cents.take((ilo - 1).toInt)
+    val above = cents.drop(ihi.toInt)
+    assert(r._6 == below.map(r._2 - _).sum && r._6 >= 0, "lift mass")
+    assert(r._7 == above.map(_ - r._3).sum && r._7 >= 0, "trim mass")
+  }
+
+  test("q211 uniqueness: orderkey is the key, distincts match recounts") {
+    val rows = run("q211_key_uniqueness")
+      .select("column_name", "n_rows", "n_distinct", "uniqueness_bps",
+        "is_key")
+      .as[(String, Long, Long, Long, Int)].collect().map(r => r._1 -> r).toMap
+    val o = graft.ops.TestData.table(spark, sf, "orders")
+    assert(rows("o_orderkey")._5 == 1, "orderkey must be a key")
+    assert(rows("o_orderstatus")._5 == 0 && rows("o_orderpriority")._5 == 0)
+    assert(rows("o_custkey")._3 == o.select("o_custkey").distinct().count())
+    rows.values.foreach { r =>
+      assert(r._3 <= r._2 && r._4 == r._3 * 10000 / r._2, s"accounting: $r")
+      assert((r._5 == 1) == (r._3 == r._2), s"is_key consistency: $r")
+    }
+  }
 }

@@ -56,4 +56,32 @@ class EventFlowSpec extends SparkSpec {
       assert(cov <= 600L * n, s"user $u: coverage cannot exceed n * 600")
     }
   }
+
+  test("q208 orphan purchases: daily accounting matches a full local replay") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q208_orphan_purchases")(spark, sf)
+      .select("day", "n_purchases", "n_orphans", "orphan_bps")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val ev = graft.ops.TestData.table(spark, sf, "events")
+      .where(col("event_type").isin("click", "purchase"))
+      .select("user_id", "event_type", "ts")
+      .as[(Long, String, java.sql.Timestamp)].collect()
+    val clicksByUser = ev.filter(_._2 == "click")
+      .groupBy(_._1).view.mapValues(_.map(_._3.getTime)).toMap
+    val purchases = ev.filter(_._2 == "purchase")
+    val expected = purchases.groupBy(_._3.toLocalDateTime.toLocalDate)
+      .map { case (d, ps) =>
+        val orphans = ps.count { p =>
+          !clicksByUser.getOrElse(p._1, Array.empty[Long])
+            .exists(c => c <= p._3.getTime && c >= p._3.getTime - 3600000L)
+        }
+        (d.toString, ps.size.toLong, orphans.toLong)
+      }
+    assert(rows.keySet == expected.map(_._1).toSet)
+    expected.foreach { case (d, np, no) =>
+      val r = rows(d)
+      assert(r._2 == np && r._3 == no, s"day $d: $r vs ($np, $no)")
+      assert(r._4 == no * 10000 / np, s"day $d bps")
+    }
+  }
 }
