@@ -426,7 +426,100 @@ object SketchOps {
           | SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
           |   CAST(sum(w * cents) AS BIGINT) AS total_cents
           | FROM w GROUP BY b ORDER BY b""".stripMargin.replace("\n", "")))
-  )
+  ,
+
+    // MinHash-LSH parameter planner: the detection-probability surface
+    // p(s) = 1 - (1 - s^r)^b for every (bands, rows) factorization of
+    // the house 16-hash signature, over a 19-point similarity grid —
+    // the table an operator reads to pick banding before a dedup run
+    // (q139 measures the deployed config against its realized
+    // candidates; this plans ALL configs analytically). Cross-engine
+    // exactness without libm pow: r and b are powers of two, so s^r
+    // and (1-s^r)^b evaluate by REPEATED SQUARING with identical
+    // association in both engines — every multiply is the same IEEE
+    // operation in the same order. 76 rows, no table input: the plan
+    // is a pure literal cross join.
+    "q212_lsh_planner" -> Q(
+      (s, dir) => {
+        val grid = s.range(1, 20).select((col("id") / 20.0).as("sim"))
+        val cfgs = s.createDataFrame(Seq((16L, 1L), (8L, 2L), (4L, 4L),
+          (2L, 8L))).toDF("bands", "rows_per_band")
+        grid.crossJoin(cfgs)
+          .withColumn("sr", expr(
+            "CASE rows_per_band WHEN 1 THEN sim WHEN 2 THEN sim * sim " +
+              "WHEN 4 THEN (sim * sim) * (sim * sim) " +
+              "ELSE ((sim * sim) * (sim * sim)) * ((sim * sim) * (sim * sim)) END"))
+          .withColumn("q", lit(1.0) - col("sr"))
+          .withColumn("p_detect", lit(1.0) - expr(
+            "CASE bands WHEN 2 THEN q * q WHEN 4 THEN (q * q) * (q * q) " +
+              "WHEN 8 THEN ((q * q) * (q * q)) * ((q * q) * (q * q)) " +
+              "ELSE (((q * q) * (q * q)) * ((q * q) * (q * q))) * " +
+              "(((q * q) * (q * q)) * ((q * q) * (q * q))) END"))
+          .select(col("bands"), col("rows_per_band"), col("sim"),
+            col("p_detect"))
+          .orderBy("bands", "sim")
+      },
+      Some(
+        """WITH grid AS (SELECT CAST(unnest(generate_series(1, 19)) AS BIGINT) / 20.0 AS sim),
+          | cfg AS (SELECT CAST(bands AS BIGINT) AS bands,
+          |     CAST(rows_per_band AS BIGINT) AS rows_per_band
+          |   FROM (VALUES (16, 1), (8, 2), (4, 4), (2, 8)) t(bands, rows_per_band)),
+          | base AS (SELECT bands, rows_per_band, sim FROM grid CROSS JOIN cfg),
+          | sr AS (SELECT bands, rows_per_band, sim,
+          |   CASE rows_per_band WHEN 1 THEN sim WHEN 2 THEN sim * sim
+          |     WHEN 4 THEN (sim * sim) * (sim * sim)
+          |     ELSE ((sim * sim) * (sim * sim)) * ((sim * sim) * (sim * sim)) END AS sr
+          |   FROM base),
+          | qq AS (SELECT bands, rows_per_band, sim, 1.0 - sr AS q FROM sr)
+          | SELECT bands, rows_per_band, sim,
+          |   1.0 - CASE bands WHEN 2 THEN q * q WHEN 4 THEN (q * q) * (q * q)
+          |     WHEN 8 THEN ((q * q) * (q * q)) * ((q * q) * (q * q))
+          |     ELSE (((q * q) * (q * q)) * ((q * q) * (q * q))) *
+          |       (((q * q) * (q * q)) * ((q * q) * (q * q))) END AS p_detect
+          | FROM qq ORDER BY bands, sim"""
+          .stripMargin.replace("\n", ""))),
+
+    // Neyman minimum-variance sampling allocation: split a 10k-doc
+    // sampling budget across sources proportionally to N_h * sigma_h
+    // (strata that are BIG or VARIABLE get more samples — the design
+    // that minimizes the estimator variance at fixed budget). The
+    // allocation weight is isqrt(N_h * sum(x^2) - S_h^2) — an exact
+    // integer square root (floor of a correctly-rounded sqrt; the
+    // radicand stays far below 2^52, where floor(sqrt) is
+    // deterministic in both engines) — so the weight total and the
+    // bps allocation are pure BIGINT arithmetic: NO cross-row float
+    // summation anywhere (a double weight total would be
+    // association-order-dependent and break the gate). One stratum
+    // aggregation; the 20-row allocation derives map-side.
+    "q213_neyman_allocation" -> Q(
+      (s, dir) => {
+        val st = table(s, dir, "documents")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sx"),
+            sum(col("n_chars") * col("n_chars")).as("sxx"))
+          .select(col("source"), col("n_docs"), col("sx"), col("sxx"),
+            expr("CAST(floor(sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE))) AS BIGINT)")
+              .as("w"))
+          .localCheckpoint(eager = true)
+        val tot = st.agg(sum("w").as("tw"))
+        st.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("w"),
+            expr("w * 10000 div tw").as("alloc_bps"))
+          .orderBy("source")
+      },
+      Some(
+        """WITH st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |     CAST(sum(n_chars) AS BIGINT) AS sx,
+          |     CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+          |   FROM documents GROUP BY source),
+          | w AS (SELECT source, n_docs,
+          |     CAST(floor(sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE))) AS BIGINT) AS w
+          |   FROM st),
+          | t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w)
+          | SELECT source, n_docs, w,
+          |   CAST(w * 10000 // tw AS BIGINT) AS alloc_bps
+          | FROM w CROSS JOIN t ORDER BY source"""
+          .stripMargin.replace("\n", ""))))
 
   /** Bitmap-index presence matrix (q162), kept beside the sketches: the
     * EXACT mergeable-state sibling of q124/q156 — same "fixed-layout

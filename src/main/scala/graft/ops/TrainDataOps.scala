@@ -1384,6 +1384,55 @@ object TrainDataOps {
           | GROUP BY gs.split ORDER BY gs.split"""
           .stripMargin.replace("\n", ""))),
 
+    // Feature-hashing (hashing-trick) collision audit: before fixing a
+    // bucket count B for hashed n-gram features (q200's scorer, any
+    // hashed-vocab model), measure what each candidate B destroys —
+    // distinct shingle types per bucket, the share of types that share
+    // a bucket, and the document-frequency mass riding collided
+    // buckets (a collision on a frequent feature hurts more than on a
+    // rare one). One type-level aggregate is computed once
+    // (checkpointed); each candidate B then folds the type frame
+    // (corpus-independent size) map-side. The B grid spans 2^8..2^14 —
+    // the birthday regime for this corpus' ~10k types.
+    "q214_hashing_collisions" -> Q(
+      (s, dir) => {
+        val tv = DedupOps.hashedShingles(table(s, dir, "documents"))
+          .groupBy("s").agg(count(lit(1)).as("df"))
+          .localCheckpoint(eager = true)
+        Seq(256L, 1024L, 4096L, 16384L).map { b =>
+          tv.select((col("s") % b).as("bkt"), col("df"))
+            .groupBy("bkt")
+            .agg(count(lit(1)).as("tb"), sum("df").as("db"))
+            .agg(count(lit(1)).as("occupied"),
+              sum("tb").as("n_types"),
+              sum(when(col("tb") > 1, col("tb")).otherwise(lit(0L)))
+                .as("collided_types"),
+              sum(when(col("tb") > 1, col("db")).otherwise(lit(0L)))
+                .as("collided_df"))
+            .select(lit(b).as("n_buckets"), col("n_types"), col("occupied"),
+              col("collided_types"),
+              expr("collided_types * 10000 div n_types")
+                .as("collided_types_bps"),
+              col("collided_df"))
+        }.reduce(_ unionByName _).orderBy("n_buckets")
+      },
+      Some {
+        def one(b: Long) =
+          s"""SELECT CAST($b AS BIGINT) AS n_buckets,
+             | CAST(sum(tb) AS BIGINT) AS n_types,
+             | CAST(count(*) AS BIGINT) AS occupied,
+             | CAST(sum(CASE WHEN tb > 1 THEN tb ELSE 0 END) AS BIGINT) AS collided_types,
+             | CAST(sum(CASE WHEN tb > 1 THEN tb ELSE 0 END) * 10000 // sum(tb) AS BIGINT) AS collided_types_bps,
+             | CAST(sum(CASE WHEN tb > 1 THEN db ELSE 0 END) AS BIGINT) AS collided_df
+             | FROM (SELECT s % $b AS bkt, CAST(count(*) AS BIGINT) AS tb,
+             |   CAST(sum(df) AS BIGINT) AS db FROM tv GROUP BY 1)""".stripMargin
+        s"""WITH ${DedupOps.jaccardCte},
+           | tv AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY s)
+           | SELECT * FROM (${one(256)} UNION ALL ${one(1024)}
+           |   UNION ALL ${one(4096)} UNION ALL ${one(16384)})
+           | ORDER BY n_buckets""".stripMargin.replace("\n", "")
+      }),
+
     // Cross-document repeated-span statistics (the measurement half of
     // exact substring dedup, Lee et al. 2022): word-8-grams occurring in
     // more than one document mark their token spans as boilerplate; the

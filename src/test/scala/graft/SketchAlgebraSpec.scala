@@ -110,4 +110,86 @@ class SketchAlgebraSpec extends SparkSpec {
       .select("b", "n_eff", "total_cents").as[(Long, Long, Long)].collect()
     assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
+
+  test("q212 LSH planner: exact replay, monotone in sim, band tradeoff") {
+    val rows = run("q212_lsh_planner")
+      .select("bands", "rows_per_band", "sim", "p_detect")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(rows.length == 76)
+    rows.foreach { case (b, r, sim, p) =>
+      assert(b * r == 16, "signature budget")
+      // same-association Scala replay must be bit-identical
+      def pw(x: Double, k: Long): Double = k match {
+        case 1 => x
+        case 2 => x * x
+        case 4 => (x * x) * (x * x)
+        case 8 => ((x * x) * (x * x)) * ((x * x) * (x * x))
+        case 16 =>
+          (((x * x) * (x * x)) * ((x * x) * (x * x))) *
+            (((x * x) * (x * x)) * ((x * x) * (x * x)))
+      }
+      assert(p == 1.0 - pw(1.0 - pw(sim, r), b), s"replay ($b,$r,$sim)")
+      assert(p >= 0.0 && p <= 1.0)
+    }
+    // detection is monotone in similarity within a config
+    rows.groupBy(r => (r._1, r._2)).foreach { case (cfg, g) =>
+      val ps = g.sortBy(_._3).map(_._4)
+      assert(ps.sliding(2).forall { case Array(a, b) => a <= b; case _ => true },
+        s"$cfg not monotone")
+    }
+    // at low similarity, more bands of fewer rows detect MORE (the
+    // false-positive side of the banding tradeoff), and the order
+    // reverses nowhere below the crossover
+    val low = rows.filter(_._3 == 0.25).sortBy(_._2).map(_._4)
+    assert(low.sliding(2).forall { case Array(a, b) => a >= b; case _ => true },
+      "banding tradeoff at s=0.25")
+  }
+
+  test("q213 Neyman: integer weights replay, allocation sums to ~budget") {
+    val rows = run("q213_neyman_allocation")
+      .select("source", "n_docs", "w", "alloc_bps")
+      .as[(String, Long, Long, Long)].collect()
+    val docs = graft.ops.TestData.table(spark, sf, "documents")
+      .select("source", "n_chars").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => BigInt(r._2))).toMap
+    assert(rows.map(_._1).toSet == docs.keySet)
+    val totalW = rows.map(_._3).sum
+    rows.foreach { case (src, n, w, bps) =>
+      val xs = docs(src)
+      val rad = BigInt(xs.length) * xs.map(x => x * x).sum -
+        xs.sum * xs.sum
+      assert(BigInt(n) == xs.length && w >= 0, src)
+      assert(BigInt(w) * BigInt(w) <= rad &&
+        (BigInt(w) + 1) * (BigInt(w) + 1) > rad, s"$src isqrt")
+      assert(bps == w * 10000 / totalW, s"$src allocation")
+    }
+    val allocSum = rows.map(_._4).sum
+    assert(allocSum <= 10000 && allocSum > 10000 - rows.length,
+      s"allocation accounting: $allocSum")
+  }
+
+  test("q214 collisions: monotone in buckets, B=256 replayed locally") {
+    val rows = run("q214_hashing_collisions")
+      .select("n_buckets", "n_types", "occupied", "collided_types",
+        "collided_types_bps", "collided_df")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(256L, 1024L, 4096L, 16384L))
+    assert(rows.map(_._2).distinct.length == 1, "type count is B-free")
+    rows.foreach { r =>
+      assert(r._3 <= math.min(r._1, r._2) && r._4 <= r._2 && r._6 >= r._4)
+      assert(r._5 == r._4 * 10000 / r._2)
+    }
+    assert(rows.map(_._4).sliding(2).forall {
+      case Array(a, b) => a >= b; case _ => true
+    }, "more buckets, fewer collisions")
+    // local replay at B=256 from the shingle type frame
+    val types = graft.ops.DedupOps
+      .hashedShingles(graft.ops.TestData.table(spark, sf, "documents"))
+      .groupBy("s").count().as[(Long, Long)].collect()
+    val byBkt = types.groupBy(_._1 % 256)
+    val collided = byBkt.values.filter(_.length > 1)
+    assert(rows.head._3 == byBkt.size &&
+      rows.head._4 == collided.map(_.length).sum &&
+      rows.head._6 == collided.flatMap(_.map(_._2)).sum, "B=256 replay")
+  }
 }
