@@ -1022,6 +1022,121 @@ object AnalyticsOps {
           |   CAST(sum(CASE WHEN rn > ihi THEN cents ELSE 0 END)
           |     - sum(CASE WHEN rn > ihi THEN 1 ELSE 0 END) * max(CASE WHEN rn = ihi THEN cents END) AS BIGINT) AS trim_cents
           | FROM m"""
+          .stripMargin.replace("\n", ""))),
+
+    // Kendall tau-b rank agreement between two part-level signals —
+    // revenue vs units sold on the top-100 revenue parts: do the two
+    // rankings tell the same story, counted pair by pair (concordant /
+    // discordant / tied), not assumed via a parametric correlation
+    // (q207's Pearson sees linearity; tau sees ORDER). The O(N^2) pair
+    // join runs over the TOP-N AGGREGATE (100 rows -> 4950 pairs),
+    // never the corpus — the only corpus-scale work is the part
+    // rollup. All counts exact BIGINT; tau_b's denominator is the
+    // product of two correctly-rounded sqrts of exact integers.
+    "q215_kendall_tau" -> Q(
+      (s, dir) => {
+        val perPart = table(s, dir, "lineitem")
+          .groupBy("l_partkey")
+          .agg(sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+            .as("rev"),
+            sum(expr("CAST(l_quantity AS BIGINT)")).as("units"))
+        val top = graft.plans.TopKPerGroup(
+            perPart.withColumn("g", lit(1)), Seq("g"),
+            Seq(("rev", true), ("l_partkey", false)), 100)
+          .select("l_partkey", "rev", "units")
+          .localCheckpoint(eager = true)
+        val pairs = top.as("a").join(top.as("b"),
+            col("a.l_partkey") < col("b.l_partkey"))
+          .select(
+            (col("a.rev") - col("b.rev")).as("dx"),
+            (col("a.units") - col("b.units")).as("dy"))
+        val cnt = pairs.agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("dx") * col("dy") > 0, 1L).otherwise(0L)).as("nc"),
+          sum(when(col("dx") * col("dy") < 0, 1L).otherwise(0L)).as("nd"),
+          sum(when(col("dx") === 0 && col("dy") =!= 0, 1L).otherwise(0L))
+            .as("tx"),
+          sum(when(col("dy") === 0 && col("dx") =!= 0, 1L).otherwise(0L))
+            .as("ty"),
+          sum(when(col("dx") === 0 && col("dy") === 0, 1L).otherwise(0L))
+            .as("txy"))
+        cnt.select(col("n_pairs"), col("nc"), col("nd"), col("tx"),
+          col("ty"), col("txy"),
+          ((col("nc") - col("nd")).cast("double") /
+            (sqrt((col("n_pairs") - col("tx") - col("txy")).cast("double")) *
+              sqrt((col("n_pairs") - col("ty") - col("txy")).cast("double"))))
+            .as("tau_b"))
+      },
+      Some(
+        """WITH pp AS (SELECT l_partkey,
+          |     CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev,
+          |     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS units
+          |   FROM lineitem GROUP BY l_partkey),
+          | top AS (SELECT l_partkey, rev, units FROM pp
+          |   ORDER BY rev DESC, l_partkey LIMIT 100),
+          | pr AS (SELECT a.rev - b.rev AS dx, a.units - b.units AS dy
+          |   FROM top a JOIN top b ON a.l_partkey < b.l_partkey),
+          | c AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+          |   CAST(sum(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+          |   CAST(sum(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+          |   CAST(sum(CASE WHEN dx = 0 AND dy <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+          |   CAST(sum(CASE WHEN dy = 0 AND dx <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+          |   CAST(sum(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS txy
+          |   FROM pr)
+          | SELECT n_pairs, nc, nd, tx, ty, txy,
+          |   CAST(nc - nd AS DOUBLE) /
+          |     (sqrt(CAST(n_pairs - tx - txy AS DOUBLE)) *
+          |      sqrt(CAST(n_pairs - ty - txy AS DOUBLE))) AS tau_b
+          | FROM c"""
+          .stripMargin.replace("\n", ""))),
+
+    // Exponentially time-decayed customer value with a DYADIC decay:
+    // weight = 2^-(age_days div 30) — a 30-day half-life realized as
+    // integer halvings, so the decayed sum is exact BIGINT arithmetic
+    // (cents div 2^k per order, summed) instead of the usual
+    // exp(-lambda*age) float accumulation that can never cross engines
+    // bit-for-bit. Age anchors to the corpus max order date (integer
+    // day difference). The rollup is one customer-key exchange; top-20
+    // by decayed value through TopKPerGroup, rank window over the
+    // 20-row survivor frame.
+    "q216_decayed_value" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val o = table(s, dir, "orders").select(col("o_custkey"),
+          to_date(col("o_orderdate")).as("d"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+        val anchored = o.crossJoin(broadcast(o.agg(max("d").as("dmax"))))
+          .select(col("o_custkey"), col("cents"),
+            expr("datediff(dmax, d) div 30").as("k"))
+        val perCust = anchored
+          .select(col("o_custkey"),
+            expr("cents div cast(pow(2, least(k, 62L)) as bigint)").as("dc"),
+            col("cents"))
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"), sum("cents").as("raw_cents"),
+            sum("dc").as("decayed_cents"))
+        graft.plans.TopKPerGroup(perCust.withColumn("g", lit(1)), Seq("g"),
+            Seq(("decayed_cents", true), ("o_custkey", false)), 20)
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(col("decayed_cents").desc, col("o_custkey")))
+            .cast("bigint"))
+          .select("rnk", "o_custkey", "n_orders", "raw_cents",
+            "decayed_cents")
+          .orderBy("rnk")
+      },
+      Some(
+        """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+          |     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+          |   FROM orders),
+          | mx AS (SELECT max(d) AS dmax FROM o),
+          | k AS (SELECT o_custkey, cents,
+          |     CAST((dmax - d) // 30 AS BIGINT) AS k FROM o, mx),
+          | pc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+          |     CAST(sum(cents) AS BIGINT) AS raw_cents,
+          |     CAST(sum(cents // CAST(pow(2, least(k, 62)) AS BIGINT)) AS BIGINT) AS decayed_cents
+          |   FROM k GROUP BY o_custkey)
+          | SELECT CAST(row_number() OVER (ORDER BY decayed_cents DESC, o_custkey) AS BIGINT) AS rnk,
+          |   o_custkey, n_orders, raw_cents, decayed_cents
+          | FROM pc ORDER BY decayed_cents DESC, o_custkey LIMIT 20"""
           .stripMargin.replace("\n", "")))
   )
 }

@@ -404,4 +404,53 @@ class AuditOpsSpec extends SparkSpec {
       assert((r._5 == 1) == (r._3 == r._2), s"is_key consistency: $r")
     }
   }
+
+  test("q215 Kendall: pair accounting, tau replayed from the top frame") {
+    val r = run("q215_kendall_tau")
+      .select("n_pairs", "nc", "nd", "tx", "ty", "txy", "tau_b")
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().head
+    assert(r._1 == r._2 + r._3 + r._4 + r._5 + r._6, "pairs partition")
+    assert(r._7 >= -1.0 && r._7 <= 1.0)
+    // replay from the same top-100 frame, brute force
+    val top = graft.ops.TestData.table(spark, sf, "lineitem")
+      .groupBy("l_partkey")
+      .agg(sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+        .as("rev"), sum(expr("CAST(l_quantity AS BIGINT)")).as("units"))
+      .orderBy(col("rev").desc, col("l_partkey")).limit(100)
+      .select("rev", "units").as[(Long, Long)].collect()
+    var (nc, nd) = (0L, 0L)
+    for (i <- top.indices; j <- (i + 1) until top.length) {
+      val p = (top(i)._1 - top(j)._1) * (top(i)._2 - top(j)._2)
+      if (p > 0) nc += 1 else if (p < 0) nd += 1
+    }
+    assert(r._2 == nc && r._3 == nd, s"(nc,nd) vs ($nc,$nd)")
+  }
+
+  test("q216 decayed value: halvings bound the raw total, ranking sane") {
+    val rows = run("q216_decayed_value")
+      .select("rnk", "o_custkey", "n_orders", "raw_cents", "decayed_cents")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to 20L))
+    rows.foreach { r =>
+      assert(r._5 <= r._4 && r._5 >= 0, s"decay bound: $r")
+    }
+    assert(rows.map(_._5).sliding(2).forall {
+      case Array(a, b) => a >= b; case _ => true
+    }, "ranked by decayed value")
+    // a spot replay for the top customer
+    val top = rows.head
+    val o = graft.ops.TestData.table(spark, sf, "orders")
+      .where(col("o_custkey") === top._2)
+      .select(to_date(col("o_orderdate")).as("d"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("c"))
+      .as[(java.sql.Date, Long)].collect()
+    val dmax = graft.ops.TestData.table(spark, sf, "orders")
+      .agg(max(to_date(col("o_orderdate")))).as[java.sql.Date].collect().head
+    val expect = o.map { case (d, c) =>
+      val k = java.time.temporal.ChronoUnit.DAYS
+        .between(d.toLocalDate, dmax.toLocalDate) / 30
+      c >> math.min(k, 62L).toInt
+    }.sum
+    assert(top._5 == expect, s"top customer decay replay")
+  }
 }
