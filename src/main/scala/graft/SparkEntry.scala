@@ -29,7 +29,8 @@ object SparkEntry {
     PipelineObsOps.all,
     ScorecardOps.all,
     CorpusStatsOps.all,
-    EventFlowOps.all
+    EventFlowOps.all,
+    GovernanceOps.all
   )
 
   private lazy val catalog: Map[String, Q] = {

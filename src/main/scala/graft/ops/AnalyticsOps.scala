@@ -1137,6 +1137,111 @@ object AnalyticsOps {
           | SELECT CAST(row_number() OVER (ORDER BY decayed_cents DESC, o_custkey) AS BIGINT) AS rnk,
           |   o_custkey, n_orders, raw_cents, decayed_cents
           | FROM pc ORDER BY decayed_cents DESC, o_custkey LIMIT 20"""
+          .stripMargin.replace("\n", ""))),
+
+    // Theil-Sen robust trend: median pairwise slope of monthly revenue
+    // (cents / month). The monthly rollup is the only corpus-size
+    // shuffle; the pair frame is months^2 (~3k rows for 7 years) built
+    // from a checkpointed ~80-row frame, so the O(n^2) lives on an
+    // aggregate, never on raw rows — the only way a median-of-slopes
+    // estimator survives 100 TB. Each slope is ONE IEEE division of
+    // exact BIGINTs; the median is taken positionally (min+max of the
+    // <=2 middle ranks, halved) rather than via percentile(), whose
+    // x+(y-x)*0.5 interpolation differs from DuckDB's (x+y)/2 in the
+    // last ulp.
+    "q220_theil_sen" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val m = table(s, dir, "orders")
+          .select(
+            (year(to_date(col("o_orderdate"))) * 12 +
+              (month(to_date(col("o_orderdate"))) - 1)).cast("bigint")
+              .as("m"),
+            expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+              .as("cents"))
+          .groupBy("m").agg(sum("cents").as("rev"))
+          .localCheckpoint(eager = true)
+        val slopes = m.as("a").join(m.as("b"), col("a.m") < col("b.m"))
+          .select(((col("b.rev") - col("a.rev")).cast("double") /
+            (col("b.m") - col("a.m")).cast("double")).as("slope"))
+        val ranked = slopes
+          .withColumn("rn",
+            row_number().over(Window.orderBy("slope")).cast("bigint"))
+          .localCheckpoint(eager = true)
+        val counts = ranked.agg(max("rn").as("n_pairs"))
+        val nMonths = m.agg(count(lit(1)).as("n_months"))
+        ranked.crossJoin(broadcast(counts))
+          .where(col("rn") === expr("(n_pairs + 1) div 2") ||
+            col("rn") === expr("(n_pairs + 2) div 2"))
+          .groupBy("n_pairs")
+          .agg(((min("slope") + max("slope")) / lit(2.0)).as("median_slope"))
+          .crossJoin(broadcast(nMonths))
+          .select(col("n_months"), col("n_pairs"), col("median_slope"))
+      },
+      Some(
+        """WITH m AS (SELECT CAST(year(CAST(o_orderdate AS DATE)) * 12
+          |     + (month(CAST(o_orderdate AS DATE)) - 1) AS BIGINT) AS m,
+          |     CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+          |   FROM orders GROUP BY 1),
+          | p AS (SELECT CAST(b.rev - a.rev AS DOUBLE) / CAST(b.m - a.m AS DOUBLE) AS slope
+          |   FROM m a JOIN m b ON a.m < b.m),
+          | r AS (SELECT slope, CAST(row_number() OVER (ORDER BY slope) AS BIGINT) AS rn FROM p),
+          | c AS (SELECT CAST(max(rn) AS BIGINT) AS n_pairs FROM r),
+          | mm AS (SELECT CAST(count(*) AS BIGINT) AS n_months FROM m),
+          | md AS (SELECT c.n_pairs, (min(r.slope) + max(r.slope)) / 2.0 AS median_slope
+          |   FROM r, c WHERE r.rn = (c.n_pairs + 1) // 2 OR r.rn = (c.n_pairs + 2) // 2
+          |   GROUP BY c.n_pairs)
+          | SELECT mm.n_months, md.n_pairs, md.median_slope FROM mm, md"""
+          .stripMargin.replace("\n", ""))),
+
+    // CUSUM changepoint scan over monthly revenue: the classic
+    // mean-centered cumulative sum, kept EXACT by clearing the mean's
+    // division — dev_i = n*cum_i - i*total is pure BIGINT (cents * ~80
+    // months stays far under 2^63), so the peak month is bit-decided
+    // on both engines with zero float accumulation. One corpus shuffle
+    // (monthly rollup); the window runs over the ~80-row aggregate
+    // (single tiny partition by construction, not by accident).
+    "q221_cusum_changepoint" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val m = table(s, dir, "orders")
+          .select(
+            (year(to_date(col("o_orderdate"))) * 12 +
+              (month(to_date(col("o_orderdate"))) - 1)).cast("bigint")
+              .as("m"),
+            expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+              .as("cents"))
+          .groupBy("m").agg(sum("cents").as("rev"))
+        val tot = m.agg(sum("rev").as("t"), count(lit(1)).as("n"))
+        val wCum = Window.orderBy("m")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val dev = m.crossJoin(broadcast(tot))
+          .withColumn("i", row_number().over(Window.orderBy("m"))
+            .cast("bigint"))
+          .withColumn("cum", sum("rev").over(wCum))
+          .withColumn("dev", col("n") * col("cum") - col("i") * col("t"))
+        val peak = dev.agg(max(abs(col("dev"))).as("peak"))
+        dev.crossJoin(broadcast(peak))
+          .select(col("m"), col("rev"), col("cum"), col("dev"),
+            when(abs(col("dev")) === col("peak"), 1).otherwise(0)
+              .cast("int").as("is_peak"))
+          .orderBy("m")
+      },
+      Some(
+        """WITH m AS (SELECT CAST(year(CAST(o_orderdate AS DATE)) * 12
+          |     + (month(CAST(o_orderdate AS DATE)) - 1) AS BIGINT) AS m,
+          |     CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+          |   FROM orders GROUP BY 1),
+          | t AS (SELECT CAST(sum(rev) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS n FROM m),
+          | d AS (SELECT m.m, m.rev,
+          |     CAST(row_number() OVER (ORDER BY m.m) AS BIGINT) AS i,
+          |     CAST(sum(m.rev) OVER (ORDER BY m.m ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+          |     t.n, t.t FROM m, t),
+          | dv AS (SELECT m, rev, cum, n * cum - i * t AS dev FROM d),
+          | pk AS (SELECT max(abs(dev)) AS peak FROM dv)
+          | SELECT dv.m, dv.rev, dv.cum, dv.dev,
+          |   CAST(CASE WHEN abs(dv.dev) = pk.peak THEN 1 ELSE 0 END AS INT) AS is_peak
+          | FROM dv, pk ORDER BY dv.m"""
           .stripMargin.replace("\n", "")))
   )
 }

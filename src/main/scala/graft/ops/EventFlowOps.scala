@@ -309,6 +309,78 @@ object EventFlowOps {
           |   CAST(sum(orphan) AS BIGINT) AS n_orphans,
           |   CAST(sum(orphan) * 10000 // count(*) AS BIGINT) AS orphan_bps
           | FROM o GROUP BY day ORDER BY day"""
+          .stripMargin.replace("\n", ""))),
+
+    // Top 3-step behavioral paths: each user's (ts, event_id)-ordered
+    // stream yields its consecutive event-type trigrams via two leads
+    // over the SAME user window (one exchange, q171's discipline); the
+    // trigram rollup is map-combinable into a bounded frame (|types|^3
+    // cells), so the top-20 cut sorts ~hundreds of rows, never the
+    // corpus. The path-mining counterpart of q171's 1-step matrix —
+    // what a product team reads to find the dominant 3-click journeys.
+    "q222_event_paths" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        table(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("e1"))
+          .withColumn("e2", lead("e1", 1).over(w))
+          .withColumn("e3", lead("e1", 2).over(w))
+          .where(col("e3").isNotNull)
+          .select(concat_ws(">", col("e1"), col("e2"), col("e3"))
+            .as("path"))
+          .groupBy("path").agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), col("path"))
+          .limit(20)
+      },
+      Some(
+        """WITH seq AS (SELECT event_type AS e1,
+          |     lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+          |     lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+          |   FROM events)
+          | SELECT e1 || '>' || e2 || '>' || e3 AS path,
+          |   CAST(count(*) AS BIGINT) AS cnt
+          | FROM seq WHERE e3 IS NOT NULL
+          | GROUP BY 1 ORDER BY cnt DESC, path LIMIT 20"""
+          .stripMargin.replace("\n", ""))),
+
+    // Rolling 7-day active users (DAU / WAU / stickiness), EXACT: the
+    // textbook per-day COUNT(DISTINCT user) OVER 7 ROWS doesn't
+    // distribute (distinct state can't merge across frames), and
+    // windowed HLL is approximate. Instead: collapse events to the
+    // distinct (user, day) frame ONCE, then each user-day emits its 7
+    // covered window-days (a bounded x7 fanout of the COLLAPSED frame,
+    // not of raw events) and a second distinct + count per day gives
+    // exact WAU. Every stage is a map-combinable hash aggregate; no
+    // per-event window state anywhere. stickiness = dau/wau is the
+    // final IEEE division of two exact BIGINTs.
+    "q224_rolling_actives" -> Q(
+      (s, dir) => {
+        val ud = table(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+          .distinct()
+        val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+        val wau = ud
+          .select(col("user_id"),
+            explode(expr("sequence(day, date_add(day, 6))")).as("day"))
+          .distinct()
+          .groupBy("day").agg(count(lit(1)).as("wau"))
+        dau.join(wau, Seq("day"))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("dau"), col("wau"),
+            (col("dau").cast("double") / col("wau").cast("double"))
+              .as("stickiness"))
+          .orderBy("day")
+      },
+      Some(
+        """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+          | dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+          | ex AS (SELECT DISTINCT user_id, day + CAST(x AS INT) AS wday
+          |   FROM ud CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS x) t),
+          | wau AS (SELECT wday AS day, CAST(count(*) AS BIGINT) AS wau FROM ex GROUP BY 1)
+          | SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau,
+          |   CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
+          | FROM dau d JOIN wau w ON d.day = w.day ORDER BY day"""
           .stripMargin.replace("\n", "")))
   )
 }

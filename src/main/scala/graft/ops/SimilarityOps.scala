@@ -303,6 +303,150 @@ object SimilarityOps {
           |   jaro_winkler_similarity(a.name, b.name) AS score
           | FROM nm a JOIN nm b ON a.blk = b.blk AND a.name < b.name
           | WHERE jaro_winkler_similarity(a.name, b.name) >= 0.9
-          | ORDER BY n1, n2""".stripMargin.replace("\n", "")))
+          | ORDER BY n1, n2""".stripMargin.replace("\n", ""))),
+
+    // Embedding-table data-quality audit: per-vector dimensionality,
+    // L2-norm bands, zero-vector and NaN screens — the pre-flight any
+    // ANN/IVF build runs before trusting 100 TB of vectors (a single
+    // NaN poisons every cosine it touches; silent dim drift breaks
+    // dot products). One narrow map-side pass (dim, norm2, nan flag
+    // are codegen'd projections; norm2 reuses the graft_dot
+    // left-to-right fold so the doubles match DuckDB's list_reduce
+    // bit-for-bit), then a map-combinable rollup to <=20 band rows.
+    "q219_embedding_audit" -> Q(
+      (s, dir) => {
+        val per = table(s, dir, "embeddings")
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("v"))
+          .select(col("vec_id"), size(col("v")).cast("bigint").as("dim"),
+            graft.functions.VectorFunctions.dot(col("v"), col("v"))
+              .as("norm2"),
+            exists(col("v"), x => isnan(x)).as("has_nan"))
+        per
+          .select(floor(sqrt(col("norm2"))).cast("bigint").as("norm_band"),
+            col("dim"), col("norm2"), col("has_nan"))
+          .groupBy("norm_band")
+          .agg(count(lit(1)).as("n_vecs"),
+            min("dim").as("min_dim"), max("dim").as("max_dim"),
+            sum(when(col("norm2") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+            sum(when(col("has_nan"), 1L).otherwise(0L)).as("n_nan"),
+            min("norm2").as("min_norm2"), max("norm2").as("max_norm2"))
+          .orderBy("norm_band")
+      },
+      Some(
+        """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+          | p AS (SELECT vec_id, CAST(len(v) AS BIGINT) AS dim,
+          |     list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS norm2,
+          |     len(list_filter(v, x -> isnan(x))) > 0 AS has_nan
+          |   FROM e)
+          | SELECT CAST(floor(sqrt(norm2)) AS BIGINT) AS norm_band,
+          |   CAST(count(*) AS BIGINT) AS n_vecs,
+          |   CAST(min(dim) AS BIGINT) AS min_dim,
+          |   CAST(max(dim) AS BIGINT) AS max_dim,
+          |   CAST(sum(CASE WHEN norm2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+          |   CAST(sum(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+          |   min(norm2) AS min_norm2, max(norm2) AS max_norm2
+          | FROM p GROUP BY 1 ORDER BY norm_band"""
+          .stripMargin.replace("\n", ""))),
+
+    // ANN quality evaluation: recall@5 and MRR of the single-probe LSH
+    // top-5 (q30's index) against the exact cosine top-5 ground truth
+    // (q28) — the report that decides whether an index's bucket count /
+    // probe count is safe to ship before pointing it at 100 TB of
+    // vectors. Reciprocal ranks ride as 60/rank (exact BIGINT — 60 is
+    // divisible by every rank <= 5), so the MRR sum is integer-exact
+    // and only the final per-query means are IEEE divisions. The
+    // normed+bucketed frame is checkpointed ONCE and fans into both
+    // scorings; the eval joins run over <= 5*|Q| row frames.
+    "q223_ann_recall_eval" -> Q(
+      (s, dir) => {
+        val n = normed(s, dir).withColumn("bucket", lshBucket(col("v")))
+          .localCheckpoint(eager = true)
+        val q = n.where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("nrm").as("qn"), col("bucket").as("qbucket"))
+        def top5(scored: org.apache.spark.sql.DataFrame) =
+          graft.plans.TopKPerGroup(scored, Seq("query_id"),
+              Seq(("cosine", true), ("cand_id", false)), 5)
+            .withColumn("rnk",
+              row_number().over(Window.partitionBy("query_id")
+                .orderBy(desc("cosine"), col("cand_id"))))
+            .select(col("query_id"), col("cand_id"), col("rnk"))
+        // both top-5 frames (<= 5|Q| rows) fan into TWO eval joins each:
+        // checkpoint so the full scoring pass runs once per side, not
+        // once per consumer
+        val exact5 = top5(broadcast(q)
+          .join(n, col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("cand_id"),
+            cosine(col("qv"), col("v"), col("qn"), col("nrm"))
+              .as("cosine")))
+          .localCheckpoint(eager = true)
+        val ann5 = top5(broadcast(q)
+          .join(n, col("bucket") === col("qbucket") &&
+            col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("cand_id"),
+            cosine(col("qv"), col("v"), col("qn"), col("nrm"))
+              .as("cosine")))
+          .withColumnRenamed("rnk", "ann_rnk")
+          .localCheckpoint(eager = true)
+        val hits = exact5.join(ann5, Seq("query_id", "cand_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("hits"))
+        val nn1 = exact5.where(col("rnk") === 1)
+          .join(ann5, Seq("query_id", "cand_id"))
+          .select(col("query_id"),
+            expr("CAST(60 div ann_rnk AS BIGINT)").as("rr60"))
+        q.select("query_id")
+          .join(hits, Seq("query_id"), "left")
+          .join(nn1, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("hits"), lit(0L)).as("hits"),
+            coalesce(col("rr60"), lit(0L)).as("rr60"))
+          .agg(count(lit(1)).as("n_queries"),
+            sum("hits").as("sum_hits"),
+            sum("rr60").as("mrr60_sum"),
+            sum(when(col("rr60") === 60, 1L).otherwise(0L)).as("n_rank1"))
+          .select(col("n_queries"), col("sum_hits"),
+            (col("sum_hits").cast("double") /
+              (col("n_queries") * 5).cast("double")).as("recall5"),
+            col("mrr60_sum"),
+            (col("mrr60_sum").cast("double") /
+              (col("n_queries") * 60).cast("double")).as("mrr"),
+            col("n_rank1"))
+      },
+      Some(bucketCte +
+        """, nb AS (SELECT n.vec_id, n.v, n.nrm, bk.bucket FROM n JOIN bk USING (vec_id)),
+          | q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket AS qbucket
+          |   FROM nb WHERE vec_id % 100 = 0),
+          | exsc AS (SELECT q.query_id, nb.vec_id AS cand_id,
+          |   list_reduce(list_transform(list_zip(q.qv, nb.v), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+          |     / (q.qn * nb.nrm) AS cosine
+          |   FROM q JOIN nb ON nb.vec_id <> q.query_id),
+          | ex AS (SELECT query_id, cand_id, rnk FROM (SELECT query_id, cand_id,
+          |     CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rnk
+          |   FROM exsc) WHERE rnk <= 5),
+          | ansc AS (SELECT q.query_id, nb.vec_id AS cand_id,
+          |   list_reduce(list_transform(list_zip(q.qv, nb.v), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+          |     / (q.qn * nb.nrm) AS cosine
+          |   FROM q JOIN nb ON nb.bucket = q.qbucket AND nb.vec_id <> q.query_id),
+          | an AS (SELECT query_id, cand_id, ann_rnk FROM (SELECT query_id, cand_id,
+          |     CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS ann_rnk
+          |   FROM ansc) WHERE ann_rnk <= 5),
+          | h AS (SELECT ex.query_id, CAST(count(*) AS BIGINT) AS hits
+          |   FROM ex JOIN an ON ex.query_id = an.query_id AND ex.cand_id = an.cand_id
+          |   GROUP BY ex.query_id),
+          | n1 AS (SELECT ex.query_id, CAST(60 // an.ann_rnk AS BIGINT) AS rr60
+          |   FROM ex JOIN an ON ex.query_id = an.query_id AND ex.cand_id = an.cand_id
+          |   WHERE ex.rnk = 1),
+          | pq AS (SELECT q.query_id, coalesce(h.hits, 0) AS hits,
+          |     coalesce(n1.rr60, 0) AS rr60
+          |   FROM q LEFT JOIN h ON q.query_id = h.query_id
+          |     LEFT JOIN n1 ON q.query_id = n1.query_id)
+          | SELECT CAST(count(*) AS BIGINT) AS n_queries,
+          |   CAST(sum(hits) AS BIGINT) AS sum_hits,
+          |   CAST(sum(hits) AS DOUBLE) / CAST(count(*) * 5 AS DOUBLE) AS recall5,
+          |   CAST(sum(rr60) AS BIGINT) AS mrr60_sum,
+          |   CAST(sum(rr60) AS DOUBLE) / CAST(count(*) * 60 AS DOUBLE) AS mrr,
+          |   CAST(sum(CASE WHEN rr60 = 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_rank1
+          | FROM pq""".stripMargin.replace("\n", "")))
   )
 }

@@ -447,6 +447,62 @@ object TextOps {
           | SELECT doc_id, cnt AS n_trans, p AS median_p, min_p
           | FROM r WHERE rn = (cnt + 1) // 2
           | ORDER BY doc_id""".stripMargin.replace("\n", "")))
+  ,
+
+    // Lexical diversity per document — Gini-Simpson index and peak
+    // word repetition — computed with ZERO shuffles: instead of the
+    // textbook explode -> groupBy(doc, word) (which shuffles every
+    // token of a 100 TB corpus), each row sorts its own token array
+    // and folds run-lengths in one linear codegen'd pass (sum of c^2
+    // and max c over the runs). The only exchange in the plan is the
+    // output-order range partition. simpson = 1 - sum_c2/n^2 and TTR
+    // are single IEEE divisions of exact BIGINTs, so they hash-match
+    // DuckDB's unnest-and-group formulation bit-for-bit.
+    "q218_lexical_diversity" -> Q(
+      (s, dir) => {
+        val runFold =
+          """aggregate(
+            |  array_sort(split(text, ' ')),
+            |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L,
+            |               'sumsq', 0L, 'maxc', 0L),
+            |  (acc, x) -> IF(acc.prev IS NULL OR x != acc.prev,
+            |    named_struct('prev', x, 'run', 1L,
+            |      'sumsq', acc.sumsq + acc.run * acc.run,
+            |      'maxc', greatest(acc.maxc, acc.run)),
+            |    named_struct('prev', acc.prev, 'run', acc.run + 1L,
+            |      'sumsq', acc.sumsq, 'maxc', acc.maxc)),
+            |  acc -> named_struct(
+            |    'sumsq', acc.sumsq + acc.run * acc.run,
+            |    'maxc', greatest(acc.maxc, acc.run)))"""
+            .stripMargin.replace("\n", "")
+        table(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("bigint").as("n_words"),
+            size(array_distinct(split(col("text"), " "))).cast("bigint")
+              .as("n_distinct"),
+            expr(s"$runFold.maxc").as("max_count"),
+            expr(s"$runFold.sumsq").as("sum_sq"))
+          .select(col("doc_id"), col("n_words"), col("n_distinct"),
+            col("max_count"), col("sum_sq"),
+            (col("n_distinct").cast("double") /
+              col("n_words").cast("double")).as("ttr"),
+            (lit(1.0) - col("sum_sq").cast("double") /
+              (col("n_words").cast("double") * col("n_words")))
+              .as("simpson"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+          | c AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+          | a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+          |     CAST(count(*) AS BIGINT) AS n_distinct,
+          |     CAST(max(c) AS BIGINT) AS max_count,
+          |     CAST(sum(c * c) AS BIGINT) AS sum_sq
+          |   FROM c GROUP BY doc_id)
+          | SELECT doc_id, n_words, n_distinct, max_count, sum_sq,
+          |   CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) AS ttr,
+          |   1.0 - CAST(sum_sq AS DOUBLE) / (CAST(n_words AS DOUBLE) * n_words) AS simpson
+          | FROM a ORDER BY doc_id""".stripMargin.replace("\n", "")))
   )
 
   /** q159 lives outside `all` only to keep this comment close: it joins

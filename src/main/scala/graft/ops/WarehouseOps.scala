@@ -1505,6 +1505,59 @@ object WarehouseOps {
           |   CAST(n_distinct * 10000 // n_rows AS BIGINT) AS uniqueness_bps,
           |   CAST(n_distinct = n_rows AS INT) AS is_key
           | FROM u ORDER BY column_name"""
+          .stripMargin.replace("\n", ""))),
+
+    // Header/detail reconciliation: o_totalprice vs the lineitem-derived
+    // charge sum(extendedprice * (1-discount) * (1+tax)) — the audit
+    // every warehouse runs when two pipelines load the same business
+    // fact. All money moves in cents (per-line double product floored
+    // ONCE — the same expression tree on both engines — then exact
+    // BIGINT sums), so diff buckets are bit-decided. One orderkey
+    // shuffle join (headers against the pre-aggregated detail frame,
+    // partial agg map-side); headers with no detail surface as their
+    // own bucket instead of vanishing into an inner join.
+    "q227_order_reconciliation" -> Q(
+      (s, dir) => {
+        val detail = table(s, dir, "lineitem")
+          .select(col("l_orderkey"),
+            expr("CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) AS BIGINT)")
+              .as("line_cents"))
+          .groupBy("l_orderkey").agg(sum("line_cents").as("detail_cents"))
+        val recon = table(s, dir, "orders")
+          .select(col("o_orderkey"),
+            expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+              .as("header_cents"))
+          .join(detail, col("o_orderkey") === col("l_orderkey"), "left")
+          .select(col("header_cents"), col("detail_cents"),
+            when(col("detail_cents").isNull, "no_detail")
+              .when(col("header_cents") === col("detail_cents"), "exact")
+              .when(abs(col("header_cents") - col("detail_cents")) <= 100,
+                "within_1_unit")
+              .otherwise("mismatch").as("bucket"),
+            coalesce(abs(col("header_cents") - col("detail_cents")),
+              lit(0L)).as("abs_diff"))
+        recon.groupBy("bucket")
+          .agg(count(lit(1)).as("n_orders"),
+            sum("abs_diff").as("sum_abs_diff_cents"),
+            max("abs_diff").as("max_abs_diff_cents"))
+          .orderBy("bucket")
+      },
+      Some(
+        """WITH d AS (SELECT l_orderkey,
+          |     CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS detail_cents
+          |   FROM lineitem GROUP BY l_orderkey),
+          | r AS (SELECT CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS header_cents,
+          |     d.detail_cents,
+          |     CASE WHEN d.detail_cents IS NULL THEN 'no_detail'
+          |       WHEN CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) = d.detail_cents THEN 'exact'
+          |       WHEN abs(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) - d.detail_cents) <= 100 THEN 'within_1_unit'
+          |       ELSE 'mismatch' END AS bucket,
+          |     coalesce(abs(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) - d.detail_cents), 0) AS abs_diff
+          |   FROM orders o LEFT JOIN d ON o.o_orderkey = d.l_orderkey)
+          | SELECT bucket, CAST(count(*) AS BIGINT) AS n_orders,
+          |   CAST(sum(abs_diff) AS BIGINT) AS sum_abs_diff_cents,
+          |   CAST(max(abs_diff) AS BIGINT) AS max_abs_diff_cents
+          | FROM r GROUP BY bucket ORDER BY bucket"""
           .stripMargin.replace("\n", "")))
   )
 }

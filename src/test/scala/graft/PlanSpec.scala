@@ -526,4 +526,50 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
       plan)
   }
+
+  test("q218 lexical diversity shuffles NOTHING but the output sort") {
+    // the run-length fold replaces explode->groupBy(doc, word); the only
+    // exchange allowed is the rangepartitioning for the ordered output
+    val plan = executed("q218_lexical_diversity")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"per-token shuffle crept back in:\n$plan")
+    assert("Exchange rangepartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("q222 path trigrams ride one user window exchange") {
+    // the two leads share one window; the path rollup is map-combined
+    // into a bounded (|types|^3) frame before its exchange
+    val plan = executed("q222_event_paths")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
+      plan)
+  }
+
+  test("q219 embedding audit is one map-side pass + bounded rollup") {
+    val plan = executed("q219_embedding_audit")
+    assert(plan.contains("graft_dot"), s"norm2 not codegen'd:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+  }
+
+  test("q223 ANN eval: final plan joins only checkpointed top-5 frames") {
+    // the scorings run once each behind localCheckpoints (the q28/q30
+    // pins cover their broadcast + TopKPerGroup shapes); the eval plan
+    // itself must only join the <= 5|Q|-row survivors — seeing a
+    // TopKPerGroup or a cosine scorer here means a checkpoint was
+    // dropped and a scoring pass re-runs per consumer
+    val plan = executed("q223_ann_recall_eval")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("TopKPerGroup"),
+      s"scoring re-runs inside the eval plan:\n$plan")
+    assert(!plan.contains("graft_dot"),
+      s"cosine scorer re-runs inside the eval plan:\n$plan")
+  }
+
+  test("q224 rolling actives: hash aggregates only, no window state") {
+    // exact sliding distinct must come from the x7 fanout of the
+    // COLLAPSED user-day frame — any Window node means someone tried
+    // per-event distinct-over-frame, which doesn't distribute
+    val plan = executed("q224_rolling_actives")
+    assert(!plan.contains("Window"), s"window state crept in:\n$plan")
+    assert(plan.contains("HashAggregate"), plan)
+  }
 }
