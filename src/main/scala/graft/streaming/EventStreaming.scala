@@ -175,6 +175,59 @@ object EventStreaming {
       }
   }
 
+  final case class MgState(items: Map[Long, Long], nSeen: Long)
+  final case class MgRow(scope: String, item: Long, est: Long,
+                         n_seen: Long, n_tracked: Int)
+
+  /** Streaming Misra-Gries heavy-hitter monitor: per scope, O(m) keyed
+    * state tracking at most m candidate items; every trigger re-emits
+    * the scope's full summary stamped with the monotonic n_seen (the
+    * latest-stamp rows are the current summary). Guarantees, pinned by
+    * the spec:
+    *  - DETERMINISM: processing is sequential within keyed state, so
+    *    any batch split of the same ordered stream lands on the exact
+    *    single-pass summary (state carries across triggers);
+    *  - EXACTNESS when distinct items <= m (no decrement ever fires);
+    *  - the MG bound otherwise: exact - est <= n_seen/(m+1) for every
+    *    item (est = 0 if untracked), because each decrement round
+    *    retires m+1 occurrences.
+    * The streaming complement of the CMS/top-k batch sketches: state
+    * never grows with cardinality, so a hot-key flood cannot OOM the
+    * state store — the property that keeps this runnable forever on an
+    * unbounded 100 TB/day stream.
+    */
+  def heavyHitters(stream: Dataset[(String, Long)], m: Int = 8)
+  : Dataset[MgRow] = {
+    import stream.sparkSession.implicits._
+    stream
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[MgState, MgRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (scope, rows, state: GroupState[MgState]) =>
+          var items = state.getOption.map(_.items)
+            .getOrElse(Map.empty[Long, Long])
+          var n = state.getOption.map(_.nSeen).getOrElse(0L)
+          rows.foreach { case (_, it) =>
+            n += 1
+            items.get(it) match {
+              case Some(c) => items = items.updated(it, c + 1)
+              case None if items.size < m => items = items.updated(it, 1L)
+              case None => items = items.view
+                .mapValues(_ - 1).filter(_._2 > 0).toMap
+            }
+          }
+          state.update(MgState(items, n))
+          // an emptied summary must still emit (sentinel item = -1):
+          // zero rows would leave the sink's latest stamp pointing at a
+          // STALE summary — "no update" and "summary emptied" have to
+          // be distinguishable downstream
+          if (items.isEmpty) Iterator.single(MgRow(scope, -1L, 0L, n, 0))
+          else items.toSeq.sortBy { case (it, c) => (-c, it) }.iterator.map {
+            case (it, c) => MgRow(scope, it, c, n, items.size)
+          }
+      }
+  }
+
   final case class FunnelState(t1: Long, t2: Long, t3: Long)
   final case class FunnelRow(user_id: Long, level: Int)
 

@@ -371,6 +371,74 @@ class AsofStreamingSpec extends SparkSpec {
       }
     } finally query.stop()
   }
+
+  test("streaming Misra-Gries heavy hitters: deterministic, exact, bounded") {
+    // three laws over the sf0.001 event log, items = user_id % 50 per
+    // event-type scope: (1) streaming across 3 arbitrary triggers lands
+    // exactly on the single-pass reference summary (keyed state is
+    // sequential); (2) with capacity >= distinct items the counts equal
+    // the exact per-item counts; (3) at small capacity every item obeys
+    // the MG bound exact - est <= n/(m+1).
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.ops.TestData.table(spark, sf, "events")
+      .select(col("event_type"), (col("user_id") % 50).as("item"),
+        col("event_id"))
+      .as[(String, Long, Long)].collect()
+      .sortBy(_._3).map(e => (e._1, e._2))
+
+    def referenceMg(xs: Seq[(String, Long)], m: Int)
+    : Map[String, Map[Long, Long]] =
+      xs.groupBy(_._1).view.mapValues { rows =>
+        var items = Map.empty[Long, Long]
+        rows.map(_._2).foreach { it =>
+          items.get(it) match {
+            case Some(c) => items = items.updated(it, c + 1)
+            case None if items.size < m => items = items.updated(it, 1L)
+            case None => items = items.view
+              .mapValues(_ - 1).filter(_._2 > 0).toMap
+          }
+        }
+        items
+      }.toMap
+
+    for (m <- Seq(4, 64)) {
+      val mem = MemoryStream[(String, Long)]
+      val query = EventStreaming.heavyHitters(mem.toDS(), m)
+        .writeStream.format("memory").queryName(s"mg_test_$m")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+        .start()
+      try {
+        val (b1, rest) = ev.splitAt(ev.length / 4)
+        val (b2, b3) = rest.splitAt(rest.length / 2)
+        Seq(b1, b2, b3).foreach { b =>
+          mem.addData(b.toSeq); query.processAllAvailable()
+        }
+        val rows = spark.table(s"mg_test_$m")
+          .as[EventStreaming.MgRow].collect()
+        val current = rows.groupBy(_.scope).map { case (scope, rs) =>
+          val last = rs.map(_.n_seen).max
+          scope -> rs.filter(r => r.n_seen == last && r.item >= 0)
+            .map(r => r.item -> r.est).toMap
+        }
+        val exact = ev.groupBy(_._1).view.mapValues(
+          _.groupBy(_._2).view.mapValues(_.size.toLong).toMap).toMap
+        // law 1: streaming == single-pass reference, any split
+        assert(current == referenceMg(ev.toIndexedSeq, m),
+          s"m=$m summary drifted from sequential reference")
+        current.foreach { case (scope, est) =>
+          val ex = exact(scope)
+          val n = ex.values.sum
+          if (m == 64) assert(est == ex, s"m=64 must be exact for $scope")
+          else ex.foreach { case (it, c) =>
+            val e = est.getOrElse(it, 0L)
+            assert(e <= c && c - e <= n / (m + 1),
+              s"MG bound broken: $scope item $it exact=$c est=$e n=$n")
+          }
+        }
+      } finally query.stop()
+    }
+  }
 }
 
 /** Static instrumentation for the batched-decode spec (local mode: the
