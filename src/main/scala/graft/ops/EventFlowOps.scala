@@ -381,6 +381,51 @@ object EventFlowOps {
           | SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau,
           |   CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
           | FROM dau d JOIN wau w ON d.day = w.day ORDER BY day"""
+          .stripMargin.replace("\n", ""))),
+
+    // Weekly cohort retention triangle: users grouped by first-active
+    // week, each cell = share (bps) of the cohort active k weeks later.
+    // Weeks are integer day-offsets from the corpus min date div 7 —
+    // no engine-specific week-of-year semantics to disagree on. Shape:
+    // distinct (user, week) and per-user min ride ONE user exchange;
+    // the triangle rollup is bounded by weeks^2 cells. All shares are
+    // exact integer bps.
+    "q230_retention_triangle" -> Q(
+      (s, dir) => {
+        val uw0 = table(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+        val anchor = uw0.agg(min("day").as("d0"))
+        val uw = uw0.crossJoin(broadcast(anchor))
+          .select(col("user_id"),
+            expr("datediff(day, d0) div 7").as("wk"))
+          .distinct()
+        val cohorts = uw.groupBy("user_id").agg(min("wk").as("cohort"))
+        val sizes = cohorts.groupBy("cohort")
+          .agg(count(lit(1)).as("cohort_size"))
+        uw.join(cohorts, "user_id")
+          .groupBy(col("cohort"), (col("wk") - col("cohort")).as("wk_offset"))
+          .agg(count(lit(1)).as("n_active"))
+          .join(sizes, "cohort")
+          .select(col("cohort"), col("wk_offset"), col("n_active"),
+            col("cohort_size"),
+            expr("n_active * 10000 div cohort_size").as("retained_bps"))
+          .orderBy("cohort", "wk_offset")
+      },
+      Some(
+        """WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+          | uw AS (SELECT DISTINCT user_id,
+          |     CAST((CAST(ts AS DATE) - d0.d0) // 7 AS BIGINT) AS wk
+          |   FROM events, d0),
+          | ch AS (SELECT user_id, CAST(min(wk) AS BIGINT) AS cohort
+          |   FROM uw GROUP BY user_id),
+          | sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+          |   FROM ch GROUP BY cohort),
+          | cell AS (SELECT ch.cohort, uw.wk - ch.cohort AS wk_offset,
+          |     CAST(count(*) AS BIGINT) AS n_active
+          |   FROM uw JOIN ch USING (user_id) GROUP BY 1, 2)
+          | SELECT cell.cohort, cell.wk_offset, cell.n_active, sz.cohort_size,
+          |   CAST(cell.n_active * 10000 // sz.cohort_size AS BIGINT) AS retained_bps
+          | FROM cell JOIN sz USING (cohort) ORDER BY cohort, wk_offset"""
           .stripMargin.replace("\n", "")))
   )
 }

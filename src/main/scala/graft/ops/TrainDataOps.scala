@@ -1631,6 +1631,95 @@ object TrainDataOps {
           |   CAST(count(DISTINCT CASE WHEN is_m = 1 THEN (i - 1) // 20 END) AS BIGINT) AS n_spans,
           |   ('0x' || substr(md5(string_agg(tok, ' ' ORDER BY i)), 1, 15))::BIGINT AS masked_digest
           | FROM m GROUP BY doc_id ORDER BY doc_id"""
+          .stripMargin.replace("\n", ""))),
+
+    // Domain-mix planner: given per-source token masses, the largest
+    // UNIFORM-mix budget needs min(n_s) tokens from every source (the
+    // scarcest source is the bottleneck at sampling rate 1.0; richer
+    // sources downsample). Emits the mix sheet a pretraining run is
+    // configured from: actual share, per-source sampling rate, and the
+    // kept token count under the budget. One map-combinable rollup of
+    // per-row token counts (sources-cardinality output), one broadcast
+    // of the 1-row min/total frame; all shares/rates in exact
+    // integer bps.
+    "q228_domain_mix_planner" -> Q(
+      (s, dir) => {
+        val perSource = table(s, dir, "documents")
+          .select(col("source"),
+            size(split(col("text"), " ")).cast("bigint").as("w"))
+          .groupBy("source").agg(sum("w").as("tokens"))
+        val tot = perSource.agg(sum("tokens").as("total"),
+          min("tokens").as("min_tokens"))
+        perSource.crossJoin(broadcast(tot))
+          .select(col("source"), col("tokens"),
+            expr("tokens * 10000 div total").as("share_bps"),
+            expr("min_tokens * 10000 div tokens").as("rate_bps"),
+            col("min_tokens").as("kept_tokens"))
+          .orderBy("source")
+      },
+      Some(
+        """WITH ps AS (SELECT source,
+          |     CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+          |   FROM documents GROUP BY source),
+          | t AS (SELECT CAST(sum(tokens) AS BIGINT) AS total,
+          |     CAST(min(tokens) AS BIGINT) AS min_tokens FROM ps)
+          | SELECT ps.source, ps.tokens,
+          |   CAST(ps.tokens * 10000 // t.total AS BIGINT) AS share_bps,
+          |   CAST(t.min_tokens * 10000 // ps.tokens AS BIGINT) AS rate_bps,
+          |   t.min_tokens AS kept_tokens
+          | FROM ps, t ORDER BY source"""
+          .stripMargin.replace("\n", ""))),
+
+    // Systematic (strided) importance resampling — 100 draws
+    // proportional to document token mass, ZERO RNG: doc i is drawn
+    // floor(C_i*100/W) - floor((C_i - w_i)*100/W) times, where C_i is
+    // the exact prefix sum of weights in doc_id order. The prefix sum
+    // is built the way that survives 100 TB: per-bucket subtotals
+    // (doc_id div 64) -> cumulative bucket offsets over the TINY bucket
+    // frame -> broadcast back, within-bucket running sum partitioned by
+    // bucket — no unpartitioned window ever touches the corpus (the
+    // single-partition global-window formulation is the classic driver
+    // chokepoint). Every count is BIGINT; both engines floor identical
+    // integers.
+    "q229_systematic_resample" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = table(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("bigint").as("w"),
+            expr("doc_id div 64").as("bkt"))
+        val bktTotals = d.groupBy("bkt").agg(sum("w").as("bw"))
+        val bktOffsets = bktTotals
+          .withColumn("off",
+            coalesce(sum("bw").over(Window.orderBy("bkt")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("bkt"), col("off"))
+        val tot = d.agg(sum("w").as("wtot"))
+        val wInBkt = Window.partitionBy("bkt").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        d.join(broadcast(bktOffsets), "bkt")
+          .withColumn("cum", col("off") + sum("w").over(wInBkt))
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"), col("w").as("n_words"),
+            col("cum").as("cum_words"),
+            (expr("cum * 100 div wtot") -
+              expr("(cum - w) * 100 div wtot")).as("n_copies"))
+          .where(col("n_copies") > 0)
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH d AS (SELECT doc_id,
+          |     CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+          |   FROM documents),
+          | c AS (SELECT doc_id, w,
+          |     CAST(sum(w) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          |   FROM d),
+          | t AS (SELECT CAST(sum(w) AS BIGINT) AS wtot FROM d)
+          | SELECT c.doc_id, c.w AS n_words, c.cum AS cum_words,
+          |   CAST(c.cum * 100 // t.wtot - (c.cum - c.w) * 100 // t.wtot AS BIGINT) AS n_copies
+          | FROM c, t
+          | WHERE c.cum * 100 // t.wtot - (c.cum - c.w) * 100 // t.wtot > 0
+          | ORDER BY c.doc_id"""
           .stripMargin.replace("\n", "")))
   )
 

@@ -564,6 +564,15 @@ class PlanSpec extends SparkSpec {
       s"cosine scorer re-runs inside the eval plan:\n$plan")
   }
 
+  test("q229 resample: corpus prefix sum rides a bucket-partitioned window") {
+    // the running sum over documents must be partitioned by the bucket
+    // key (distributed prefix sum); only the TINY bucket-offset frame
+    // may use an unpartitioned window
+    val plan = executed("q229_systematic_resample")
+    assert(plan.contains("], [bkt#") || plan.contains(", [bkt], "),
+      s"within-bucket window not partitioned by bkt:\n$plan")
+  }
+
   test("q224 rolling actives: hash aggregates only, no window state") {
     // exact sliding distinct must come from the x7 fanout of the
     // COLLAPSED user-day frame — any Window node means someone tried
