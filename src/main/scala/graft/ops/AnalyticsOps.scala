@@ -1242,6 +1242,78 @@ object AnalyticsOps {
           | SELECT dv.m, dv.rev, dv.cum, dv.dev,
           |   CAST(CASE WHEN abs(dv.dev) = pk.peak THEN 1 ELSE 0 END AS INT) AS is_peak
           | FROM dv, pk ORDER BY dv.m"""
-          .stripMargin.replace("\n", "")))
+          .stripMargin.replace("\n", ""))),
+
+    // RFM segment-migration matrix: the reference's piecewise R/F/M
+    // scoring (bp.py:24-45 — SAME SQL fragments drive BOTH engines via
+    // TestData.recencySql/frequencySql/monetarySql/segmentSql, so the
+    // semantics can't fork) applied to order history at two cutoffs a
+    // year apart; the matrix counts customers per (segment-then,
+    // segment-now) cell, with 'new' for customers who had no history at
+    // the early cutoff. Two customer-key rollups + a customer-key join;
+    // the matrix itself is bounded (5x4 cells). Monetary rides exact
+    // cents; shares are integer bps.
+    "q231_rfm_migration" -> Q(
+      (s, dir) => {
+        val o = table(s, dir, "orders").select(col("o_custkey"),
+          to_date(col("o_orderdate")).as("d"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            .as("cents"))
+        val anchors = o.agg(max("d").as("dmax"))
+          .select(col("dmax"), date_sub(col("dmax"), 365).as("dmid"))
+        val oa = o.crossJoin(broadcast(anchors))
+        def segmented(cut: org.apache.spark.sql.Column) = oa
+          .where(col("d") <= cut)
+          .groupBy(col("o_custkey"), cut.as("cut"))
+          .agg(max("d").as("dlast"), count(lit(1)).as("freq"),
+            sum("cents").as("mcents"))
+          .select(col("o_custkey"),
+            datediff(col("cut"), col("dlast")).as("rdays"),
+            col("freq"), expr("mcents div 100").as("mon"))
+          .select(col("o_custkey"),
+            expr(recencySql("rdays")).as("r"),
+            expr(frequencySql("freq")).as("f"),
+            expr(monetarySql("mon")).as("m"))
+          .select(col("o_custkey"),
+            expr(segmentSql("(r + f + m) / 3.0")).as("seg"))
+        // cut columns resolve against the cross-joined anchor frame
+        val before = segmented(col("dmid"))
+          .withColumnRenamed("seg", "seg_before")
+        val after = segmented(col("dmax"))
+          .withColumnRenamed("seg", "seg_after")
+        val cells = after.join(before, Seq("o_custkey"), "left")
+          .select(coalesce(col("seg_before"), lit("new")).as("seg_before"),
+            col("seg_after"))
+          .groupBy("seg_before", "seg_after")
+          .agg(count(lit(1)).as("n_customers"))
+        val total = cells.agg(sum("n_customers").as("total"))
+        cells.crossJoin(broadcast(total))
+          .select(col("seg_before"), col("seg_after"), col("n_customers"),
+            expr("n_customers * 10000 div total").as("share_bps"))
+          .orderBy("seg_before", "seg_after")
+      },
+      Some {
+        def segCte(cut: String, nm: String) =
+          s"""$nm AS (SELECT o_custkey, ${recencySql(s"(a.$cut - x.dlast)")} AS r,
+             | ${frequencySql("x.freq")} AS f, ${monetarySql("x.mon")} AS m
+             | FROM (SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS dlast,
+             |     CAST(count(*) AS BIGINT) AS freq,
+             |     CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) // 100 AS BIGINT) AS mon
+             |   FROM orders, a WHERE CAST(o_orderdate AS DATE) <= a.$cut
+             |   GROUP BY o_custkey) x, a)""".stripMargin.replace("\n", "")
+        s"""WITH a AS (SELECT max(CAST(o_orderdate AS DATE)) AS dmax,
+           | max(CAST(o_orderdate AS DATE)) - 365 AS dmid FROM orders),
+           | ${segCte("dmid", "sb")}, ${segCte("dmax", "sa")},
+           | segb AS (SELECT o_custkey, ${segmentSql("(r + f + m) / 3.0")} AS seg_before FROM sb),
+           | sega AS (SELECT o_custkey, ${segmentSql("(r + f + m) / 3.0")} AS seg_after FROM sa),
+           | cells AS (SELECT coalesce(segb.seg_before, 'new') AS seg_before,
+           |     sega.seg_after, CAST(count(*) AS BIGINT) AS n_customers
+           |   FROM sega LEFT JOIN segb USING (o_custkey) GROUP BY 1, 2),
+           | t AS (SELECT CAST(sum(n_customers) AS BIGINT) AS total FROM cells)
+           | SELECT seg_before, seg_after, n_customers,
+           |   CAST(n_customers * 10000 // t.total AS BIGINT) AS share_bps
+           | FROM cells, t ORDER BY seg_before, seg_after"""
+          .stripMargin.replace("\n", "")
+      })
   )
 }

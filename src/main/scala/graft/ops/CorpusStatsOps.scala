@@ -288,6 +288,33 @@ object CorpusStatsOps {
           |   sz * CAST(count(*) AS BIGINT) AS docs,
           |   (sz - 1) * CAST(count(*) AS BIGINT) AS dedup_drops
           | FROM g GROUP BY sz ORDER BY cluster_size"""
+          .stripMargin.replace("\n", ""))),
+
+    // Full CUBE over (source, lang): every rollup combination — per
+    // cell, totals/subtotals/grand total — in ONE pass (Catalyst
+    // expands the grouping sets map-side; a 4-query union would scan
+    // the corpus four times). grouping_id() disambiguates real values
+    // from subtotal rows; subtotal keys render as '<all>' so the
+    // output is scalar-and-null-free on both engines.
+    "q232_cube_corpus" -> Q(
+      (s, dir) => table(s, dir, "documents")
+        .select(col("source"), col("lang"),
+          size(split(col("text"), " ")).cast("bigint").as("w"))
+        .cube("source", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("w").as("tokens"),
+          grouping_id().cast("int").as("gid"))
+        .select(coalesce(col("source"), lit("<all>")).as("source"),
+          coalesce(col("lang"), lit("<all>")).as("lang"),
+          col("gid"), col("n_docs"), col("tokens"))
+        .orderBy("gid", "source", "lang"),
+      Some(
+        """SELECT coalesce(source, '<all>') AS source,
+          |   coalesce(lang, '<all>') AS lang,
+          |   CAST(GROUPING(source) * 2 + GROUPING(lang) AS INT) AS gid,
+          |   CAST(count(*) AS BIGINT) AS n_docs,
+          |   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+          | FROM documents GROUP BY CUBE (source, lang)
+          | ORDER BY gid, source, lang"""
           .stripMargin.replace("\n", "")))
   )
 }

@@ -426,6 +426,69 @@ object EventFlowOps {
           | SELECT cell.cohort, cell.wk_offset, cell.n_active, sz.cohort_size,
           |   CAST(cell.n_active * 10000 // sz.cohort_size AS BIGINT) AS retained_bps
           | FROM cell JOIN sz USING (cohort) ORDER BY cohort, wk_offset"""
+          .stripMargin.replace("\n", ""))),
+
+    // Rolling 14-day click/purchase correlation: the daily rollup is
+    // the only corpus-size shuffle; the rolling Pearson then rides
+    // INTEGER moment sums (n, sx, sy, sxx, syy, sxy) over a 14-row
+    // frame of the tiny daily series, closed into a correlation by one
+    // fixed double expression per row — no float accumulates across
+    // rows, so the doubles agree bit-for-bit. Degenerate windows
+    // (zero variance) yield NULL on both engines.
+    "q233_rolling_correlation" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = table(s, dir, "events")
+          .where(col("event_type").isin("click", "purchase"))
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(
+            sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              .as("x"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("y"))
+        val w = Window.orderBy("day").rowsBetween(-13, Window.currentRow)
+        daily
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("sx", sum("x").over(w))
+          .withColumn("sy", sum("y").over(w))
+          .withColumn("sxx", sum(col("x") * col("x")).over(w))
+          .withColumn("syy", sum(col("y") * col("y")).over(w))
+          .withColumn("sxy", sum(col("x") * col("y")).over(w))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("x"), col("y"), col("n"),
+            when(col("n") * col("sxx") - col("sx") * col("sx") === 0 ||
+              col("n") * col("syy") - col("sy") * col("sy") === 0,
+              lit(null).cast("double"))
+              .otherwise(
+                (col("n") * col("sxy") - col("sx") * col("sy"))
+                  .cast("double") /
+                (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                  .cast("double")) *
+                 sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                  .cast("double")))).as("corr14"))
+          .orderBy("day")
+      },
+      Some(
+        """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+          |     CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+          |     CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+          |   FROM events WHERE event_type IN ('click', 'purchase')
+          |   GROUP BY 1),
+          | m AS (SELECT day, x, y,
+          |     CAST(count(*) OVER w AS BIGINT) AS n,
+          |     CAST(sum(x) OVER w AS BIGINT) AS sx,
+          |     CAST(sum(y) OVER w AS BIGINT) AS sy,
+          |     CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+          |     CAST(sum(y * y) OVER w AS BIGINT) AS syy,
+          |     CAST(sum(x * y) OVER w AS BIGINT) AS sxy
+          |   FROM daily
+          |   WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+          | SELECT strftime(day, '%Y-%m-%d') AS day, x, y, n,
+          |   CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+          |     ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+          |       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+          |          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END AS corr14
+          | FROM m ORDER BY day"""
           .stripMargin.replace("\n", "")))
   )
 }
