@@ -1558,6 +1558,179 @@ object WarehouseOps {
           |   CAST(sum(abs_diff) AS BIGINT) AS sum_abs_diff_cents,
           |   CAST(max(abs_diff) AS BIGINT) AS max_abs_diff_cents
           | FROM r GROUP BY bucket ORDER BY bucket"""
-          .stripMargin.replace("\n", "")))
+          .stripMargin.replace("\n", ""))),
+
+    // Frequent 3-itemsets, A-priori pruned: the 3-way basket self-join
+    // runs only over items that survive the item-support cut, and every
+    // candidate triple must have all THREE sub-pairs in the frequent-
+    // pair list (three semi-joins) before it is counted — the pruning
+    // that keeps C(width,3) fanout from exploding on wide baskets at
+    // 100 TB. The basket frame and frequent-pair list are checkpointed
+    // once and fan into all consumers; every join is equi-keyed.
+    "q234_frequent_triples" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+          .localCheckpoint(eager = true)
+        val fi = li.groupBy("p").agg(count(lit(1)).as("c"))
+          .where(col("c") >= 2).select("p")
+        val liF = li.join(fi, "p").select("o", "p")
+          .localCheckpoint(eager = true)
+        val fp = liF.alias("a").join(liF.alias("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+          .agg(count(lit(1)).as("c")).where(col("c") >= 2)
+          .select("u", "v")
+          .localCheckpoint(eager = true)
+        val nOrders = li.select("o").distinct()
+          .agg(count(lit(1)).as("n_orders"))
+        val triples = liF.alias("a")
+          .join(liF.alias("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .join(liF.alias("c"),
+            col("b.o") === col("c.o") && col("b.p") < col("c.p"))
+          .select(col("a.o").as("o"), col("a.p").as("p1"),
+            col("b.p").as("p2"), col("c.p").as("p3"))
+          .join(fp.select(col("u").as("p1"), col("v").as("p2")),
+            Seq("p1", "p2"), "left_semi")
+          .join(fp.select(col("u").as("p1"), col("v").as("p3")),
+            Seq("p1", "p3"), "left_semi")
+          .join(fp.select(col("u").as("p2"), col("v").as("p3")),
+            Seq("p2", "p3"), "left_semi")
+          .groupBy("p1", "p2", "p3").agg(count(lit(1)).as("orders_cnt"))
+          .where(col("orders_cnt") >= 2)
+        triples.crossJoin(broadcast(nOrders))
+          .withColumn("rank", row_number().over(Window.orderBy(
+            col("orders_cnt").desc, col("p1"), col("p2"), col("p3"))))
+          .where(col("rank") <= 20)
+          .select(col("rank"), col("p1"), col("p2"), col("p3"),
+            col("orders_cnt"),
+            (col("orders_cnt").cast("double") /
+              col("n_orders").cast("double")).as("support"))
+          .orderBy("rank")
+      },
+      Some(
+        """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+          | fi AS (SELECT p FROM (SELECT p, count(*) AS c FROM li GROUP BY p) WHERE c >= 2),
+          | lf AS (SELECT li.o, li.p FROM li JOIN fi USING (p)),
+          | fp AS (SELECT u, v FROM (SELECT a.p AS u, b.p AS v, count(*) AS c
+          |     FROM lf a JOIN lf b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2)
+          |   WHERE c >= 2),
+          | no AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM li),
+          | tr AS (SELECT a.p AS p1, b.p AS p2, c.p AS p3,
+          |     CAST(count(*) AS BIGINT) AS orders_cnt
+          |   FROM lf a JOIN lf b ON a.o = b.o AND a.p < b.p
+          |     JOIN lf c ON b.o = c.o AND b.p < c.p
+          |   WHERE EXISTS (SELECT 1 FROM fp WHERE fp.u = a.p AND fp.v = b.p)
+          |     AND EXISTS (SELECT 1 FROM fp WHERE fp.u = a.p AND fp.v = c.p)
+          |     AND EXISTS (SELECT 1 FROM fp WHERE fp.u = b.p AND fp.v = c.p)
+          |   GROUP BY 1, 2, 3 HAVING count(*) >= 2),
+          | r AS (SELECT *, CAST(row_number() OVER (ORDER BY orders_cnt DESC, p1, p2, p3) AS INT) AS rank
+          |   FROM tr)
+          | SELECT rank, p1, p2, p3, orders_cnt,
+          |   CAST(orders_cnt AS DOUBLE) / CAST(no.n_orders AS DOUBLE) AS support
+          | FROM r, no WHERE rank <= 20 ORDER BY rank"""
+          .stripMargin.replace("\n", ""))),
+
+    // Open-order aging WIP report: age buckets (days since order,
+    // anchored to the corpus max date) by order priority, with per-
+    // priority shares in exact bps. One map-combinable rollup over a
+    // scan that prunes to the open-status partition; the matrix is
+    // bounded by |priorities| x 4.
+    "q235_order_aging" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val o = table(s, dir, "orders")
+          .select(col("o_orderpriority").as("priority"),
+            col("o_orderstatus").as("st"),
+            to_date(col("o_orderdate")).as("d"))
+        val anchor = o.agg(max("d").as("dmax"))
+        val open = o.where(col("st") === "O")
+          .crossJoin(broadcast(anchor))
+          .select(col("priority"), datediff(col("dmax"), col("d"))
+            .as("age"))
+          .select(col("priority"),
+            when(col("age") <= 30, "a_0_30")
+              .when(col("age") <= 90, "b_31_90")
+              .when(col("age") <= 365, "c_91_365")
+              .otherwise("d_over_365").as("age_bucket"))
+        val cells = open.groupBy("priority", "age_bucket")
+          .agg(count(lit(1)).as("n_orders"))
+        cells
+          .withColumn("prio_total", sum("n_orders").over(
+            Window.partitionBy("priority")
+              .rowsBetween(Window.unboundedPreceding,
+                Window.unboundedFollowing)))
+          .select(col("priority"), col("age_bucket"), col("n_orders"),
+            col("prio_total"),
+            expr("n_orders * 10000 div prio_total").as("share_bps"))
+          .orderBy("priority", "age_bucket")
+      },
+      Some(
+        """WITH a AS (SELECT max(CAST(o_orderdate AS DATE)) AS dmax FROM orders),
+          | open AS (SELECT o_orderpriority AS priority,
+          |     CASE WHEN (a.dmax - CAST(o_orderdate AS DATE)) <= 30 THEN 'a_0_30'
+          |       WHEN (a.dmax - CAST(o_orderdate AS DATE)) <= 90 THEN 'b_31_90'
+          |       WHEN (a.dmax - CAST(o_orderdate AS DATE)) <= 365 THEN 'c_91_365'
+          |       ELSE 'd_over_365' END AS age_bucket
+          |   FROM orders, a WHERE o_orderstatus = 'O'),
+          | cells AS (SELECT priority, age_bucket,
+          |     CAST(count(*) AS BIGINT) AS n_orders FROM open GROUP BY 1, 2)
+          | SELECT priority, age_bucket, n_orders,
+          |   CAST(sum(n_orders) OVER (PARTITION BY priority) AS BIGINT) AS prio_total,
+          |   CAST(n_orders * 10000 // sum(n_orders) OVER (PARTITION BY priority) AS BIGINT) AS share_bps
+          | FROM cells ORDER BY priority, age_bucket"""
+          .stripMargin.replace("\n", ""))),
+
+    // Degree assortativity of the co-purchase graph: Pearson
+    // correlation of endpoint degrees over the symmetrized edge list —
+    // do hub parts co-occur with hubs (r > 0) or with the long tail
+    // (r < 0)? Fourth consumer of the shared checkpointed
+    // coPurchasePairs base. The symmetrization is algebraic (du+dv /
+    // du^2+dv^2 / 2*du*dv per undirected edge), so one pass over edges
+    // builds exact BIGINT moments; the correlation is one double
+    // expression over the 1-row moment frame.
+    "q236_degree_assortativity" -> Q(
+      (s, dir) => {
+        val edges = coPurchasePairs(s, dir)
+        val deg = edges.select(col("u").as("n"))
+          .unionAll(edges.select(col("v").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("deg"))
+        val m = edges
+          .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+          .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+          .agg(count(lit(1)).as("n_und"),
+            sum(col("du") + col("dv")).as("sx"),
+            sum(col("du") * col("du") + col("dv") * col("dv")).as("sxx"),
+            sum(col("du") * col("dv") * 2).as("sxy"))
+        m.select((col("n_und") * 2).as("n_edges"), col("sx"), col("sxx"),
+            col("sxy"),
+            when(col("n_und") * 2 * col("sxx") - col("sx") * col("sx") === 0,
+              lit(null).cast("double"))
+              .otherwise(
+                (col("n_und") * 2 * col("sxy") - col("sx") * col("sx"))
+                  .cast("double") /
+                (col("n_und") * 2 * col("sxx") - col("sx") * col("sx"))
+                  .cast("double")).as("assortativity"))
+      },
+      Some(
+        """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+          | e AS (SELECT DISTINCT a.p AS u, b.p AS v
+          |   FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+          | d AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+          |     SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+          |   GROUP BY n),
+          | m AS (SELECT CAST(count(*) AS BIGINT) AS n_und,
+          |     CAST(sum(du.deg + dv.deg) AS BIGINT) AS sx,
+          |     CAST(sum(du.deg * du.deg + dv.deg * dv.deg) AS BIGINT) AS sxx,
+          |     CAST(sum(du.deg * dv.deg * 2) AS BIGINT) AS sxy
+          |   FROM e JOIN d du ON e.u = du.n JOIN d dv ON e.v = dv.n)
+          | SELECT n_und * 2 AS n_edges, sx, sxx, sxy,
+          |   CASE WHEN n_und * 2 * sxx - sx * sx = 0 THEN NULL
+          |     ELSE CAST(n_und * 2 * sxy - sx * sx AS DOUBLE)
+          |       / CAST(n_und * 2 * sxx - sx * sx AS DOUBLE) END AS assortativity
+          | FROM m""".stripMargin.replace("\n", "")))
   )
 }
