@@ -1314,6 +1314,64 @@ object AnalyticsOps {
            |   CAST(n_customers * 10000 // t.total AS BIGINT) AS share_bps
            | FROM cells, t ORDER BY seg_before, seg_after"""
           .stripMargin.replace("\n", "")
-      })
+      }),
+
+    // Reorder cadence: per repeat customer, the DISCRETE lower-median
+    // inter-order gap in days (order statistics — identical value sets
+    // on both engines, no interpolation; q117's discipline), rolled up
+    // into cadence bands. Both the lag and the median-rank windows ride
+    // the SAME customer-key partition — one exchange of orders end to
+    // end, then a bounded 4-band rollup.
+    "q238_reorder_cadence" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val wSeq = Window.partitionBy("o_custkey")
+          .orderBy("d", "o_orderkey")
+        val gaps = table(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            to_date(col("o_orderdate")).as("d"))
+          .withColumn("prev_d", lag("d", 1).over(wSeq))
+          .where(col("prev_d").isNotNull)
+          .select(col("o_custkey"),
+            datediff(col("d"), col("prev_d")).cast("bigint").as("gap"))
+        val wCnt = Window.partitionBy("o_custkey")
+        val med = gaps
+          .withColumn("rn", row_number().over(wCnt.orderBy("gap")))
+          .withColumn("cnt", count(lit(1)).over(wCnt))
+          .where(col("rn") === expr("(cnt + 1) div 2"))
+          .select(col("o_custkey"), col("cnt").as("n_gaps"),
+            col("gap").as("median_gap"))
+        med.select(
+            when(col("median_gap") <= 30, "a_monthly")
+              .when(col("median_gap") <= 90, "b_quarterly")
+              .when(col("median_gap") <= 365, "c_yearly")
+              .otherwise("d_dormant").as("cadence"),
+            col("median_gap"))
+          .groupBy("cadence")
+          .agg(count(lit(1)).as("n_customers"),
+            min("median_gap").as("min_gap"), max("median_gap").as("max_gap"))
+          .orderBy("cadence")
+      },
+      Some(
+        """WITH o AS (SELECT o_custkey, o_orderkey,
+          |     CAST(o_orderdate AS DATE) AS d FROM orders),
+          | g AS (SELECT o_custkey, CAST(d - lag(d) OVER
+          |       (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS BIGINT) AS gap
+          |   FROM o),
+          | gg AS (SELECT o_custkey, gap FROM g WHERE gap IS NOT NULL),
+          | r AS (SELECT o_custkey, gap,
+          |     row_number() OVER (PARTITION BY o_custkey ORDER BY gap) AS rn,
+          |     count(*) OVER (PARTITION BY o_custkey) AS cnt FROM gg),
+          | med AS (SELECT o_custkey, gap AS median_gap FROM r
+          |   WHERE rn = (cnt + 1) // 2),
+          | b AS (SELECT CASE WHEN median_gap <= 30 THEN 'a_monthly'
+          |     WHEN median_gap <= 90 THEN 'b_quarterly'
+          |     WHEN median_gap <= 365 THEN 'c_yearly'
+          |     ELSE 'd_dormant' END AS cadence, median_gap FROM med)
+          | SELECT cadence, CAST(count(*) AS BIGINT) AS n_customers,
+          |   CAST(min(median_gap) AS BIGINT) AS min_gap,
+          |   CAST(max(median_gap) AS BIGINT) AS max_gap
+          | FROM b GROUP BY cadence ORDER BY cadence"""
+          .stripMargin.replace("\n", "")))
   )
 }

@@ -489,6 +489,60 @@ object EventFlowOps {
           |       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
           |          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END AS corr14
           | FROM m ORDER BY day"""
+          .stripMargin.replace("\n", ""))),
+
+    // Attribution-window sweep: click-attribution rate of purchases at
+    // THREE horizons (1h / 6h / 24h) from ONE pass — the per-user
+    // running max of click times (q208's RANGE window) prices every
+    // horizon simultaneously, where the naive approach runs one
+    // window-join per horizon. One user exchange + a 1-row aggregate
+    // unpivoted to 3 rows; the sweep a growth team reads to pick an
+    // attribution policy before re-running it over 100 TB of events.
+    "q237_attribution_sweep" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = table(s, dir, "events")
+          .where(col("event_type").isin("click", "purchase"))
+          .select(col("user_id"), col("event_type"),
+            expr("unix_micros(ts)").as("tus"))
+        val w = Window.partitionBy("user_id").orderBy("tus")
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        val purch = ev
+          .withColumn("last_click",
+            max(when(col("event_type") === "click", col("tus"))).over(w))
+          .where(col("event_type") === "purchase")
+          .select((col("tus") - col("last_click")).as("delta"))
+        val agg = purch.agg(count(lit(1)).as("n"),
+          sum(when(col("delta") <= 3600L * 1000000L, 1L).otherwise(0L))
+            .as("a1"),
+          sum(when(col("delta") <= 6 * 3600L * 1000000L, 1L).otherwise(0L))
+            .as("a6"),
+          sum(when(col("delta") <= 24 * 3600L * 1000000L, 1L)
+            .otherwise(0L)).as("a24"))
+        def row(h: Int, c: String) = agg.select(
+          lit(h).cast("int").as("horizon_h"), col("n").as("n_purchases"),
+          col(c).as("n_attributed"),
+          expr(s"$c * 10000 div n").as("attributed_bps"))
+        row(1, "a1").unionByName(row(6, "a6")).unionByName(row(24, "a24"))
+          .orderBy("horizon_h")
+      },
+      Some(
+        """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus
+          |   FROM events WHERE event_type IN ('click', 'purchase')),
+          | p AS (SELECT tus - max(CASE WHEN event_type = 'click' THEN tus END)
+          |     OVER (PARTITION BY user_id ORDER BY tus
+          |       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS delta,
+          |     event_type FROM ev),
+          | a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          |     CAST(sum(CASE WHEN delta <= 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+          |     CAST(sum(CASE WHEN delta <= 21600000000 THEN 1 ELSE 0 END) AS BIGINT) AS a6,
+          |     CAST(sum(CASE WHEN delta <= 86400000000 THEN 1 ELSE 0 END) AS BIGINT) AS a24
+          |   FROM p WHERE event_type = 'purchase')
+          | SELECT CAST(1 AS INT) AS horizon_h, n AS n_purchases, a1 AS n_attributed,
+          |   CAST(a1 * 10000 // n AS BIGINT) AS attributed_bps FROM a
+          | UNION ALL SELECT CAST(6 AS INT), n, a6, CAST(a6 * 10000 // n AS BIGINT) FROM a
+          | UNION ALL SELECT CAST(24 AS INT), n, a24, CAST(a24 * 10000 // n AS BIGINT) FROM a
+          | ORDER BY horizon_h"""
           .stripMargin.replace("\n", "")))
   )
 }

@@ -244,6 +244,51 @@ object ScorecardOps {
           |   CAST(e_sum AS DOUBLE) / CAST(n * 3000 AS DOUBLE) AS mean_pred,
           |   CAST(n_yes AS DOUBLE) / CAST(n AS DOUBLE) AS actual_rate
           | FROM g ORDER BY bucket"""
+          .stripMargin.replace("\n", ""))),
+
+    // Cellwise contingency residuals for (source x lang): where q184's
+    // chi-square says THAT the corpus mix is skewed, the standardized
+    // residual (obs - exp)/sqrt(exp) per cell says WHERE — which
+    // source over/under-supplies which language. One corpus rollup to
+    // the bounded cell frame; margins ride windows over those cells
+    // (no second scan); exp and the residual are fixed double
+    // expressions over exact BIGINTs.
+    "q239_contingency_residuals" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cells = table(s, dir, "documents")
+          .groupBy("source", "lang").agg(count(lit(1)).as("obs"))
+        val wAll = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        val wRow = Window.partitionBy("source").rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        val wCol = Window.partitionBy("lang").rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        cells
+          .withColumn("row_total", sum("obs").over(wRow))
+          .withColumn("col_total", sum("obs").over(wCol))
+          .withColumn("total", sum("obs").over(wAll))
+          .select(col("source"), col("lang"), col("obs"),
+            ((col("row_total") * col("col_total")).cast("double") /
+              col("total").cast("double")).as("expected"))
+          .select(col("source"), col("lang"), col("obs"), col("expected"),
+            ((col("obs").cast("double") - col("expected")) /
+              sqrt(col("expected"))).as("std_residual"))
+          .orderBy("source", "lang")
+      },
+      Some(
+        """WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS obs
+          |   FROM documents GROUP BY 1, 2),
+          | m AS (SELECT source, lang, obs,
+          |     CAST(sum(obs) OVER (PARTITION BY source) AS BIGINT) AS row_total,
+          |     CAST(sum(obs) OVER (PARTITION BY lang) AS BIGINT) AS col_total,
+          |     CAST(sum(obs) OVER () AS BIGINT) AS total FROM cells),
+          | e AS (SELECT source, lang, obs,
+          |     CAST(row_total * col_total AS DOUBLE) / CAST(total AS DOUBLE) AS expected
+          |   FROM m)
+          | SELECT source, lang, obs, expected,
+          |   (CAST(obs AS DOUBLE) - expected) / sqrt(expected) AS std_residual
+          | FROM e ORDER BY source, lang"""
           .stripMargin.replace("\n", "")))
   )
 }

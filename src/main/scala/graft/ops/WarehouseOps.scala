@@ -1731,6 +1731,87 @@ object WarehouseOps {
           |   CASE WHEN n_und * 2 * sxx - sx * sx = 0 THEN NULL
           |     ELSE CAST(n_und * 2 * sxy - sx * sx AS DOUBLE)
           |       / CAST(n_und * 2 * sxx - sx * sx AS DOUBLE) END AS assortativity
-          | FROM m""".stripMargin.replace("\n", "")))
+          | FROM m""".stripMargin.replace("\n", ""))),
+
+    // ABC-XYZ inventory matrix: revenue concentration (q181's
+    // cumulative-share ABC) crossed with demand VARIABILITY — XYZ from
+    // the coefficient of variation of weekly unit demand, decided in
+    // EXACT integers: cv^2 <= t  <=>  W*sxx - sx^2 <= t*sx^2, so the
+    // X/Y/Z cut (t = 1/4, 1) never touches a float. Zero-demand weeks
+    // count (W is the corpus week span; absent rows contribute zero to
+    // both moments), which is what makes sporadic movers land in Z.
+    // Two part-key rollups + bounded windows over the part frame;
+    // output is the 3x3 planning matrix.
+    "q240_abc_xyz" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = table(s, dir, "lineitem")
+          .select(col("l_partkey"),
+            to_date(col("l_shipdate")).as("d"),
+            col("l_quantity").cast("bigint").as("units"),
+            expr("CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)")
+              .as("rev_cents"))
+        val anchor = li.agg(min("d").as("d0"), max("d").as("d1"))
+        val weekly = li.crossJoin(broadcast(anchor))
+          .select(col("l_partkey"),
+            expr("datediff(d, d0) div 7").as("wk"),
+            col("units"), col("rev_cents"),
+            (expr("datediff(d1, d0) div 7") + 1).as("n_weeks"))
+          .groupBy("l_partkey", "wk", "n_weeks")
+          .agg(sum("units").as("u"), sum("rev_cents").as("rc"))
+        val perPart = weekly.groupBy("l_partkey", "n_weeks")
+          .agg(sum("u").as("sx"), sum(col("u") * col("u")).as("sxx"),
+            sum("rc").as("rev"))
+        val wCum = Window.orderBy(col("rev").desc, col("l_partkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        perPart
+          .withColumn("cum", sum("rev").over(wCum))
+          .withColumn("tot", sum("rev").over(wAll))
+          .select(col("l_partkey"), col("sx"), col("sxx"),
+            col("n_weeks"), col("rev"),
+            when((col("cum") * 100) <= (col("tot") * 80), "A")
+              .when((col("cum") * 100) <= (col("tot") * 95), "B")
+              .otherwise("C").as("abc"),
+            when((col("n_weeks") * col("sxx") - col("sx") * col("sx")) * 4
+              <= col("sx") * col("sx"), "X")
+              .when(col("n_weeks") * col("sxx") - col("sx") * col("sx")
+                <= col("sx") * col("sx"), "Y")
+              .otherwise("Z").as("xyz"))
+          .groupBy("abc", "xyz")
+          .agg(count(lit(1)).as("n_parts"), sum("rev").as("rev_cents"),
+            sum("sx").as("units"))
+          .orderBy("abc", "xyz")
+      },
+      Some(
+        """WITH li AS (SELECT l_partkey, CAST(l_shipdate AS DATE) AS d,
+          |     CAST(l_quantity AS BIGINT) AS units,
+          |     CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS rev_cents
+          |   FROM lineitem),
+          | a AS (SELECT min(d) AS d0, max(d) AS d1 FROM li),
+          | wk AS (SELECT l_partkey, CAST((li.d - a.d0) // 7 AS BIGINT) AS wk,
+          |     CAST((a.d1 - a.d0) // 7 + 1 AS BIGINT) AS n_weeks,
+          |     CAST(sum(units) AS BIGINT) AS u,
+          |     CAST(sum(rev_cents) AS BIGINT) AS rc
+          |   FROM li, a GROUP BY 1, 2, 3),
+          | pp AS (SELECT l_partkey, n_weeks, CAST(sum(u) AS BIGINT) AS sx,
+          |     CAST(sum(u * u) AS BIGINT) AS sxx,
+          |     CAST(sum(rc) AS BIGINT) AS rev
+          |   FROM wk GROUP BY 1, 2),
+          | c AS (SELECT *, CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey) AS BIGINT) AS cum,
+          |     CAST(sum(rev) OVER () AS BIGINT) AS tot FROM pp),
+          | k AS (SELECT l_partkey, sx, sxx, n_weeks, rev,
+          |     CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+          |       WHEN cum * 100 <= tot * 95 THEN 'B' ELSE 'C' END AS abc,
+          |     CASE WHEN (n_weeks * sxx - sx * sx) * 4 <= sx * sx THEN 'X'
+          |       WHEN n_weeks * sxx - sx * sx <= sx * sx THEN 'Y'
+          |       ELSE 'Z' END AS xyz
+          |   FROM c)
+          | SELECT abc, xyz, CAST(count(*) AS BIGINT) AS n_parts,
+          |   CAST(sum(rev) AS BIGINT) AS rev_cents,
+          |   CAST(sum(sx) AS BIGINT) AS units
+          | FROM k GROUP BY abc, xyz ORDER BY abc, xyz"""
+          .stripMargin.replace("\n", "")))
   )
 }
