@@ -1372,6 +1372,55 @@ object AnalyticsOps {
           |   CAST(min(median_gap) AS BIGINT) AS min_gap,
           |   CAST(max(median_gap) AS BIGINT) AS max_gap
           | FROM b GROUP BY cadence ORDER BY cadence"""
+          .stripMargin.replace("\n", ""))),
+
+    // Local-supply share (TPC-H Q5's signature constraint): revenue per
+    // supplier nation split by whether the CUSTOMER sits in the same
+    // nation — the one analytical join here that needs customer AND
+    // supplier geography on the same fact row. Plan shape: two co-keyed
+    // fact shuffles (lineitem-orders on orderkey, +customer on custkey)
+    // with supplier/nation broadcast dims; the local flag is a
+    // projection, so the split costs no extra pass. Revenue in exact
+    // cents; share is integer bps.
+    "q243_local_supply_share" -> Q(
+      (s, dir) => {
+        val rev = expr(
+          "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)")
+        table(s, dir, "lineitem")
+          .join(table(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(table(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(table(s, dir, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(table(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("n_name"),
+            when(col("c_nationkey") === col("s_nationkey"), rev)
+              .otherwise(lit(0L)).as("local_cents"),
+            rev.as("cents"))
+          .groupBy("n_name")
+          .agg(sum("local_cents").as("local_cents"),
+            sum("cents").as("total_cents"))
+          .select(col("n_name"), col("local_cents"), col("total_cents"),
+            expr("local_cents * 10000 div total_cents").as("local_bps"))
+          .orderBy("n_name")
+      },
+      Some(
+        """WITH f AS (SELECT n.n_name,
+          |     CASE WHEN c.c_nationkey = s.s_nationkey
+          |       THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)
+          |       ELSE 0 END AS local_cents,
+          |     CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT) AS cents
+          |   FROM lineitem l
+          |     JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |     JOIN customer c ON o.o_custkey = c.c_custkey
+          |     JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          |     JOIN nation n ON s.s_nationkey = n.n_nationkey)
+          | SELECT n_name, CAST(sum(local_cents) AS BIGINT) AS local_cents,
+          |   CAST(sum(cents) AS BIGINT) AS total_cents,
+          |   CAST(sum(local_cents) * 10000 // sum(cents) AS BIGINT) AS local_bps
+          | FROM f GROUP BY n_name ORDER BY n_name"""
           .stripMargin.replace("\n", "")))
   )
 }

@@ -315,6 +315,72 @@ object CorpusStatsOps {
           |   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
           | FROM documents GROUP BY CUBE (source, lang)
           | ORDER BY gid, source, lang"""
+          .stripMargin.replace("\n", ""))),
+
+    // Exact Kolmogorov-Smirnov drift of each source's doc-length
+    // distribution against the rest of the corpus — decided in pure
+    // INTEGER arithmetic: D = max|F_s - F_rest| is evaluated as
+    // max|cum_s*(N-n_s) - (cum_t-cum_s)*n_s| over the length grid, so
+    // the max never compares floats (cross-multiplied CDF difference;
+    // at 100 TB counts the products lift into DECIMAL(38,0), same
+    // shape — q194's rule). The length grid is bounded (distinct
+    // lengths x sources), so after one corpus rollup everything rides
+    // windows over a tiny dense grid.
+    "q241_ks_drift" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = table(s, dir, "documents")
+          .select(col("source"),
+            size(split(col("text"), " ")).cast("bigint").as("len"))
+        val counts = base.groupBy("source", "len")
+          .agg(count(lit(1)).as("cs"))
+        val lens = counts.groupBy("len").agg(sum("cs").as("ct"))
+        val sources = counts.groupBy("source").agg(sum("cs").as("ns"))
+        val tot = base.agg(count(lit(1)).as("ntot"))
+        val wCum = Window.partitionBy("source").orderBy("len")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        sources.crossJoin(lens)
+          .join(counts, Seq("source", "len"), "left")
+          .select(col("source"), col("ns"), col("len"), col("ct"),
+            coalesce(col("cs"), lit(0L)).as("cs"))
+          .withColumn("cum_s", sum("cs").over(wCum))
+          .withColumn("cum_t", sum("ct").over(wCum))
+          .crossJoin(broadcast(tot))
+          .select(col("source"), col("ns"), col("ntot"),
+            abs(col("cum_s") * (col("ntot") - col("ns")) -
+              (col("cum_t") - col("cum_s")) * col("ns")).as("d"))
+          .groupBy("source", "ns", "ntot")
+          .agg(max("d").as("ks_num"))
+          .select(col("source"), col("ns").as("n_docs"), col("ks_num"),
+            (col("ns") * (col("ntot") - col("ns"))).as("ks_den"),
+            (col("ks_num").cast("double") /
+              (col("ns") * (col("ntot") - col("ns"))).cast("double"))
+              .as("ks_stat"))
+          .orderBy("source")
+      },
+      Some(
+        """WITH base AS (SELECT source,
+          |     CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+          |   FROM documents),
+          | c AS (SELECT source, len, CAST(count(*) AS BIGINT) AS cs
+          |   FROM base GROUP BY 1, 2),
+          | l AS (SELECT len, CAST(sum(cs) AS BIGINT) AS ct FROM c GROUP BY len),
+          | src AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ns FROM c GROUP BY source),
+          | t AS (SELECT CAST(count(*) AS BIGINT) AS ntot FROM base),
+          | g AS (SELECT src.source, src.ns, l.len, l.ct,
+          |     coalesce(c.cs, 0) AS cs
+          |   FROM src CROSS JOIN l LEFT JOIN c ON c.source = src.source AND c.len = l.len),
+          | m AS (SELECT source, ns, len, ct, cs,
+          |     CAST(sum(cs) OVER (PARTITION BY source ORDER BY len) AS BIGINT) AS cum_s,
+          |     CAST(sum(ct) OVER (PARTITION BY source ORDER BY len) AS BIGINT) AS cum_t
+          |   FROM g),
+          | d AS (SELECT source, ns, t.ntot,
+          |     abs(cum_s * (t.ntot - ns) - (cum_t - cum_s) * ns) AS d
+          |   FROM m, t)
+          | SELECT source, ns AS n_docs, CAST(max(d) AS BIGINT) AS ks_num,
+          |   ns * (ntot - ns) AS ks_den,
+          |   CAST(max(d) AS DOUBLE) / CAST(ns * (ntot - ns) AS DOUBLE) AS ks_stat
+          | FROM d GROUP BY source, ns, ntot ORDER BY source"""
           .stripMargin.replace("\n", "")))
   )
 }

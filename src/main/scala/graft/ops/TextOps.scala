@@ -502,7 +502,69 @@ object TextOps {
           | SELECT doc_id, n_words, n_distinct, max_count, sum_sq,
           |   CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) AS ttr,
           |   1.0 - CAST(sum_sq AS DOUBLE) / (CAST(n_words AS DOUBLE) * n_words) AS simpson
-          | FROM a ORDER BY doc_id""".stripMargin.replace("\n", "")))
+          | FROM a ORDER BY doc_id""".stripMargin.replace("\n", ""))),
+
+    // Source lexical-overlap matrix: Jaccard of each source pair's
+    // top-50 term sets — the cheap first answer to "are these two
+    // crawls the same corpus?" before any shingle machinery. One token
+    // rollup (the only corpus-size shuffle), TopKPerGroup pre-reduces
+    // to <= 50 terms/source before ANY exchange, and the pair join runs
+    // over the tiny survivor frame with zero-overlap pairs preserved
+    // via the dense source-pair grid. jaccard = inter/(ka+kb-inter) is
+    // one IEEE division of exact BIGINTs.
+    "q242_source_lexical_overlap" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val termCnt = table(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("w"))
+          .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+        val top = graft.plans.TopKPerGroup(termCnt, Seq("source"),
+            Seq(("cnt", true), ("w", false)), 50)
+          .select(col("source"), col("w"))
+          .localCheckpoint(eager = true)
+        val sizes = top.groupBy("source").agg(count(lit(1)).as("k"))
+        val pairs = sizes.select(col("source").as("src_a"),
+            col("k").as("k_a"))
+          .crossJoin(sizes.select(col("source").as("src_b"),
+            col("k").as("k_b")))
+          .where(col("src_a") < col("src_b"))
+        val inter = top.as("a").join(top.as("b"),
+            col("a.w") === col("b.w") &&
+              col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"),
+            col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("inter"))
+        pairs.join(inter, Seq("src_a", "src_b"), "left")
+          .select(col("src_a"), col("src_b"), col("k_a"), col("k_b"),
+            coalesce(col("inter"), lit(0L)).as("inter"))
+          .select(col("src_a"), col("src_b"), col("k_a"), col("k_b"),
+            col("inter"),
+            (col("inter").cast("double") /
+              (col("k_a") + col("k_b") - col("inter")).cast("double"))
+              .as("jaccard"))
+          .orderBy("src_a", "src_b")
+      },
+      Some(
+        """WITH tc AS (SELECT source, unnest(string_split(text, ' ')) AS w
+          |   FROM documents),
+          | cnt AS (SELECT source, w, CAST(count(*) AS BIGINT) AS cnt
+          |   FROM tc GROUP BY 1, 2),
+          | top AS (SELECT source, w FROM (SELECT source, w,
+          |     row_number() OVER (PARTITION BY source ORDER BY cnt DESC, w) AS rn
+          |   FROM cnt) WHERE rn <= 50),
+          | sz AS (SELECT source, CAST(count(*) AS BIGINT) AS k FROM top GROUP BY source),
+          | pr AS (SELECT a.source AS src_a, a.k AS k_a, b.source AS src_b, b.k AS k_b
+          |   FROM sz a CROSS JOIN sz b WHERE a.source < b.source),
+          | iv AS (SELECT a.source AS src_a, b.source AS src_b,
+          |     CAST(count(*) AS BIGINT) AS inter
+          |   FROM top a JOIN top b ON a.w = b.w AND a.source < b.source
+          |   GROUP BY 1, 2)
+          | SELECT pr.src_a, pr.src_b, pr.k_a, pr.k_b,
+          |   coalesce(iv.inter, 0) AS inter,
+          |   CAST(coalesce(iv.inter, 0) AS DOUBLE)
+          |     / CAST(pr.k_a + pr.k_b - coalesce(iv.inter, 0) AS DOUBLE) AS jaccard
+          | FROM pr LEFT JOIN iv ON pr.src_a = iv.src_a AND pr.src_b = iv.src_b
+          | ORDER BY pr.src_a, pr.src_b""".stripMargin.replace("\n", "")))
   )
 
   /** q159 lives outside `all` only to keep this comment close: it joins
