@@ -299,6 +299,55 @@ object PipelineObsOps {
           |   FROM d)
           | SELECT r.doc_id, r.source, r.uniq_bps, r.src_rank, si.src_idx
           | FROM r JOIN si USING (source) ORDER BY src_rank, src_idx"""
+          .stripMargin.replace("\n", ""))),
+
+    // Tukey-fence volume outliers: flag days whose event volume falls
+    // outside [Q1 - 1.5*IQR, Q3 + 1.5*IQR] — with BOTH the quartiles
+    // (discrete upper order statistics, ceil(k*n/4) index selection —
+    // no interpolation) and the fences decided in exact integers: the
+    // 1.5 factor rides as 2*x vs 2*q + 3*iqr, so no float ever
+    // decides a flag. One corpus rollup to the daily frame; windows
+    // run over those ~30 rows.
+    "q244_volume_outliers" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = table(s, dir, "events")
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("volume"))
+        val ranked = daily
+          .withColumn("rn", row_number().over(Window.orderBy("volume")))
+          .withColumn("n", count(lit(1)).over(Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        val quarts = ranked
+          .select(
+            max(when(col("rn") === expr("(n + 3) div 4"), col("volume")))
+              .as("q1"),
+            max(when(col("rn") === expr("(3 * n + 3) div 4"),
+              col("volume"))).as("q3"))
+        daily.crossJoin(broadcast(quarts))
+          .select(col("day"), col("volume"), col("q1"), col("q3"),
+            when(col("volume") * 2 > col("q3") * 2 +
+              (col("q3") - col("q1")) * 3, 1)
+              .when(col("volume") * 2 < col("q1") * 2 -
+                (col("q3") - col("q1")) * 3, -1)
+              .otherwise(0).cast("int").as("outlier"))
+          .orderBy("day")
+      },
+      Some(
+        """WITH daily AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+          |     CAST(count(*) AS BIGINT) AS volume FROM events GROUP BY 1),
+          | r AS (SELECT day, volume,
+          |     row_number() OVER (ORDER BY volume) AS rn,
+          |     count(*) OVER () AS n FROM daily),
+          | q AS (SELECT
+          |     max(CASE WHEN rn = (n + 3) // 4 THEN volume END) AS q1,
+          |     max(CASE WHEN rn = (3 * n + 3) // 4 THEN volume END) AS q3
+          |   FROM r)
+          | SELECT d.day, d.volume, q.q1, q.q3,
+          |   CAST(CASE WHEN d.volume * 2 > q.q3 * 2 + (q.q3 - q.q1) * 3 THEN 1
+          |     WHEN d.volume * 2 < q.q1 * 2 - (q.q3 - q.q1) * 3 THEN -1
+          |     ELSE 0 END AS INT) AS outlier
+          | FROM daily d, q ORDER BY d.day"""
           .stripMargin.replace("\n", "")))
   )
 }

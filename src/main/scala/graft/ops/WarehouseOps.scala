@@ -1812,6 +1812,68 @@ object WarehouseOps {
           |   CAST(sum(rev) AS BIGINT) AS rev_cents,
           |   CAST(sum(sx) AS BIGINT) AS units
           | FROM k GROUP BY abc, xyz ORDER BY abc, xyz"""
+          .stripMargin.replace("\n", ""))),
+
+    // Column-encoding advisor: per lineitem column, NDV + byte mass ->
+    // dictionary-vs-plain size estimate (dict = distinct values' bytes
+    // + 2-byte codes; plain = raw bytes), the stats a layout tool reads
+    // before rewriting 100 TB of parquet. ONE multi-aggregate pass over
+    // the fact table (q211's discipline — no per-column scans), a
+    // bounded unpivot, and an integer-exact recommendation.
+    "q245_encoding_advisor" -> Q(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val m = li.agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("l_returnflag")).as("d_rf"),
+          sum(length(col("l_returnflag"))).cast("bigint").as("b_rf"),
+          countDistinct(col("l_linestatus")).as("d_ls"),
+          sum(length(col("l_linestatus"))).cast("bigint").as("b_ls"),
+          countDistinct(col("l_partkey")).as("d_pk"),
+          countDistinct(col("l_quantity")).as("d_qty"))
+        def strRow(nm: String, d: String, b: String) = m.select(
+          lit(nm).as("column_name"), col("n").as("n_rows"),
+          col(d).as("ndv"), col(b).as("plain_bytes"),
+          // dict payload ~= one representative value per distinct
+          // (avg width = plain/n) + a 2-byte code per row
+          (col(d) * expr(s"$b div n") + col("n") * 2)
+            .as("dict_bytes_est"))
+        def numRow(nm: String, d: String) = m.select(
+          lit(nm).as("column_name"), col("n").as("n_rows"),
+          col(d).as("ndv"), (col("n") * 8).as("plain_bytes"),
+          (col(d) * 8 + col("n") * 2).as("dict_bytes_est"))
+        strRow("l_returnflag", "d_rf", "b_rf")
+          .unionByName(strRow("l_linestatus", "d_ls", "b_ls"))
+          .unionByName(numRow("l_partkey", "d_pk"))
+          .unionByName(numRow("l_quantity", "d_qty"))
+          .select(col("column_name"), col("n_rows"), col("ndv"),
+            col("plain_bytes"), col("dict_bytes_est"),
+            when(col("dict_bytes_est") < col("plain_bytes"), "dictionary")
+              .otherwise("plain").as("encoding"))
+          .orderBy("column_name")
+      },
+      Some(
+        """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          |     CAST(count(DISTINCT l_returnflag) AS BIGINT) AS d_rf,
+          |     CAST(sum(length(l_returnflag)) AS BIGINT) AS b_rf,
+          |     CAST(count(DISTINCT l_linestatus) AS BIGINT) AS d_ls,
+          |     CAST(sum(length(l_linestatus)) AS BIGINT) AS b_ls,
+          |     CAST(count(DISTINCT l_partkey) AS BIGINT) AS d_pk,
+          |     CAST(count(DISTINCT l_quantity) AS BIGINT) AS d_qty
+          |   FROM lineitem),
+          | u AS (
+          |   SELECT 'l_returnflag' AS column_name, n AS n_rows, d_rf AS ndv,
+          |     b_rf AS plain_bytes, d_rf * (b_rf // n) + n * 2 AS dict_bytes_est FROM m
+          |   UNION ALL SELECT 'l_linestatus', n, d_ls, b_ls,
+          |     d_ls * (b_ls // n) + n * 2 FROM m
+          |   UNION ALL SELECT 'l_partkey', n, d_pk, n * 8,
+          |     d_pk * 8 + n * 2 FROM m
+          |   UNION ALL SELECT 'l_quantity', n, d_qty, n * 8,
+          |     d_qty * 8 + n * 2 FROM m)
+          | SELECT column_name, n_rows, ndv, plain_bytes, dict_bytes_est,
+          |   CASE WHEN dict_bytes_est < plain_bytes THEN 'dictionary'
+          |     ELSE 'plain' END AS encoding
+          | FROM u ORDER BY column_name"""
           .stripMargin.replace("\n", "")))
   )
 }

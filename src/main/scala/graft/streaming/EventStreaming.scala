@@ -175,6 +175,39 @@ object EventStreaming {
       }
   }
 
+  final case class SeenState(firstDay: Long)
+  final case class NewRetRow(user_id: Long, day: Long, is_new: Int)
+
+  /** Streaming new/returning classifier — the continuous twin of batch
+    * q185: O(1) keyed state per user (the first-ever activity day),
+    * emitting one (user, day, is_new) row per distinct user-day in the
+    * trigger. A day is "new" iff it equals the user's first day, which
+    * under per-user event-time-ordered delivery (the funnel keeper's
+    * contract; out-of-order reconstruction is the batch query's job)
+    * matches q185's min(day) exactly. Re-delivered user-days re-emit
+    * the SAME row (is_new is a pure function of frozen state), so
+    * downstream dedup is a distinct, never a reconciliation.
+    */
+  def firstSeen(events: Dataset[Event]): Dataset[NewRetRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SeenState, NewRetRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[SeenState]) =>
+          val days = rows.map(e => e.ts.getTime / 86400000L).toSeq.distinct
+          if (days.isEmpty) Iterator.empty
+          else {
+            val first = state.getOption.map(_.firstDay)
+              .getOrElse(days.min)
+            state.update(SeenState(math.min(first, days.min)))
+            val f = state.get.firstDay
+            days.sorted.iterator.map(d =>
+              NewRetRow(userId, d, if (d == f) 1 else 0))
+          }
+      }
+  }
+
   final case class MgState(items: Map[Long, Long], nSeen: Long)
   final case class MgRow(scope: String, item: Long, est: Long,
                          n_seen: Long, n_tracked: Int)

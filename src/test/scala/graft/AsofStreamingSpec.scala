@@ -372,6 +372,47 @@ class AsofStreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming first-seen keeper equals batch q185 new/returning") {
+    // full sf0.001 event log replayed per-user-in-order across three
+    // triggers: distinct emitted (user, day, is_new) rows, aggregated
+    // per day, must land exactly on batch q185's
+    // (active, new, returning) — state (first day) carries across
+    // batch boundaries
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.ops.TestData.table(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreaming.Event].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val stream = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreaming.Event]
+    val query = EventStreaming.firstSeen(stream)
+      .writeStream.format("memory").queryName("firstseen_test")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .start()
+    try {
+      val (b1, rest) = ev.splitAt(ev.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      Seq(b1, b2, b3).foreach { b =>
+        mem.addData(b.toSeq.map(e =>
+          (e.event_id, e.ts, e.user_id, e.event_type, e.value)))
+        query.processAllAvailable()
+      }
+      val streamed = spark.table("firstseen_test")
+        .as[EventStreaming.NewRetRow].collect().distinct // re-emits dedup
+        .groupBy(_.day).map { case (day, rs) =>
+          (day, rs.length.toLong, rs.count(_.is_new == 1).toLong,
+            rs.count(_.is_new == 0).toLong)
+        }.toSet
+      val batch = SparkEntry.queries("q185_new_returning")(spark, sf)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"diff: ${(streamed diff batch) ++ (batch diff streamed)}")
+    } finally query.stop()
+  }
+
   test("streaming Misra-Gries heavy hitters: deterministic, exact, bounded") {
     // three laws over the sf0.001 event log, items = user_id % 50 per
     // event-type scope: (1) streaming across 3 arbitrary triggers lands
