@@ -543,6 +543,44 @@ object EventFlowOps {
           | UNION ALL SELECT CAST(6 AS INT), n, a6, CAST(a6 * 10000 // n AS BIGINT) FROM a
           | UNION ALL SELECT CAST(24 AS INT), n, a24, CAST(a24 * 10000 // n AS BIGINT) FROM a
           | ORDER BY horizon_h"""
+          .stripMargin.replace("\n", ""))),
+
+    // Hour-of-week traffic heatmap: the bounded 7x24 profile (counts +
+    // bps share + per-cell peak flag) every on-call dashboard starts
+    // from. Day-of-week derives from the integer epoch-day ((d+4) % 7
+    // anchors 1970-01-01 to Thursday) — no engine locale/week-start
+    // semantics anywhere. One map-combinable rollup; windows ride the
+    // 168-cell frame.
+    "q246_hourweek_heatmap" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cells = table(s, dir, "events")
+          .select(
+            expr("(unix_micros(ts) div 86400000000 + 4) % 7").as("dow"),
+            expr("(unix_micros(ts) div 3600000000) % 24").as("hod"))
+          .groupBy("dow", "hod").agg(count(lit(1)).as("n_events"))
+        val wAll = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        cells
+          .withColumn("total", sum("n_events").over(wAll))
+          .withColumn("peak", max("n_events").over(wAll))
+          .select(col("dow"), col("hod"), col("n_events"),
+            expr("n_events * 10000 div total").as("share_bps"),
+            (col("n_events") === col("peak")).cast("int").as("is_peak"))
+          .orderBy("dow", "hod")
+      },
+      Some(
+        """WITH c AS (SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+          |     (epoch_us(ts) // 3600000000) % 24 AS hod,
+          |     CAST(count(*) AS BIGINT) AS n_events
+          |   FROM events GROUP BY 1, 2),
+          | m AS (SELECT dow, hod, n_events,
+          |     CAST(sum(n_events) OVER () AS BIGINT) AS total,
+          |     CAST(max(n_events) OVER () AS BIGINT) AS peak FROM c)
+          | SELECT dow, hod, n_events,
+          |   CAST(n_events * 10000 // total AS BIGINT) AS share_bps,
+          |   CAST(n_events = peak AS INT) AS is_peak
+          | FROM m ORDER BY dow, hod"""
           .stripMargin.replace("\n", "")))
   )
 }

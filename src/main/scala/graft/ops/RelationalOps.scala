@@ -220,6 +220,102 @@ object RelationalOps {
           | count(*) FILTER (WHERE event_type = 'signup') AS signup,
           | count(*) FILTER (WHERE event_type = 'view') AS view
           | FROM events WHERE value > 150 GROUP BY user_id ORDER BY user_id"""
+          .stripMargin.replace("\n", ""))),
+
+    // Share-of-parent hierarchy report: nation revenue as a share of
+    // its region AND of the grand total from ONE corpus scan — the
+    // parent denominators are window sums over the tiny (region,
+    // nation) aggregate, which beats the ROLLUP formulation twice
+    // over: ROLLUP's Expand would TRIPLE every fact row before the
+    // aggregate, and Spark 4's ambiguous-self-join analyzer check
+    // false-positives on rollup()-after-join (the Expand re-references
+    // the join's dataset ids; probed in-round — even a bare
+    // join->rollup->count trips it). Revenue in exact cents; shares in
+    // integer bps.
+    "q247_share_of_parent" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cents = expr(
+          "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)")
+        val cells = table(s, dir, "lineitem")
+          .join(broadcast(table(s, dir, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(table(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(table(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("r_name"), col("n_name"), cents.as("cents"))
+          .groupBy("r_name", "n_name")
+          .agg(sum("cents").as("rev"))
+        val wRegion = Window.partitionBy("r_name").rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        val wAll = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        cells
+          .withColumn("region_rev", sum("rev").over(wRegion))
+          .withColumn("total_rev", sum("rev").over(wAll))
+          .select(col("r_name"), col("n_name"), col("rev"),
+            expr("rev * 10000 div region_rev").as("of_region_bps"),
+            expr("rev * 10000 div total_rev").as("of_total_bps"))
+          .orderBy("r_name", "n_name")
+      },
+      Some(
+        """WITH f AS (SELECT r.r_name, n.n_name,
+          |     CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT) AS cents
+          |   FROM lineitem l
+          |     JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          |     JOIN nation n ON s.s_nationkey = n.n_nationkey
+          |     JOIN region r ON n.n_regionkey = r.r_regionkey),
+          | c AS (SELECT r_name, n_name, CAST(sum(cents) AS BIGINT) AS rev
+          |   FROM f GROUP BY 1, 2),
+          | m AS (SELECT r_name, n_name, rev,
+          |     CAST(sum(rev) OVER (PARTITION BY r_name) AS BIGINT) AS region_rev,
+          |     CAST(sum(rev) OVER () AS BIGINT) AS total_rev
+          |   FROM c)
+          | SELECT r_name, n_name, rev,
+          |   CAST(rev * 10000 // region_rev AS BIGINT) AS of_region_bps,
+          |   CAST(rev * 10000 // total_rev AS BIGINT) AS of_total_bps
+          | FROM m ORDER BY r_name, n_name"""
+          .stripMargin.replace("\n", ""))),
+
+    // Supplier account-balance quartiles per nation via ntile(4) over a
+    // fully deterministic total order (balance cents, then suppkey —
+    // SQL-standard ntile group sizing is then engine-identical). The
+    // one window rides a single nation-key exchange; output is the
+    // bounded per-(nation, quartile) band report.
+    "q249_balance_quartiles" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val sup = table(s, dir, "supplier")
+          .join(broadcast(table(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("n_name"),
+            expr("CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)")
+              .as("bal_cents"), col("s_suppkey"))
+        val w = Window.partitionBy("n_name")
+          .orderBy("bal_cents", "s_suppkey")
+        sup.withColumn("quartile", ntile(4).over(w).cast("int"))
+          .groupBy("n_name", "quartile")
+          .agg(count(lit(1)).as("n_suppliers"),
+            min("bal_cents").as("min_cents"),
+            max("bal_cents").as("max_cents"),
+            sum("bal_cents").as("sum_cents"))
+          .orderBy("n_name", "quartile")
+      },
+      Some(
+        """WITH s AS (SELECT n.n_name,
+          |     CAST(floor(su.s_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+          |     su.s_suppkey
+          |   FROM supplier su JOIN nation n ON su.s_nationkey = n.n_nationkey),
+          | q AS (SELECT n_name, bal_cents,
+          |     CAST(ntile(4) OVER (PARTITION BY n_name
+          |       ORDER BY bal_cents, s_suppkey) AS INT) AS quartile
+          |   FROM s)
+          | SELECT n_name, quartile, CAST(count(*) AS BIGINT) AS n_suppliers,
+          |   CAST(min(bal_cents) AS BIGINT) AS min_cents,
+          |   CAST(max(bal_cents) AS BIGINT) AS max_cents,
+          |   CAST(sum(bal_cents) AS BIGINT) AS sum_cents
+          | FROM q GROUP BY n_name, quartile ORDER BY n_name, quartile"""
           .stripMargin.replace("\n", "")))
   )
 }

@@ -1874,6 +1874,37 @@ object WarehouseOps {
           |   CASE WHEN dict_bytes_est < plain_bytes THEN 'dictionary'
           |     ELSE 'plain' END AS encoding
           | FROM u ORDER BY column_name"""
+          .stripMargin.replace("\n", ""))),
+
+    // Basket-fanout audit: the order-width histogram plus the EXACT
+    // pair/triple fanout — sum C(w,2) and C(w,3) — that the graph
+    // (q129/q152/q158) and itemset (q234) queries' self-joins
+    // materialize. This is the cost model behind their scale claims,
+    // measured from the data instead of asserted in comments: a planner
+    // reads this before deciding whether the 3-way basket join is
+    // affordable at the next scale-up. One orderkey rollup; integer
+    // binomials per width row.
+    "q248_basket_fanout_audit" -> Q(
+      (s, dir) => {
+        val widths = table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+          .groupBy("l_orderkey").agg(count(lit(1)).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("n_orders"))
+        widths
+          .select(col("w"), col("n_orders"),
+            (col("n_orders") * expr("w * (w - 1) div 2")).as("pair_rows"),
+            (col("n_orders") * expr("w * (w - 1) * (w - 2) div 6"))
+              .as("triple_rows"))
+          .orderBy("w")
+      },
+      Some(
+        """WITH b AS (SELECT l_orderkey, CAST(count(DISTINCT l_partkey) AS BIGINT) AS w
+          |   FROM lineitem GROUP BY l_orderkey),
+          | h AS (SELECT w, CAST(count(*) AS BIGINT) AS n_orders FROM b GROUP BY w)
+          | SELECT w, n_orders,
+          |   n_orders * (w * (w - 1) // 2) AS pair_rows,
+          |   n_orders * (w * (w - 1) * (w - 2) // 6) AS triple_rows
+          | FROM h ORDER BY w"""
           .stripMargin.replace("\n", "")))
   )
 }
