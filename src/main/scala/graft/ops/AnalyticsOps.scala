@@ -1421,6 +1421,84 @@ object AnalyticsOps {
           |   CAST(sum(cents) AS BIGINT) AS total_cents,
           |   CAST(sum(local_cents) * 10000 // sum(cents) AS BIGINT) AS local_bps
           | FROM f GROUP BY n_name ORDER BY n_name"""
+          .stripMargin.replace("\n", ""))),
+
+    // Peak-to-date drawdown of daily revenue: running max (the
+    // high-water mark) minus the day's take, all in exact cents — the
+    // fastest "did something break on day X" signal a revenue
+    // dashboard carries. The daily rollup is the only corpus shuffle;
+    // the running max rides the ~tiny daily frame. The single worst
+    // drawdown day is flagged in-row (ties flag all, deterministic).
+    "q250_revenue_drawdown" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = table(s, dir, "orders")
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd")
+            .as("day"))
+          .agg(sum(expr(
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+            .as("rev"))
+        val wRun = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val dd = daily
+          .withColumn("hwm", max("rev").over(wRun))
+          .withColumn("drawdown", col("hwm") - col("rev"))
+        val worst = dd.agg(max("drawdown").as("worst"))
+        dd.crossJoin(broadcast(worst))
+          .select(col("day"), col("rev"), col("hwm"), col("drawdown"),
+            (col("drawdown") === col("worst") && col("worst") > 0)
+              .cast("int").as("is_worst"))
+          .orderBy("day")
+      },
+      Some(
+        """WITH d AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+          |     CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+          |   FROM orders GROUP BY 1),
+          | r AS (SELECT day, rev,
+          |     CAST(max(rev) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hwm
+          |   FROM d),
+          | dd AS (SELECT day, rev, hwm, hwm - rev AS drawdown FROM r),
+          | w AS (SELECT max(drawdown) AS worst FROM dd)
+          | SELECT dd.day, dd.rev, dd.hwm, dd.drawdown,
+          |   CAST(dd.drawdown = w.worst AND w.worst > 0 AS INT) AS is_worst
+          | FROM dd, w ORDER BY dd.day"""
+          .stripMargin.replace("\n", ""))),
+
+    // Discount-band lift: average quantity per discount band vs the
+    // zero-discount baseline — the elasticity read a pricing team
+    // does before touching 100 TB with an experiment. Bands are exact
+    // integer percent points; the lift is a ratio of two exact
+    // rationals computed as ONE cross-multiplied double division
+    // (sumq * n0) / (n * sumq0), so no intermediate averages are
+    // compared. One map-combinable rollup + a 1-row broadcast.
+    "q251_discount_lift" -> Q(
+      (s, dir) => {
+        val bands = table(s, dir, "lineitem")
+          .select(expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)")
+            .as("disc_pct"),
+            col("l_quantity").cast("bigint").as("q"))
+          .groupBy("disc_pct")
+          .agg(count(lit(1)).as("n_lines"), sum("q").as("sum_qty"))
+        val base = bands.where(col("disc_pct") === 0)
+          .select(col("n_lines").as("n0"), col("sum_qty").as("s0"))
+        bands.crossJoin(broadcast(base))
+          .select(col("disc_pct"), col("n_lines"), col("sum_qty"),
+            (col("sum_qty").cast("double") / col("n_lines").cast("double"))
+              .as("avg_qty"),
+            ((col("sum_qty") * col("n0")).cast("double") /
+              (col("n_lines") * col("s0")).cast("double")).as("lift"))
+          .orderBy("disc_pct")
+      },
+      Some(
+        """WITH b AS (SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_pct,
+          |     CAST(count(*) AS BIGINT) AS n_lines,
+          |     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+          |   FROM lineitem GROUP BY 1),
+          | z AS (SELECT n_lines AS n0, sum_qty AS s0 FROM b WHERE disc_pct = 0)
+          | SELECT b.disc_pct, b.n_lines, b.sum_qty,
+          |   CAST(b.sum_qty AS DOUBLE) / CAST(b.n_lines AS DOUBLE) AS avg_qty,
+          |   CAST(b.sum_qty * z.n0 AS DOUBLE) / CAST(b.n_lines * z.s0 AS DOUBLE) AS lift
+          | FROM b, z ORDER BY b.disc_pct"""
           .stripMargin.replace("\n", "")))
   )
 }

@@ -1905,6 +1905,63 @@ object WarehouseOps {
           |   n_orders * (w * (w - 1) // 2) AS pair_rows,
           |   n_orders * (w * (w - 1) * (w - 2) // 6) AS triple_rows
           | FROM h ORDER BY w"""
-          .stripMargin.replace("\n", "")))
+          .stripMargin.replace("\n", ""))),
+
+    // Rendezvous (highest-random-weight) sharding audit — the
+    // minimal-movement counterpart of q155's mod-resharding: each doc
+    // goes to argmax over shards of md5(doc, shard), so growing 8 -> 9
+    // shards moves ONLY the keys whose new shard wins the argmax
+    // (expected 1/9 ≈ 1111 bps), where mod 16 -> 20 moved 80%. The
+    // audit measures per-shard balance under both widths and the moved
+    // share — all from md5-60 weights both engines compute
+    // identically. Per-doc work is a bounded 9-way argmax projection
+    // (codegen'd greatest/CASE chain); one bounded rollup.
+    "q252_rendezvous_sharding" -> Q(
+      (s, dir) => {
+        def weight(shard: Int) = graft.ops.DedupOps.md5Long60(
+          concat(col("doc_id").cast("string"), lit(s":s$shard")))
+        def argmax(n: Int): org.apache.spark.sql.Column = {
+          val w = (0 until n).map(weight)
+          val m = greatest(w: _*)
+          (0 until n).foldRight(lit(-1): org.apache.spark.sql.Column) {
+            case (i, acc) => when(w(i) === m, lit(i)).otherwise(acc)
+          }
+        }
+        val assigned = table(s, dir, "documents")
+          .select(col("doc_id"), argmax(8).as("s8"), argmax(9).as("s9"))
+        val moved = assigned
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("s8") =!= col("s9"), 1L).otherwise(0L))
+              .as("n_moved"))
+          .select(lit(-1).cast("int").as("shard"), col("n_docs"),
+            col("n_moved"),
+            expr("n_moved * 10000 div n_docs").as("bps"))
+        val perShard = assigned.groupBy(col("s9").as("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("s8") =!= col("s9"), 1L).otherwise(0L))
+              .as("n_moved"))
+          .crossJoin(broadcast(assigned.agg(count(lit(1)).as("tot"))))
+          .select(col("shard").cast("int").as("shard"), col("n_docs"),
+            col("n_moved"), expr("n_docs * 10000 div tot").as("bps"))
+        moved.unionByName(perShard).orderBy("shard")
+      },
+      Some {
+        val ws = (0 until 9).map(i =>
+          s"('0x' || substr(md5(doc_id::VARCHAR || ':s$i'), 1, 15))::BIGINT AS w$i")
+          .mkString(", ")
+        def caseArgmax(n: Int, nm: String) = "CASE" + (0 until n).map(i =>
+          s" WHEN w$i = greatest(${(0 until n).map("w" + _).mkString(", ")}) THEN $i")
+          .mkString + s" END AS $nm"
+        s"WITH w AS (SELECT doc_id, $ws FROM documents), " +
+          s"a AS (SELECT doc_id, ${caseArgmax(8, "s8")}, ${caseArgmax(9, "s9")} FROM w), " +
+          "mv AS (SELECT CAST(-1 AS INT) AS shard, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(sum(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved FROM a), " +
+          "t AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM a), " +
+          "ps AS (SELECT CAST(s9 AS INT) AS shard, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(sum(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved FROM a GROUP BY s9) " +
+          "SELECT shard, n_docs, n_moved, CAST(n_moved * 10000 // n_docs AS BIGINT) AS bps FROM mv " +
+          "UNION ALL SELECT ps.shard, ps.n_docs, ps.n_moved, " +
+          "CAST(ps.n_docs * 10000 // t.tot AS BIGINT) FROM ps, t ORDER BY shard"
+      })
   )
 }
