@@ -573,6 +573,28 @@ class PlanSpec extends SparkSpec {
       s"within-bucket window not partitioned by bkt:\n$plan")
   }
 
+  test("q243 local-supply: dims broadcast, facts equi-joined, no cartesian") {
+    val plan = executed("q243_local_supply_share")
+    assert(plan.contains("BroadcastHashJoin"), s"dims not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q247 share-of-parent scans the fact table exactly once") {
+    // the window-over-aggregate shape must not re-scan lineitem for
+    // the parent denominators (the three-grouped-queries formulation
+    // would scan it three times)
+    val plan = executed("q247_share_of_parent")
+    assert("lineitem\\.parquet".r.findAllIn(plan).size == 1,
+      s"fact table scanned more than once:\n$plan")
+  }
+
+  test("q252 rendezvous audit: projection + bounded rollup, no sort-merge join") {
+    val plan = executed("q252_rendezvous_sharding")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-sized join crept into the audit:\n$plan")
+  }
+
   test("q224 rolling actives: hash aggregates only, no window state") {
     // exact sliding distinct must come from the x7 fanout of the
     // COLLAPSED user-day frame — any Window node means someone tried
