@@ -1499,6 +1499,59 @@ object AnalyticsOps {
           |   CAST(b.sum_qty AS DOUBLE) / CAST(b.n_lines AS DOUBLE) AS avg_qty,
           |   CAST(b.sum_qty * z.n0 AS DOUBLE) / CAST(b.n_lines * z.s0 AS DOUBLE) AS lift
           | FROM b, z ORDER BY b.disc_pct"""
+          .stripMargin.replace("\n", ""))),
+
+    // Revenue-concentration trend: yearly HHI of the nation revenue
+    // mix — is the business diversifying or concentrating? q194's
+    // squared-sums identity per YEAR: hhi, its bps floor, and the
+    // effective number of nations (1/hhi) — sums exact BIGINT cents,
+    // the index one double division per year. Bounded (years x
+    // nations) frame after one fact pass through the broadcast dim
+    // chain.
+    "q255_concentration_trend" -> Q(
+      (s, dir) => {
+        val cells = table(s, dir, "lineitem")
+          .join(broadcast(table(s, dir, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(table(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(table(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(year(to_date(col("o_orderdate"))).cast("bigint")
+            .as("yr"), col("n_name"))
+          .agg(sum(expr(
+            "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)"))
+            .as("rev"))
+        // cents^2 per cell brushes 2^63 — squares ride DECIMAL(38,0)
+        // (HUGEINT in the oracle), exact on both engines; the index
+        // closes in double — one division of exact integers
+        cells.groupBy("yr")
+          .agg(count(lit(1)).as("n_nations"), sum("rev").as("total_rev"),
+            sum(expr("CAST(rev AS DECIMAL(38,0)) * rev")).as("sum_sq"))
+          .select(col("yr"), col("n_nations"), col("total_rev"),
+            (col("sum_sq").cast("double") /
+              (col("total_rev").cast("double") * col("total_rev")))
+              .as("hhi"),
+            ((col("total_rev").cast("double") * col("total_rev")) /
+              col("sum_sq").cast("double")).as("effective_nations"))
+          .orderBy("yr")
+      },
+      Some(
+        """WITH c AS (SELECT CAST(year(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS yr,
+          |     n.n_name,
+          |     CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+          |   FROM lineitem l
+          |     JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          |     JOIN nation n ON s.s_nationkey = n.n_nationkey
+          |     JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |   GROUP BY 1, 2)
+          | SELECT yr, CAST(count(*) AS BIGINT) AS n_nations,
+          |   CAST(sum(rev) AS BIGINT) AS total_rev,
+          |   CAST(sum(CAST(rev AS HUGEINT) * rev) AS DOUBLE)
+          |     / (CAST(sum(rev) AS DOUBLE) * CAST(sum(rev) AS BIGINT)) AS hhi,
+          |   (CAST(sum(rev) AS DOUBLE) * CAST(sum(rev) AS BIGINT))
+          |     / CAST(sum(CAST(rev AS HUGEINT) * rev) AS DOUBLE) AS effective_nations
+          | FROM c GROUP BY yr ORDER BY yr"""
           .stripMargin.replace("\n", "")))
   )
 }

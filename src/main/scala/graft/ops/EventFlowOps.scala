@@ -581,6 +581,93 @@ object EventFlowOps {
           |   CAST(n_events * 10000 // total AS BIGINT) AS share_bps,
           |   CAST(n_events = peak AS INT) AS is_peak
           | FROM m ORDER BY dow, hod"""
+          .stripMargin.replace("\n", ""))),
+
+    // Persistent heavy users: who sits in the DAILY top-10 (by event
+    // count) on the most days — the stable-abuser / power-user report,
+    // as opposed to one-day spikes. TopKPerGroup pre-reduces each
+    // day's leaderboard before any exchange (answer-proportional:
+    // 10 x days rows survive), then a bounded persistence rollup; the
+    // final cut keeps users with >= 3 top-10 days. Ties inside a day
+    // break on user_id — deterministic on both engines.
+    "q253_persistent_heavy_users" -> Q(
+      (s, dir) => {
+        val daily = table(s, dir, "events")
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+            col("user_id"))
+          .agg(count(lit(1)).as("cnt"))
+        val top = graft.plans.TopKPerGroup(daily, Seq("day"),
+          Seq(("cnt", true), ("user_id", false)), 10)
+        top.groupBy("user_id")
+          .agg(count(lit(1)).as("days_in_top10"),
+            sum("cnt").as("events_in_top10"),
+            min("day").as("first_day"), max("day").as("last_day"))
+          .where(col("days_in_top10") >= 3)
+          .orderBy(desc("days_in_top10"), desc("events_in_top10"),
+            col("user_id"))
+      },
+      Some(
+        """WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS day, user_id,
+          |     CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+          | r AS (SELECT day, user_id, cnt,
+          |     row_number() OVER (PARTITION BY day ORDER BY cnt DESC, user_id) AS rn
+          |   FROM d),
+          | t AS (SELECT day, user_id, cnt FROM r WHERE rn <= 10)
+          | SELECT user_id, CAST(count(*) AS BIGINT) AS days_in_top10,
+          |   CAST(sum(cnt) AS BIGINT) AS events_in_top10,
+          |   min(day) AS first_day, max(day) AS last_day
+          | FROM t GROUP BY user_id HAVING count(*) >= 3
+          | ORDER BY days_in_top10 DESC, events_in_top10 DESC, user_id"""
+          .stripMargin.replace("\n", ""))),
+
+    // View-abandonment rate by hour of day: views with NO purchase by
+    // the same user within the following hour, as a share of that
+    // hour-of-day's views. The "next purchase" comes from one
+    // REVERSE-range window per user (min purchase time at-or-after
+    // each event) — q208's machinery pointed forward — so the whole
+    // sweep is one user exchange + a 24-row rollup, never a view-vs-
+    // purchase self-join.
+    "q254_abandonment_by_hour" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = table(s, dir, "events")
+          .where(col("event_type").isin("view", "purchase"))
+          .select(col("user_id"), col("event_type"),
+            expr("unix_micros(ts)").as("tus"))
+        val w = Window.partitionBy("user_id").orderBy("tus")
+          .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+        ev
+          .withColumn("next_purchase",
+            min(when(col("event_type") === "purchase", col("tus")))
+              .over(w))
+          .where(col("event_type") === "view")
+          .select(expr("(tus div 3600000000) % 24").as("hod"),
+            (col("next_purchase").isNull ||
+              col("next_purchase") - col("tus") > 3600L * 1000000L)
+              .cast("long").as("abandoned"))
+          .groupBy("hod")
+          .agg(count(lit(1)).as("n_views"), sum("abandoned")
+            .as("n_abandoned"))
+          .select(col("hod"), col("n_views"), col("n_abandoned"),
+            expr("n_abandoned * 10000 div n_views").as("abandon_bps"))
+          .orderBy("hod")
+      },
+      Some(
+        """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus
+          |   FROM events WHERE event_type IN ('view', 'purchase')),
+          | nx AS (SELECT user_id, event_type, tus,
+          |     min(CASE WHEN event_type = 'purchase' THEN tus END)
+          |       OVER (PARTITION BY user_id ORDER BY tus
+          |         RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_purchase
+          |   FROM ev),
+          | v AS (SELECT (tus // 3600000000) % 24 AS hod,
+          |     CASE WHEN next_purchase IS NULL OR next_purchase - tus > 3600000000
+          |       THEN 1 ELSE 0 END AS abandoned
+          |   FROM nx WHERE event_type = 'view')
+          | SELECT hod, CAST(count(*) AS BIGINT) AS n_views,
+          |   CAST(sum(abandoned) AS BIGINT) AS n_abandoned,
+          |   CAST(sum(abandoned) * 10000 // count(*) AS BIGINT) AS abandon_bps
+          | FROM v GROUP BY hod ORDER BY hod"""
           .stripMargin.replace("\n", "")))
   )
 }

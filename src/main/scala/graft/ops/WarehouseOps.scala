@@ -1962,6 +1962,69 @@ object WarehouseOps {
           "SELECT shard, n_docs, n_moved, CAST(n_moved * 10000 // n_docs AS BIGINT) AS bps FROM mv " +
           "UNION ALL SELECT ps.shard, ps.n_docs, ps.n_moved, " +
           "CAST(ps.n_docs * 10000 // t.tot AS BIGINT) FROM ps, t ORDER BY shard"
-      })
+      }),
+
+    // TTL retention sweep: rows and payload bytes a T-day time-to-live
+    // would keep, for T in {30, 90, 180, 365} — ONE conditional-sum
+    // pass over the event log (q237's sweep discipline: never one scan
+    // per policy), anchored to the corpus max timestamp. The sheet a
+    // retention policy decision reads before any data actually
+    // expires. Bytes = the props payload length, exact integers
+    // throughout.
+    "q256_ttl_sweep" -> Q(
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+          .select(expr("unix_micros(ts)").as("tus"),
+            length(col("props")).cast("bigint").as("bytes"))
+        val anchored = ev.crossJoin(broadcast(
+          ev.agg(max("tus").as("tmax"))))
+          .select(expr("(tmax - tus) div 86400000000").as("age_days"),
+            col("bytes"))
+        val agg = anchored.agg(
+          count(lit(1)).as("n"), sum("bytes").as("b"),
+          sum(when(col("age_days") < 30, 1L).otherwise(0L)).as("n30"),
+          sum(when(col("age_days") < 30, col("bytes")).otherwise(0L))
+            .as("b30"),
+          sum(when(col("age_days") < 90, 1L).otherwise(0L)).as("n90"),
+          sum(when(col("age_days") < 90, col("bytes")).otherwise(0L))
+            .as("b90"),
+          sum(when(col("age_days") < 180, 1L).otherwise(0L)).as("n180"),
+          sum(when(col("age_days") < 180, col("bytes")).otherwise(0L))
+            .as("b180"),
+          sum(when(col("age_days") < 365, 1L).otherwise(0L)).as("n365"),
+          sum(when(col("age_days") < 365, col("bytes")).otherwise(0L))
+            .as("b365"))
+        def row(t: Int, nc: String, bc: String) = agg.select(
+          lit(t).cast("int").as("ttl_days"), col("n").as("total_rows"),
+          col(nc).as("kept_rows"), col(bc).as("kept_bytes"),
+          expr(s"$nc * 10000 div n").as("kept_bps"))
+        row(30, "n30", "b30").unionByName(row(90, "n90", "b90"))
+          .unionByName(row(180, "n180", "b180"))
+          .unionByName(row(365, "n365", "b365"))
+          .orderBy("ttl_days")
+      },
+      Some(
+        """WITH ev AS (SELECT epoch_us(ts) AS tus,
+          |     CAST(length(props) AS BIGINT) AS bytes FROM events),
+          | t AS (SELECT max(tus) AS tmax FROM ev),
+          | a AS (SELECT (t.tmax - ev.tus) // 86400000000 AS age_days,
+          |     ev.bytes FROM ev, t),
+          | g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          |     CAST(sum(CASE WHEN age_days < 30 THEN 1 ELSE 0 END) AS BIGINT) AS n30,
+          |     CAST(sum(CASE WHEN age_days < 30 THEN bytes ELSE 0 END) AS BIGINT) AS b30,
+          |     CAST(sum(CASE WHEN age_days < 90 THEN 1 ELSE 0 END) AS BIGINT) AS n90,
+          |     CAST(sum(CASE WHEN age_days < 90 THEN bytes ELSE 0 END) AS BIGINT) AS b90,
+          |     CAST(sum(CASE WHEN age_days < 180 THEN 1 ELSE 0 END) AS BIGINT) AS n180,
+          |     CAST(sum(CASE WHEN age_days < 180 THEN bytes ELSE 0 END) AS BIGINT) AS b180,
+          |     CAST(sum(CASE WHEN age_days < 365 THEN 1 ELSE 0 END) AS BIGINT) AS n365,
+          |     CAST(sum(CASE WHEN age_days < 365 THEN bytes ELSE 0 END) AS BIGINT) AS b365
+          |   FROM a)
+          | SELECT CAST(30 AS INT) AS ttl_days, n AS total_rows, n30 AS kept_rows,
+          |   b30 AS kept_bytes, CAST(n30 * 10000 // n AS BIGINT) AS kept_bps FROM g
+          | UNION ALL SELECT CAST(90 AS INT), n, n90, b90, CAST(n90 * 10000 // n AS BIGINT) FROM g
+          | UNION ALL SELECT CAST(180 AS INT), n, n180, b180, CAST(n180 * 10000 // n AS BIGINT) FROM g
+          | UNION ALL SELECT CAST(365 AS INT), n, n365, b365, CAST(n365 * 10000 // n AS BIGINT) FROM g
+          | ORDER BY ttl_days"""
+          .stripMargin.replace("\n", "")))
   )
 }
