@@ -2025,6 +2025,121 @@ object WarehouseOps {
           | UNION ALL SELECT CAST(180 AS INT), n, n180, b180, CAST(n180 * 10000 // n AS BIGINT) FROM g
           | UNION ALL SELECT CAST(365 AS INT), n, n365, b365, CAST(n365 * 10000 // n AS BIGINT) FROM g
           | ORDER BY ttl_days"""
+          .stripMargin.replace("\n", ""))),
+
+    // Exact median WITHOUT a global sort — the two-pass bucket-search
+    // pattern that computes an exact order statistic over 10^12 rows
+    // where sort-based median dies: pass 1 histograms order totals
+    // into 2^20-cent buckets (map-combinable; bounded frame), the
+    // cumulative count locates the bucket holding the target rank,
+    // and pass 2 sorts ONLY inside that bucket (1/buckets of the
+    // data; at 100 TB you recurse the same two passes instead). The
+    // oracle computes the same lower median by brute-force order
+    // statistics, pinning the pattern's exactness.
+    "q257_two_pass_median" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cents = table(s, dir, "orders")
+          .select(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            .as("c"), expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) div 1048576")
+            .as("bkt"))
+        val hist = cents.groupBy("bkt").agg(count(lit(1)).as("bc"))
+        val n = cents.agg(count(lit(1)).as("n"))
+        val located = hist
+          .withColumn("cum", sum("bc").over(Window.orderBy("bkt")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .crossJoin(broadcast(n))
+          .withColumn("target", expr("(n + 1) div 2"))
+          .where(col("cum") >= col("target") &&
+            col("cum") - col("bc") < col("target"))
+          .select(col("bkt").as("med_bkt"),
+            (col("target") - (col("cum") - col("bc"))).as("rank_in_bkt"),
+            col("n"))
+        cents.join(broadcast(located), col("bkt") === col("med_bkt"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("bkt").orderBy("c")))
+          .where(col("rn") === col("rank_in_bkt"))
+          .select(col("n").as("n_orders"), col("med_bkt"),
+            col("rank_in_bkt"), col("c").as("median_cents"))
+      },
+      Some(
+        """WITH c AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+          |   FROM orders),
+          | n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+          | r AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM c),
+          | med AS (SELECT r.c AS median_cents FROM r, n WHERE r.rn = (n.n + 1) // 2),
+          | bk AS (SELECT median_cents // 1048576 AS med_bkt, median_cents FROM med),
+          | rk AS (SELECT CAST(count(*) AS BIGINT) AS below FROM c, bk
+          |   WHERE c.c // 1048576 < bk.med_bkt)
+          | SELECT n.n AS n_orders, CAST(bk.med_bkt AS BIGINT) AS med_bkt,
+          |   CAST((n.n + 1) // 2 - rk.below AS BIGINT) AS rank_in_bkt,
+          |   bk.median_cents
+          | FROM n, bk, rk""".stripMargin.replace("\n", ""))),
+
+    // Merkle-style anti-entropy repair plan: two replicas of the event
+    // log (B simulates loss: every 1009th event absent) compared by
+    // RANGE DIGESTS — 256 event-id ranges, each summarized as
+    // (count, bit_xor of id-salted md5-60) — so the replicas exchange
+    // 256 rows instead of the full key set, and only DIRTY ranges
+    // drill down to missing keys. The two-level check a 100 TB
+    // replica repair runs nightly; both digests are order-independent
+    // (XOR) and engine-exact.
+    "q258_merkle_repair" -> Q(
+      (s, dir) => {
+        val ids = table(s, dir, "events").select(col("event_id"))
+        val span = ids.agg(max("event_id").as("mx"))
+        def ranged(df: org.apache.spark.sql.DataFrame) = df
+          .crossJoin(broadcast(span))
+          .select(expr("event_id * 256 div (mx + 1)").as("rng"),
+            col("event_id"))
+        val a = ranged(ids)
+          .groupBy("rng")
+          .agg(count(lit(1)).as("n_a"),
+            bit_xor(graft.ops.DedupOps.md5Long60(
+              col("event_id").cast("string"))).as("dig_a"))
+        val b = ranged(ids.where(col("event_id") % 1009 =!= 0))
+          .groupBy("rng")
+          .agg(count(lit(1)).as("n_b"),
+            bit_xor(graft.ops.DedupOps.md5Long60(
+              col("event_id").cast("string"))).as("dig_b"))
+        val dirty = a.join(b, Seq("rng"), "left")
+          .where(col("dig_b").isNull || col("dig_a") =!= col("dig_b") ||
+            col("n_a") =!= col("n_b"))
+          .select(col("rng"), col("n_a"),
+            coalesce(col("n_b"), lit(0L)).as("n_b"))
+        // drill-down: missing keys, but ONLY inside dirty ranges
+        val missing = ranged(ids.where(col("event_id") % 1009 === 0))
+          .join(dirty.select("rng"), Seq("rng"), "left_semi")
+          .groupBy("rng").agg(count(lit(1)).as("n_missing"),
+            min("event_id").as("first_missing"))
+        dirty.join(missing, Seq("rng"), "left")
+          .select(col("rng"), col("n_a"), col("n_b"),
+            coalesce(col("n_missing"), lit(0L)).as("n_missing"),
+            col("first_missing"))
+          .orderBy("rng")
+      },
+      Some(
+        """WITH ids AS (SELECT event_id FROM events),
+          | s AS (SELECT max(event_id) AS mx FROM ids),
+          | ra AS (SELECT event_id * 256 // (s.mx + 1) AS rng, event_id FROM ids, s),
+          | a AS (SELECT rng, CAST(count(*) AS BIGINT) AS n_a,
+          |     bit_xor(('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT) AS dig_a
+          |   FROM ra GROUP BY rng),
+          | rb AS (SELECT rng, event_id FROM ra WHERE event_id % 1009 <> 0),
+          | b AS (SELECT rng, CAST(count(*) AS BIGINT) AS n_b,
+          |     bit_xor(('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT) AS dig_b
+          |   FROM rb GROUP BY rng),
+          | dirty AS (SELECT a.rng, a.n_a, coalesce(b.n_b, 0) AS n_b
+          |   FROM a LEFT JOIN b USING (rng)
+          |   WHERE b.dig_b IS NULL OR a.dig_a <> b.dig_b OR a.n_a <> b.n_b),
+          | mi AS (SELECT ra.rng, CAST(count(*) AS BIGINT) AS n_missing,
+          |     CAST(min(ra.event_id) AS BIGINT) AS first_missing
+          |   FROM ra WHERE ra.event_id % 1009 = 0
+          |     AND EXISTS (SELECT 1 FROM dirty d WHERE d.rng = ra.rng)
+          |   GROUP BY ra.rng)
+          | SELECT d.rng, d.n_a, d.n_b, coalesce(mi.n_missing, 0) AS n_missing,
+          |   mi.first_missing
+          | FROM dirty d LEFT JOIN mi USING (rng) ORDER BY d.rng"""
           .stripMargin.replace("\n", "")))
   )
 }
