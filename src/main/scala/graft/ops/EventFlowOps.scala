@@ -668,6 +668,64 @@ object EventFlowOps {
           |   CAST(sum(abandoned) AS BIGINT) AS n_abandoned,
           |   CAST(sum(abandoned) * 10000 // count(*) AS BIGINT) AS abandon_bps
           | FROM v GROUP BY hod ORDER BY hod"""
+          .stripMargin.replace("\n", ""))),
+
+    // Session-handoff matrix: how sessions END and how the user's NEXT
+    // session begins — the (last event of session k, first event of
+    // session k+1) transition counts. Sessions are 30-minute-gap
+    // islands (q50's rule); the session id, the first/last flags, and
+    // the cross-session lead all ride windows on the SAME user
+    // partition — one exchange of the event log end to end, then a
+    // bounded |types|^2 rollup. The "do error-terminated sessions
+    // come back?" read.
+    "q259_session_handoff" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val wSeq = Window.partitionBy("user_id").orderBy("tus", "event_id")
+        val wRun = wSeq.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)
+        val ev = table(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            expr("unix_micros(ts)").as("tus"))
+          .withColumn("prev_t", lag("tus", 1).over(wSeq))
+          .withColumn("new_sess",
+            when(col("prev_t").isNull ||
+              col("tus") - col("prev_t") > 1800L * 1000000L, 1L)
+              .otherwise(0L))
+          .withColumn("sess", sum("new_sess").over(wRun))
+        val wSess = Window.partitionBy("user_id", "sess")
+          .orderBy("tus", "event_id")
+        val edges = ev
+          .withColumn("rn", row_number().over(wSess))
+          .withColumn("cnt", count(lit(1)).over(
+            Window.partitionBy("user_id", "sess")))
+          .withColumn("next_first",
+            lead(when(col("rn") === 1, col("event_type")), 1).over(
+              Window.partitionBy("user_id").orderBy("sess", "rn")))
+          .where(col("rn") === col("cnt") && col("next_first").isNotNull)
+          .select(col("event_type").as("ends_with"),
+            col("next_first").as("resumes_with"))
+        edges.groupBy("ends_with", "resumes_with")
+          .agg(count(lit(1)).as("n_handoffs"))
+          .orderBy("ends_with", "resumes_with")
+      },
+      Some(
+        """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+          |   FROM events),
+          | g AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+          |       OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+          |   FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+          | ss AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+          |     ORDER BY tus, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+          |   FROM g),
+          | f AS (SELECT *, row_number() OVER (PARTITION BY user_id, sess ORDER BY tus, event_id) AS rn,
+          |     count(*) OVER (PARTITION BY user_id, sess) AS cnt FROM ss),
+          | h AS (SELECT *, lead(CASE WHEN rn = 1 THEN event_type END)
+          |     OVER (PARTITION BY user_id ORDER BY sess, rn) AS next_first FROM f)
+          | SELECT event_type AS ends_with, next_first AS resumes_with,
+          |   CAST(count(*) AS BIGINT) AS n_handoffs
+          | FROM h WHERE rn = cnt AND next_first IS NOT NULL
+          | GROUP BY 1, 2 ORDER BY ends_with, resumes_with"""
           .stripMargin.replace("\n", "")))
   )
 }

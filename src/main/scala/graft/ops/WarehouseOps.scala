@@ -2140,6 +2140,67 @@ object WarehouseOps {
           | SELECT d.rng, d.n_a, d.n_b, coalesce(mi.n_missing, 0) AS n_missing,
           |   mi.first_missing
           | FROM dirty d LEFT JOIN mi USING (rng) ORDER BY d.rng"""
+          .stripMargin.replace("\n", ""))),
+
+    // Parquet row-group sizing advisor: per table, the measured
+    // logical row width (strings by length, numerics/timestamps at 8
+    // bytes) -> rows per 128 MB row group and files at a 1 GB target —
+    // the knob sheet behind spark.sql.files.maxPartitionBytes tuning
+    // at 100 TB (row groups sized from GUESSED widths are how scans
+    // end up with 10x-skewed task sizes). One aggregate per table,
+    // bounded union; all integer arithmetic.
+    "q260_rowgroup_advisor" -> Q(
+      (s, dir) => {
+        def advise(name: String, width: org.apache.spark.sql.Column,
+            df: org.apache.spark.sql.DataFrame) = df
+          .agg(count(lit(1)).as("n_rows"),
+            sum(width.cast("bigint")).as("total_bytes"))
+          .select(lit(name).as("table_name"), col("n_rows"),
+            col("total_bytes"),
+            expr("total_bytes div n_rows").as("bytes_per_row"),
+            expr("134217728 div greatest(total_bytes div n_rows, 1)")
+              .as("rows_per_128mb_group"),
+            expr("greatest(total_bytes div 1073741824, 1)")
+              .as("files_at_1gb"))
+        val li = advise("lineitem",
+          lit(8 * 9) + length(col("l_returnflag")) +
+            length(col("l_linestatus")),
+          table(s, dir, "lineitem"))
+        val o = advise("orders",
+          lit(8 * 3) + length(col("o_orderstatus")) +
+            length(col("o_orderpriority")),
+          table(s, dir, "orders"))
+        val c = advise("customer",
+          lit(8 * 3) + length(col("c_name")) + length(col("c_mktsegment")),
+          table(s, dir, "customer"))
+        val d = advise("documents",
+          lit(8 * 2) + length(col("text")) + length(col("lang")) +
+            length(col("source")),
+          table(s, dir, "documents"))
+        val e = advise("events",
+          lit(8 * 4) + length(col("event_type")) + length(col("props")),
+          table(s, dir, "events"))
+        li.unionByName(o).unionByName(c).unionByName(d).unionByName(e)
+          .orderBy("table_name")
+      },
+      Some(
+        """WITH a AS (
+          |   SELECT 'lineitem' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+          |     CAST(sum(72 + length(l_returnflag) + length(l_linestatus)) AS BIGINT) AS total_bytes
+          |   FROM lineitem
+          |   UNION ALL SELECT 'orders', CAST(count(*) AS BIGINT),
+          |     CAST(sum(24 + length(o_orderstatus) + length(o_orderpriority)) AS BIGINT) FROM orders
+          |   UNION ALL SELECT 'customer', CAST(count(*) AS BIGINT),
+          |     CAST(sum(24 + length(c_name) + length(c_mktsegment)) AS BIGINT) FROM customer
+          |   UNION ALL SELECT 'documents', CAST(count(*) AS BIGINT),
+          |     CAST(sum(16 + length(text) + length(lang) + length(source)) AS BIGINT) FROM documents
+          |   UNION ALL SELECT 'events', CAST(count(*) AS BIGINT),
+          |     CAST(sum(32 + length(event_type) + length(props)) AS BIGINT) FROM events)
+          | SELECT table_name, n_rows, total_bytes,
+          |   CAST(total_bytes // n_rows AS BIGINT) AS bytes_per_row,
+          |   CAST(134217728 // greatest(total_bytes // n_rows, 1) AS BIGINT) AS rows_per_128mb_group,
+          |   CAST(greatest(total_bytes // 1073741824, 1) AS BIGINT) AS files_at_1gb
+          | FROM a ORDER BY table_name"""
           .stripMargin.replace("\n", "")))
   )
 }
