@@ -595,6 +595,15 @@ class PlanSpec extends SparkSpec {
       s"corpus-sized join crept into the audit:\n$plan")
   }
 
+  test("q259 session handoff rides ONE user exchange through all windows") {
+    // hashpartitioning(user_id) satisfies the (user_id, sess) window's
+    // clustering (subset rule), so sessionize + per-session flags +
+    // cross-session lead must not re-exchange
+    val plan = executed("q259_session_handoff")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
+      plan)
+  }
+
   test("q224 rolling actives: hash aggregates only, no window state") {
     // exact sliding distinct must come from the x7 fanout of the
     // COLLAPSED user-day frame — any Window node means someone tried
