@@ -1196,6 +1196,48 @@ object DedupOps {
           |     / (a.nrm * b.nrm) AS cosine
           |   FROM n a JOIN n b ON a.vec_id < b.vec_id)
           | SELECT v1, v2, cosine FROM p WHERE cosine > 0.3 ORDER BY v1, v2"""
+          .stripMargin.replace("\n", ""))),
+
+    // Duplicate-influx rate per ingest batch (doc_id deciles standing
+    // in for crawl batches): how many of a batch's docs are exact dups
+    // of PRIOR batches — the direction an incremental-crawl dedup
+    // cares about (dups WITHIN a batch are cheap to kill; dups of
+    // history require the fingerprint index). One fingerprint rollup
+    // (min doc_id -> first batch), one map-back join on the
+    // fingerprint, bounded 10-row output; shares exact bps.
+    "q262_dup_influx" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"), TextOps.normalizedFp.as("fp"))
+        val span = docs.agg((max("doc_id") + 1).as("mx"))
+        val batched = docs.crossJoin(broadcast(span))
+          .select(col("doc_id"), col("fp"),
+            expr("doc_id * 10 div mx").as("batch"))
+        val firstBatch = batched.groupBy("fp")
+          .agg(min("batch").as("first_batch"))
+        batched.join(firstBatch, "fp")
+          .select(col("batch"),
+            when(col("batch") > col("first_batch"), 1L).otherwise(0L)
+              .as("dup_of_prior"))
+          .groupBy("batch")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("dup_of_prior").as("n_dup_of_prior"))
+          .select(col("batch"), col("n_docs"), col("n_dup_of_prior"),
+            expr("n_dup_of_prior * 10000 div n_docs").as("influx_bps"))
+          .orderBy("batch")
+      },
+      Some(
+        """WITH d AS (SELECT doc_id,
+          |     md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+          |   FROM documents),
+          | s AS (SELECT max(doc_id) + 1 AS mx FROM d),
+          | b AS (SELECT doc_id, fp, doc_id * 10 // s.mx AS batch FROM d, s),
+          | f AS (SELECT fp, CAST(min(batch) AS BIGINT) AS first_batch
+          |   FROM b GROUP BY fp)
+          | SELECT b.batch, CAST(count(*) AS BIGINT) AS n_docs,
+          |   CAST(sum(CASE WHEN b.batch > f.first_batch THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_of_prior,
+          |   CAST(sum(CASE WHEN b.batch > f.first_batch THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS influx_bps
+          | FROM b JOIN f USING (fp) GROUP BY b.batch ORDER BY b.batch"""
           .stripMargin.replace("\n", "")))
   )
 }

@@ -564,7 +564,58 @@ object TextOps {
           |   CAST(coalesce(iv.inter, 0) AS DOUBLE)
           |     / CAST(pr.k_a + pr.k_b - coalesce(iv.inter, 0) AS DOUBLE) AS jaccard
           | FROM pr LEFT JOIN iv ON pr.src_a = iv.src_a AND pr.src_b = iv.src_b
-          | ORDER BY pr.src_a, pr.src_b""".stripMargin.replace("\n", "")))
+          | ORDER BY pr.src_a, pr.src_b""".stripMargin.replace("\n", ""))),
+
+    // Weighted Jaccard between source term DISTRIBUTIONS — q242's
+    // top-50 sets answer "same vocabulary?"; this answers "same
+    // MIXTURE?": wj = sum_t min(tf_a, tf_b) / sum_t max(tf_a, tf_b),
+    // with sum(max) = total_a + total_b - sum(min) so only SHARED
+    // terms ever join (inverted-index discipline — the join's row
+    // count is sum over terms of pairs-present, bounded by
+    // sources^2 x vocab, not corpus size). Everything integer until
+    // the single closing division.
+    "q263_weighted_jaccard" -> Q(
+      (s, dir) => {
+        val tf = table(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("w"))
+          .groupBy("source", "w").agg(count(lit(1)).as("tf"))
+          .localCheckpoint(eager = true)
+        val totals = tf.groupBy("source").agg(sum("tf").as("total"))
+        val shared = tf.as("a").join(tf.as("b"),
+            col("a.w") === col("b.w") &&
+              col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"),
+            col("b.source").as("src_b"))
+          .agg(sum(least(col("a.tf"), col("b.tf"))).as("sum_min"))
+        shared
+          .join(totals.select(col("source").as("src_a"),
+            col("total").as("total_a")), "src_a")
+          .join(totals.select(col("source").as("src_b"),
+            col("total").as("total_b")), "src_b")
+          .select(col("src_a"), col("src_b"), col("total_a"),
+            col("total_b"), col("sum_min"),
+            (col("sum_min").cast("double") /
+              (col("total_a") + col("total_b") - col("sum_min"))
+                .cast("double")).as("weighted_jaccard"))
+          .orderBy("src_a", "src_b")
+      },
+      Some(
+        """WITH tf AS (SELECT source, w, CAST(count(*) AS BIGINT) AS tf
+          |   FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+          |     FROM documents) GROUP BY 1, 2),
+          | tot AS (SELECT source, CAST(sum(tf) AS BIGINT) AS total
+          |   FROM tf GROUP BY source),
+          | sh AS (SELECT a.source AS src_a, b.source AS src_b,
+          |     CAST(sum(least(a.tf, b.tf)) AS BIGINT) AS sum_min
+          |   FROM tf a JOIN tf b ON a.w = b.w AND a.source < b.source
+          |   GROUP BY 1, 2)
+          | SELECT sh.src_a, sh.src_b, ta.total AS total_a,
+          |   tb.total AS total_b, sh.sum_min,
+          |   CAST(sh.sum_min AS DOUBLE)
+          |     / CAST(ta.total + tb.total - sh.sum_min AS DOUBLE) AS weighted_jaccard
+          | FROM sh JOIN tot ta ON sh.src_a = ta.source
+          |   JOIN tot tb ON sh.src_b = tb.source
+          | ORDER BY sh.src_a, sh.src_b""".stripMargin.replace("\n", "")))
   )
 
   /** q159 lives outside `all` only to keep this comment close: it joins

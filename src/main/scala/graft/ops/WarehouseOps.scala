@@ -2201,6 +2201,70 @@ object WarehouseOps {
           |   CAST(134217728 // greatest(total_bytes // n_rows, 1) AS BIGINT) AS rows_per_128mb_group,
           |   CAST(greatest(total_bytes // 1073741824, 1) AS BIGINT) AS files_at_1gb
           | FROM a ORDER BY table_name"""
-          .stripMargin.replace("\n", "")))
+          .stripMargin.replace("\n", ""))),
+
+    // Consistent-hash ring balance audit (8 nodes x 16 vnodes):
+    // completes the sharding triptych — q155 mod (80% motion), q252
+    // rendezvous (1/9 motion, O(nodes) per key), and the ring, which
+    // buys O(log vnodes) lookups at the price of balance variance
+    // that only vnode count tames. The 128 vnode positions collapse
+    // to ONE sorted-array row, broadcast; each key resolves its
+    // successor with a codegen'd filter-then-min over the array
+    // (wraparound to the ring minimum) — no 128x row fanout, no join.
+    // Output: per-node key share and the min/max imbalance, all
+    // integer.
+    "q261_consistent_hash_ring" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val vnodes = s.range(0, 128)
+          .select(expr("id div 16").as("node"), (col("id") % 16).as("vn"))
+          .select(col("node"),
+            graft.ops.DedupOps.md5Long60(
+              concat(col("node").cast("string"), lit("#"),
+                col("vn").cast("string"))).as("pos"))
+        // (pos, node) packed into one BIGINT (pos < 2^60, node < 8 ->
+        // pos*8+node < 2^63): plain scalar-array min works on both
+        // engines, with pos ties broken by node deterministically
+        val ring = vnodes
+          .agg(sort_array(collect_list(col("pos") * 8 + col("node")))
+            .as("ring"))
+        val keyed = table(s, dir, "documents")
+          .select(graft.ops.DedupOps.md5Long60(
+            col("doc_id").cast("string")).as("h"))
+          .crossJoin(broadcast(ring))
+          // successor vnode: first ring entry at/after h, else wrap to
+          // the ring's first entry
+          .select(expr(
+            """coalesce(
+              |  array_min(filter(ring, r -> r >= h * 8)),
+              |  array_min(ring)) % 8""".stripMargin.replace("\n", ""))
+            .as("node"))
+        val counts = keyed.groupBy("node")
+          .agg(count(lit(1)).as("n_keys"))
+        val ext = counts.agg(max("n_keys").as("mx"), min("n_keys").as("mn"),
+          sum("n_keys").as("tot"))
+        counts.crossJoin(broadcast(ext))
+          .select(col("node").cast("int").as("node"), col("n_keys"),
+            expr("n_keys * 10000 div tot").as("share_bps"),
+            expr("mx * 100 div mn").as("imbalance_pct"))
+          .orderBy("node")
+      },
+      Some {
+        val vn = (0 until 8).flatMap(n => (0 until 16).map(v =>
+          s"($n, ('0x' || substr(md5('$n#$v'), 1, 15))::BIGINT)"))
+          .mkString(", ")
+        s"WITH vno AS (SELECT * FROM (VALUES $vn) t(node, pos)), " +
+          "ring AS (SELECT list_sort(list(pos * 8 + node)) AS ring FROM vno), " +
+          "k AS (SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h FROM documents), " +
+          "asn AS (SELECT coalesce(list_min(list_filter(ring, r -> r >= h * 8)), list_min(ring)) % 8 AS node " +
+          "FROM k, ring), " +
+          "c AS (SELECT node, CAST(count(*) AS BIGINT) AS n_keys FROM asn GROUP BY node), " +
+          "e AS (SELECT CAST(max(n_keys) AS BIGINT) AS mx, CAST(min(n_keys) AS BIGINT) AS mn, " +
+          "CAST(sum(n_keys) AS BIGINT) AS tot FROM c) " +
+          "SELECT CAST(c.node AS INT) AS node, c.n_keys, " +
+          "CAST(c.n_keys * 10000 // e.tot AS BIGINT) AS share_bps, " +
+          "CAST(e.mx * 100 // e.mn AS BIGINT) AS imbalance_pct " +
+          "FROM c, e ORDER BY node"
+      })
   )
 }
