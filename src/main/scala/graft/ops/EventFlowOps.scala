@@ -726,6 +726,53 @@ object EventFlowOps {
           |   CAST(count(*) AS BIGINT) AS n_handoffs
           | FROM h WHERE rn = cnt AND next_first IS NOT NULL
           | GROUP BY 1, 2 ORDER BY ends_with, resumes_with"""
+          .stripMargin.replace("\n", ""))),
+
+    // Transition dwell times: q171's Markov matrix weighted by HOW
+    // LONG each step takes — per (src, dst) event-type transition, the
+    // discrete lower-median and max gap in whole seconds. Gaps come
+    // from one lead on the user partition (q171's exchange); the
+    // median rides windows keyed by the BOUNDED transition pair
+    // (|types|^2 partitions), so the second exchange carries
+    // transition rows, never re-keys by user. Integer epoch-second
+    // gaps; order-statistic median, no interpolation.
+    "q264_transition_dwell" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val wSeq = Window.partitionBy("user_id").orderBy("tus", "event_id")
+        val trans = table(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            col("event_type").as("src"), expr("unix_micros(ts)").as("tus"))
+          .withColumn("dst", lead("src", 1).over(wSeq))
+          .withColumn("next_t", lead("tus", 1).over(wSeq))
+          .where(col("dst").isNotNull)
+          .select(col("src"), col("dst"),
+            expr("(next_t - tus) div 1000000").as("gap_s"))
+        val wCnt = Window.partitionBy("src", "dst")
+        trans
+          .withColumn("rn", row_number().over(wCnt.orderBy("gap_s")))
+          .withColumn("cnt", count(lit(1)).over(wCnt))
+          .withColumn("max_gap", max("gap_s").over(wCnt))
+          .where(col("rn") === expr("(cnt + 1) div 2"))
+          .select(col("src"), col("dst"), col("cnt").as("n_trans"),
+            col("gap_s").as("median_gap_s"), col("max_gap"))
+          .orderBy("src", "dst")
+      },
+      Some(
+        """WITH seq AS (SELECT user_id, event_type AS src,
+          |     lead(event_type) OVER w AS dst,
+          |     (lead(epoch_us(ts)) OVER w - epoch_us(ts)) // 1000000 AS gap_s
+          |   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+          | t AS (SELECT src, dst, gap_s FROM seq WHERE dst IS NOT NULL),
+          | r AS (SELECT src, dst, gap_s,
+          |     row_number() OVER (PARTITION BY src, dst ORDER BY gap_s) AS rn,
+          |     count(*) OVER (PARTITION BY src, dst) AS cnt,
+          |     max(gap_s) OVER (PARTITION BY src, dst) AS max_gap
+          |   FROM t)
+          | SELECT src, dst, CAST(cnt AS BIGINT) AS n_trans,
+          |   CAST(gap_s AS BIGINT) AS median_gap_s,
+          |   CAST(max_gap AS BIGINT) AS max_gap
+          | FROM r WHERE rn = (cnt + 1) // 2 ORDER BY src, dst"""
           .stripMargin.replace("\n", "")))
   )
 }
