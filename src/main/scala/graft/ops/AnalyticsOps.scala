@@ -1552,6 +1552,46 @@ object AnalyticsOps {
           |   (CAST(sum(rev) AS DOUBLE) * CAST(sum(rev) AS BIGINT))
           |     / CAST(sum(CAST(rev AS HUGEINT) * rev) AS DOUBLE) AS effective_nations
           | FROM c GROUP BY yr ORDER BY yr"""
+          .stripMargin.replace("\n", ""))),
+
+    // Quantity-weighted average discount per brand — pricing teams
+    // read the QUANTITY-weighted number, not the line-weighted one
+    // (big orders negotiate the deep discounts; a plain avg hides
+    // that). Discount rides as exact integer percent points; the
+    // weighted average is one cross-multiplied double division of
+    // exact BIGINT sums. One fact pass with the part dim broadcast,
+    // bounded |brands| output.
+    "q266_brand_discount" -> Q(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .join(broadcast(table(s, dir, "part")
+            .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand"),
+            col("l_quantity").cast("bigint").as("q"),
+            expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)")
+              .as("disc_pct"))
+        li.groupBy("p_brand")
+          .agg(count(lit(1)).as("n_lines"), sum("q").as("units"),
+            sum(col("q") * col("disc_pct")).as("qd"),
+            sum("disc_pct").as("ld"))
+          .select(col("p_brand"), col("n_lines"), col("units"),
+            (col("qd").cast("double") / col("units").cast("double"))
+              .as("qty_weighted_disc_pct"),
+            (col("ld").cast("double") / col("n_lines").cast("double"))
+              .as("line_avg_disc_pct"))
+          .orderBy("p_brand")
+      },
+      Some(
+        """WITH li AS (SELECT p.p_brand,
+          |     CAST(l.l_quantity AS BIGINT) AS q,
+          |     CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT) AS disc_pct
+          |   FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+          | SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+          |   CAST(sum(q) AS BIGINT) AS units,
+          |   CAST(sum(q * disc_pct) AS DOUBLE) / CAST(sum(q) AS DOUBLE) AS qty_weighted_disc_pct,
+          |   CAST(sum(disc_pct) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS line_avg_disc_pct
+          | FROM li GROUP BY p_brand ORDER BY p_brand"""
           .stripMargin.replace("\n", "")))
   )
 }

@@ -381,6 +381,38 @@ object CorpusStatsOps {
           |   ns * (ntot - ns) AS ks_den,
           |   CAST(max(d) AS DOUBLE) / CAST(ns * (ntot - ns) AS DOUBLE) AS ks_stat
           | FROM d GROUP BY source, ns, ntot ORDER BY source"""
+          .stripMargin.replace("\n", ""))),
+
+    // Hapax-legomena share per source: the fraction of a source's
+    // vocabulary seen exactly once — the classic vocabulary-richness /
+    // OCR-noise signal (clean prose runs ~40-60% hapax; machine spam
+    // collapses it, OCR garbage inflates it). One token rollup (the
+    // corpus-size shuffle), then a bounded per-source vocabulary
+    // aggregate; shares exact bps.
+    "q265_hapax_share" -> Q(
+      (s, dir) => {
+        val tf = table(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("w"))
+          .groupBy("source", "w").agg(count(lit(1)).as("tf"))
+        tf.groupBy("source")
+          .agg(count(lit(1)).as("vocab"),
+            sum("tf").as("tokens"),
+            sum(when(col("tf") === 1, 1L).otherwise(0L)).as("hapax"))
+          .select(col("source"), col("vocab"), col("tokens"), col("hapax"),
+            expr("hapax * 10000 div vocab").as("hapax_bps"),
+            expr("vocab * 10000 div tokens").as("ttr_bps"))
+          .orderBy("source")
+      },
+      Some(
+        """WITH tf AS (SELECT source, w, CAST(count(*) AS BIGINT) AS tf
+          |   FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+          |     FROM documents) GROUP BY 1, 2)
+          | SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+          |   CAST(sum(tf) AS BIGINT) AS tokens,
+          |   CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+          |   CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS hapax_bps,
+          |   CAST(count(*) * 10000 // sum(tf) AS BIGINT) AS ttr_bps
+          | FROM tf GROUP BY source ORDER BY source"""
           .stripMargin.replace("\n", "")))
   )
 }
