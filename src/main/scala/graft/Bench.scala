@@ -106,8 +106,14 @@ object Bench {
     // cached/checkpointed blocks dropped between queries so one query's
     // state can't pressure a later query's GC.
     def clearState(): Unit = {
+      // blocking = true: r7's q151 stability probe read a MONOTONE
+      // 2.1->24.0 s climb across same-JVM re-runs of a query that
+      // eagerly localCheckpoints twice per run; with non-blocking
+      // unpersist, checkpoint block cleanup can lag the next run's
+      // allocation and the blocks accumulate. Waiting for removal
+      // here keeps one run's storage from pressuring the next.
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
       // Settle the heap between queries: without this, one query's
       // garbage is collected DURING the next query's timed window and

@@ -497,10 +497,11 @@ object AnalyticsOps {
 
     // Fulfillment-latency SLA report: ship minus order date in whole
     // days, per order priority — count, mean (one IEEE division of
-    // exact integer sums), exact lower-median via the q182 index-
-    // selection trick (no interpolating percentile across engines),
-    // and max. One orderkey fact join, one priority-partitioned window
-    // over the joined grain.
+    // exact integer sums), exact lower-median via count-per-value
+    // locate (OrderStat.locateRankByValue: whole-day latencies live on
+    // a domain-bounded integer grid, so the median reads off the
+    // map-combinable value histogram — no priority-partitioned window
+    // ever sorts the joined grain), and max. One orderkey fact join.
     "q189_ship_latency" -> Q(
       (s, dir) => {
         val lat = table(s, dir, "lineitem")
@@ -513,20 +514,18 @@ object AnalyticsOps {
             expr("(unix_micros(CAST(l_shipdate AS TIMESTAMP)) - " +
               "unix_micros(CAST(o_orderdate AS TIMESTAMP))) div 86400000000")
               .as("days"))
-        val wRank = Window.partitionBy("priority")
-          .orderBy("days", "l_orderkey", "l_linenumber")
-        val wAll = Window.partitionBy("priority")
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        lat
-          .withColumn("rn", row_number().over(wRank))
-          .withColumn("n", count(lit(1)).over(wAll))
-          .groupBy("priority")
-          .agg(max("n").as("n_lines"),
-            (sum("days").cast("double") / max("n").cast("double"))
+        val med = OrderStat.locateRankByValue(lat, Seq("priority"),
+          col("days"),
+          n => floor((n + 1).cast("double") / 2.0).cast("long"),
+          "p50_days")
+        lat.groupBy("priority")
+          .agg(count(lit(1)).as("n_lines"),
+            (sum("days").cast("double") / count(lit(1)).cast("double"))
               .as("mean_days"),
-            max(when(col("rn") === expr("(n + 1) div 2"), col("days")))
-              .as("p50_days"),
             max("days").as("max_days"))
+          .join(broadcast(med), "priority")
+          .select(col("priority"), col("n_lines"), col("mean_days"),
+            col("p50_days"), col("max_days"))
           .orderBy("priority")
       },
       Some(
@@ -967,21 +966,22 @@ object AnalyticsOps {
     // statistics of order value (exact cents, row_number rank — the
     // q48/q115 discrete-percentile discipline, no interpolation) and
     // report how much mass clipping at them would move: row counts and
-    // the exact cents delta on each tail. The rank window sorts the
-    // ORDER-level frame; at warehouse scale the same statistic comes
-    // from the value-collapsed histogram (q140) — documented, not
-    // needed at this row count. One row out; clip thresholds keyed to
-    // n via integer arithmetic so both engines pick the same ranks.
+    // the exact cents delta on each tail. The global rank rides the
+    // two-level distributed scan (OrderStat.scanRank, chunked by
+    // 1024-cent bucket — the only windows run over the bounded chunk
+    // frame), never a single-partition row_number over the order
+    // grain. One row out; clip thresholds keyed to n via integer
+    // arithmetic so both engines pick the same ranks.
     "q210_winsorize_audit" -> Q(
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val o = table(s, dir, "orders").select(
           expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"),
           col("o_orderkey"))
-        val ranked = o.withColumn("rn",
-            row_number().over(Window.orderBy("cents", "o_orderkey"))
-              .cast("long"))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(1))))
+        val nDf = o.agg(count(lit(1)).as("n"))
+        val ranked = OrderStat.scanRank(o, Seq.empty,
+            Seq(col("cents"), col("o_orderkey")),
+            expr("cents div 1024"), "rn")
+          .crossJoin(broadcast(nDf))
         val marked = ranked.select(col("cents"), col("rn"), col("n"),
           expr("greatest(1L, n div 100)").as("ilo"),
           expr("n - n div 100").as("ihi"))

@@ -428,7 +428,12 @@ object EventFlowOps {
           | FROM cell JOIN sz USING (cohort) ORDER BY cohort, wk_offset"""
           .stripMargin.replace("\n", ""))),
 
-    // Rolling 14-day click/purchase correlation: the daily rollup is
+    // Rolling 14-OBSERVATION click/purchase correlation (NOT strictly
+    // 14 calendar days: the ROWS frame runs over observed days, so a
+    // day with zero click/purchase events is skipped and the window
+    // can span a longer calendar range — corr14 = "last 14 days with
+    // activity"; a calendar-exact variant would densify the daily
+    // series or RANGE-frame an epoch-day key). The daily rollup is
     // the only corpus-size shuffle; the rolling Pearson then rides
     // INTEGER moment sums (n, sx, sy, sxx, syy, sxy) over a 14-row
     // frame of the tiny daily series, closed into a correlation by one
@@ -731,11 +736,15 @@ object EventFlowOps {
     // Transition dwell times: q171's Markov matrix weighted by HOW
     // LONG each step takes — per (src, dst) event-type transition, the
     // discrete lower-median and max gap in whole seconds. Gaps come
-    // from one lead on the user partition (q171's exchange); the
-    // median rides windows keyed by the BOUNDED transition pair
-    // (|types|^2 partitions), so the second exchange carries
-    // transition rows, never re-keys by user. Integer epoch-second
-    // gaps; order-statistic median, no interpolation.
+    // from one lead on the user partition (q171's exchange). The
+    // median does NOT sort transition rows: gap_s is an integer, so a
+    // count-per-(src,dst,gap_s) pre-aggregate (map-combinable) shrinks
+    // the frame to distinct gap values — bounded by the observed gap
+    // DOMAIN in seconds, not by N (at 100x the per-user event density
+    // rises and gaps shrink) — and a cumulative-count over that
+    // aggregate locates the median value directly. No task ever holds
+    // a corpus-sized (src,dst) group; order-statistic median, no
+    // interpolation.
     "q264_transition_dwell" -> Q(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
@@ -748,12 +757,16 @@ object EventFlowOps {
           .where(col("dst").isNotNull)
           .select(col("src"), col("dst"),
             expr("(next_t - tus) div 1000000").as("gap_s"))
-        val wCnt = Window.partitionBy("src", "dst")
-        trans
-          .withColumn("rn", row_number().over(wCnt.orderBy("gap_s")))
-          .withColumn("cnt", count(lit(1)).over(wCnt))
-          .withColumn("max_gap", max("gap_s").over(wCnt))
-          .where(col("rn") === expr("(cnt + 1) div 2"))
+        val gapCounts = trans.groupBy("src", "dst", "gap_s")
+          .agg(count(lit(1)).as("gc"))
+        val wPair = Window.partitionBy("src", "dst")
+        gapCounts
+          .withColumn("cum", sum("gc").over(wPair.orderBy("gap_s")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("cnt", sum("gc").over(wPair))
+          .withColumn("max_gap", max("gap_s").over(wPair))
+          .where(col("cum") >= expr("(cnt + 1) div 2") &&
+            col("cum") - col("gc") < expr("(cnt + 1) div 2"))
           .select(col("src"), col("dst"), col("cnt").as("n_trans"),
             col("gap_s").as("median_gap_s"), col("max_gap"))
           .orderBy("src", "dst")

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -363,16 +363,24 @@ object ExtendedOps {
 
     // ntile quartiles: per-priority price-quartile populations with the
     // exact cents-sum per bucket — the distribution-profiling window op.
+    // ntile(4) over the constant-cardinality priority key would sort
+    // N/5 rows in one task at 100x, so the rank comes from the
+    // distributed two-level scan (OrderStat.scanRank: chunked by
+    // 1024-cent bucket, offsets over the bounded chunk frame) and the
+    // SQL-standard ntile bucket is recovered arithmetically from
+    // (rank, n) — boundaries identical to both engines' ntile.
     "q70_ntile_quartiles" -> Q(
       (s, dir) => {
-        val w = Window.partitionBy("o_orderpriority")
-          .orderBy("o_totalprice", "o_orderkey")
-        table(s, dir, "orders")
-          .withColumn("quartile", ntile(4).over(w))
-          .groupBy("o_orderpriority", "quartile")
-          .agg(count(lit(1)).as("n"),
-            sum(round(col("o_totalprice") * 100).cast("long"))
-              .as("bucket_cents"))
+        val o = table(s, dir, "orders")
+          .select(col("o_orderpriority").as("pri"), col("o_orderkey"),
+            round(col("o_totalprice") * 100).cast("long").as("c"))
+        val n = o.groupBy("pri").agg(count(lit(1)).as("n"))
+        OrderStat.scanRank(o, Seq("pri"),
+            Seq(col("c"), col("o_orderkey")), expr("c div 1024"), "rn")
+          .join(broadcast(n), "pri")
+          .withColumn("quartile", OrderStat.ntileOf(col("rn"), col("n"), 4))
+          .groupBy(col("pri").as("o_orderpriority"), col("quartile"))
+          .agg(count(lit(1)).as("n"), sum("c").as("bucket_cents"))
           .orderBy("o_orderpriority", "quartile")
       },
       Some(
@@ -672,18 +680,25 @@ object ExtendedOps {
 
     // percent_rank decile filter: orders in the top price decile of
     // their priority class — the rational (rank-1)/(n-1) form is exact
-    // in both engines.
+    // in both engines. The rank rides the distributed scan (q70's
+    // shape) instead of a constant-key window; pr is then the SAME
+    // (rank-1)/(n-1) IEEE division percent_rank computes, so the 0.9
+    // cut is bit-identical (n > 1 guard mirrors percent_rank's
+    // single-row special case pr = 0).
     "q81_top_decile" -> Q(
       (s, dir) => {
-        val w = Window.partitionBy("o_orderpriority")
-          .orderBy("o_totalprice", "o_orderkey")
-        table(s, dir, "orders")
-          .withColumn("pr", percent_rank().over(w))
-          .where(col("pr") >= 0.9)
-          .groupBy("o_orderpriority")
-          .agg(count(lit(1)).as("n_top"),
-            sum(round(col("o_totalprice") * 100).cast("long"))
-              .as("top_cents"))
+        val o = table(s, dir, "orders")
+          .select(col("o_orderpriority").as("pri"), col("o_orderkey"),
+            round(col("o_totalprice") * 100).cast("long").as("c"))
+        val n = o.groupBy("pri").agg(count(lit(1)).as("n"))
+        OrderStat.scanRank(o, Seq("pri"),
+            Seq(col("c"), col("o_orderkey")), expr("c div 1024"), "rn")
+          .join(broadcast(n), "pri")
+          .withColumn("pr", (col("rn") - 1).cast("double") /
+            (col("n") - 1).cast("double"))
+          .where(col("n") > 1 && col("pr") >= 0.9)
+          .groupBy(col("pri").as("o_orderpriority"))
+          .agg(count(lit(1)).as("n_top"), sum("c").as("top_cents"))
           .orderBy("o_orderpriority")
       },
       Some(
@@ -723,20 +738,41 @@ object ExtendedOps {
           | GROUP BY d.label ORDER BY d.label""".stripMargin
           .replace("\n", ""))),
 
-    // Grouped exact discrete p90 via order statistics (q48's technique
-    // generalized beyond the median): the result is an actual data
+    // Grouped exact discrete p90 WITHOUT sorting the group (q48's
+    // two-pass bucket search generalized beyond the median): the
+    // event_type key has constant cardinality, so a row_number()
+    // window would funnel a corpus-sized group through ONE task at
+    // 100x. Pass 1 histograms floor(value*100) buckets map-combinably
+    // (bounded by the VALUE DOMAIN ~49k buckets, not N; floor is
+    // monotone so bucket order respects value order), the per-type
+    // cumulative locates the bucket holding rank ceil(n*0.9), and
+    // pass 2 ranks only that bucket's rows (one cent of value range)
+    // via a broadcast semi-filter. The result is an actual data
     // element, so it compares exactly — no interpolation semantics to
     // reconcile across engines.
     "q56_grouped_p90" -> Q(
       (s, dir) => {
-        val w = Window.partitionBy("event_type")
-          .orderBy(col("value"), col("event_id"))
-        table(s, dir, "events")
-          .withColumn("rn", row_number().over(w))
-          .withColumn("cnt", count(lit(1))
-            .over(Window.partitionBy("event_type")))
-          .where(col("rn") === ceil(col("cnt") * 0.9).cast("int"))
-          .select(col("event_type"), col("value").as("p90_value"))
+        val vals = table(s, dir, "events")
+          .select(col("event_type").as("et"), col("value"))
+          .withColumn("bkt", expr("CAST(floor(value * 100) AS BIGINT)"))
+        val hist = vals.groupBy("et", "bkt")
+          .agg(count(lit(1)).as("bc"))
+        val located = hist
+          .withColumn("cum", sum("bc").over(Window.partitionBy("et")
+            .orderBy("bkt")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("n", sum("bc").over(Window.partitionBy("et")))
+          .withColumn("target", ceil(col("n") * 0.9).cast("int"))
+          .where(col("cum") >= col("target") &&
+            col("cum") - col("bc") < col("target"))
+          .select(col("et").as("let"), col("bkt").as("p90_bkt"),
+            (col("target") - (col("cum") - col("bc"))).as("rank_in_bkt"))
+        vals.join(broadcast(located),
+            col("et") === col("let") && col("bkt") === col("p90_bkt"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("et").orderBy("value")))
+          .where(col("rn") === col("rank_in_bkt"))
+          .select(col("et").as("event_type"), col("value").as("p90_value"))
           .orderBy("event_type")
       },
       Some(
@@ -757,12 +793,16 @@ object ExtendedOps {
     // across windows. Integer arithmetic only — exact cross-engine.
     "q87_pack_sequences" -> Q(
       (s, dir) => {
-        val w = Window.partitionBy("source").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        table(s, dir, "documents")
+        val t = table(s, dir, "documents")
           .select(col("doc_id"), col("source"),
             size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
-          .withColumn("off", coalesce(sum("n_tokens").over(w), lit(0L)))
+        // the per-shard token prefix sum rides the two-level
+        // distributed scan (chunked by doc_id range) — a plain
+        // source-partitioned window would run each shard's whole
+        // prefix through one task at 100x
+        OrderStat.scanCumSum(t, Seq("source"), col("n_tokens"),
+            Seq(col("doc_id")), expr("doc_id div 65536"), "cum_inc")
+          .withColumn("off", col("cum_inc") - col("n_tokens"))
           .select(col("doc_id"), col("source"), col("n_tokens"),
             expr("off div 256").as("window_id"),
             (col("off") % 256).as("window_offset"),
@@ -938,24 +978,25 @@ object ExtendedOps {
     // absolute deviation), flag |x - med| > 3 * MAD. Both statistics are
     // discrete order statistics (data values, not interpolations) so the
     // output doubles hash-match; the per-group stats broadcast back.
+    // Both medians ride OrderStat.locateRank (the grouped q257 two-pass
+    // bucket search) — a priority-partitioned row_number would sort N/5
+    // rows in one task at 100x; the bucket histograms are bounded by
+    // the cents domain instead.
     "q115_mad_outliers" -> Q(
       (s, dir) => {
         val orders = table(s, dir, "orders")
-        val wCnt = Window.partitionBy("o_orderpriority")
-        val wMed = wCnt.orderBy(col("o_totalprice"), col("o_orderkey"))
-        val med = orders
-          .withColumn("rn", row_number().over(wMed))
-          .withColumn("cnt", count(lit(1)).over(wCnt))
-          .where(col("rn") === expr("(cnt + 1) div 2"))
-          .select(col("o_orderpriority"), col("o_totalprice").as("med"))
+        def medTarget(n: Column) =
+          floor((n + 1).cast("double") / 2.0).cast("long")
+        val med = OrderStat.locateRank(orders, Seq("o_orderpriority"),
+          col("o_totalprice"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) div 1024"),
+          medTarget, "med")
         val dev = orders.join(broadcast(med), "o_orderpriority")
           .withColumn("adev", abs(col("o_totalprice") - col("med")))
-        val wMad = wCnt.orderBy(col("adev"), col("o_orderkey"))
-        val mad = dev
-          .withColumn("rn", row_number().over(wMad))
-          .withColumn("cnt", count(lit(1)).over(wCnt))
-          .where(col("rn") === expr("(cnt + 1) div 2"))
-          .select(col("o_orderpriority"), col("adev").as("mad"))
+        val mad = OrderStat.locateRank(dev, Seq("o_orderpriority"),
+          col("adev"),
+          expr("CAST(floor(adev * 100 + 0.5) AS BIGINT) div 1024"),
+          medTarget, "mad")
         dev.join(broadcast(mad), "o_orderpriority")
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("n"),

@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed order-statistic / prefix-scan building blocks.
+  *
+  * The hazard class these retire (VERDICT r7 #1/#3): a window
+  * partitioned by a CONSTANT-CARDINALITY key (o_orderpriority,
+  * event_type, source, ...) — or by nothing — run directly over a
+  * corpus-scale frame funnels N/k rows through ONE task at 100x. The
+  * cure is always the same two-level shape: a MONOTONE integer chunk
+  * key splits each group's sort order into bounded chunks, per-chunk
+  * partials aggregate map-combinably, a window over the (bounded)
+  * chunk frame computes each chunk's offset, and the per-row pass runs
+  * inside chunk-sized tasks. Every window here therefore rides either
+  * a domain-bounded frame or a chunk-bounded partition — never a
+  * corpus-sized group (pinned catalog-wide by ScaleLintSpec).
+  *
+  * Chunk-key contract: `chunk` must be integer-typed and MONOTONE
+  * NON-DECREASING along `order` (equal order prefixes may share a
+  * chunk; a later order position must never map to a smaller chunk).
+  * Coarsenings of the leading sort key — `c div 1024`, high hash bits
+  * `h div 2^44`, an inverted bps score — all qualify.
+  */
+object OrderStat {
+
+  /** Distributed row_number(): rank rows within each `grpCols` group
+    * by `order` (1-based, gapless — exactly row_number's semantics for
+    * any tie-complete `order`) without any task sorting a whole group.
+    * Appends LONG column `rankCol`. One shuffle on (grp, chunk) feeds
+    * the chunk-count aggregate, the offset join, and the within-chunk
+    * row_number — same key, so the exchange is reused.
+    */
+  def scanRank(df: DataFrame, grpCols: Seq[String], order: Seq[Column],
+      chunk: Column, rankCol: String): DataFrame = {
+    val t = df.withColumn("__ck", chunk)
+    val keys = grpCols :+ "__ck"
+    val counts = t.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__cc"))
+    val off = counts
+      .withColumn("__off", coalesce(
+        sum("__cc").over(Window.partitionBy(grpCols.map(col): _*)
+          .orderBy("__ck")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select((keys.map(col) :+ col("__off")): _*)
+    t.join(off, keys)
+      .withColumn(rankCol,
+        col("__off") + row_number().over(
+          Window.partitionBy(keys.map(col): _*).orderBy(order: _*)))
+      .drop("__ck", "__off")
+  }
+
+  /** Distributed running sum: cumulative `value` within each `grpCols`
+    * group along `order` (ROWS UNBOUNDED PRECEDING..CURRENT ROW
+    * semantics). Appends `cumCol`. Same two-level shape as scanRank,
+    * with per-chunk sums instead of counts.
+    */
+  def scanCumSum(df: DataFrame, grpCols: Seq[String], value: Column,
+      order: Seq[Column], chunk: Column, cumCol: String): DataFrame = {
+    val t = df.withColumn("__ck", chunk)
+    val keys = grpCols :+ "__ck"
+    val sums = t.groupBy(keys.map(col): _*)
+      .agg(sum(value).as("__cs"))
+    val off = sums
+      .withColumn("__off", coalesce(
+        sum("__cs").over(Window.partitionBy(grpCols.map(col): _*)
+          .orderBy("__ck")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select((keys.map(col) :+ col("__off")): _*)
+    t.join(off, keys)
+      .withColumn(cumCol,
+        col("__off") + sum(value).over(
+          Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__ck", "__off")
+  }
+
+  /** Grouped two-pass bucket rank-locate (q257's exact-median pattern,
+    * grouped): per `grpCols` group, return the `value` of the element
+    * at 1-based rank `target(n)` under ascending `value` order —
+    * without sorting the group. Pass 1 histograms `bucket` (a monotone
+    * integer coarsening of `value`, bounded by the VALUE DOMAIN)
+    * map-combinably and locates the bucket holding the target rank via
+    * a cumulative over the tiny histogram; pass 2 ranks ONLY the
+    * located bucket's rows (1/buckets of the group) behind a broadcast
+    * filter-join. Ties in `value` share the output value, so no tie
+    * column is needed for a well-defined result. Returns one row per
+    * group: grpCols :+ (value AS asCol).
+    */
+  def locateRank(df: DataFrame, grpCols: Seq[String], value: Column,
+      bucket: Column, target: Column => Column, asCol: String)
+  : DataFrame = {
+    val t = df.select(
+      (grpCols.map(col) :+ value.as("__v") :+ bucket.as("__bkt")): _*)
+    val hist = t.groupBy((grpCols :+ "__bkt").map(col): _*)
+      .agg(count(lit(1)).as("__bc"))
+    val wg = Window.partitionBy(grpCols.map(col): _*)
+    val located = hist
+      .withColumn("__cum", sum("__bc").over(wg.orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", sum("__bc").over(wg))
+      .withColumn("__t", target(col("__n")))
+      .where(col("__cum") >= col("__t") &&
+        col("__cum") - col("__bc") < col("__t"))
+      .select((grpCols.map(c => col(c).as("__g_" + c)) :+
+        col("__bkt").as("__lbkt") :+
+        (col("__t") - (col("__cum") - col("__bc"))).as("__rib")): _*)
+    val cond = (grpCols.map(c => t(c) === located("__g_" + c)) :+
+      (t("__bkt") === located("__lbkt"))).reduce(_ && _)
+    t.join(broadcast(located), cond)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(grpCols.map(col): _*).orderBy("__v")))
+      .where(col("__rn") === col("__rib"))
+      .select((grpCols.map(col) :+ col("__v").as(asCol)): _*)
+  }
+
+  /** Count-per-value rank locate for integer measures whose DISTINCT
+    * VALUE count is domain-bounded (the q264 gap_s shape): the
+    * map-combinable count-per-(grp, value) pre-aggregate shrinks the
+    * frame to distinct values, and the cumulative over that aggregate
+    * reads the rank-`target(n)` element off the value key directly —
+    * no second pass, no row ever sorted. Returns one row per group:
+    * grpCols :+ (value AS asCol).
+    */
+  def locateRankByValue(df: DataFrame, grpCols: Seq[String],
+      value: Column, target: Column => Column, asCol: String)
+  : DataFrame = {
+    val t = df.select((grpCols.map(col) :+ value.as("__v")): _*)
+    val hist = t.groupBy((grpCols :+ "__v").map(col): _*)
+      .agg(count(lit(1)).as("__bc"))
+    val wg = Window.partitionBy(grpCols.map(col): _*)
+    hist
+      .withColumn("__cum", sum("__bc").over(wg.orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", sum("__bc").over(wg))
+      .withColumn("__t", target(col("__n")))
+      .where(col("__cum") >= col("__t") &&
+        col("__cum") - col("__bc") < col("__t"))
+      .select((grpCols.map(col) :+ col("__v").as(asCol)): _*)
+  }
+
+  /** SQL-standard ntile bucket from a 1-based rank and the group size:
+    * the first (n mod k) buckets take (n div k + 1) rows, the rest
+    * (n div k) — bucket boundaries identical to Spark's and DuckDB's
+    * ntile(k). Pure integer arithmetic; INT result like ntile's.
+    */
+  def ntileOf(rank: Column, n: Column, k: Int): Column = {
+    // Column `/` is IEEE division — floor-division via double is exact
+    // here (operands < 2^52; a non-integer rational p/q with q < 2^30
+    // sits >= 2^-30 from any integer, far beyond half-ulp)
+    def fdiv(a: Column, b: Column) =
+      floor(a.cast("double") / b.cast("double")).cast("long")
+    val base = fdiv(n, lit(k))
+    val rem = n % k
+    val headRows = rem * (base + 1)
+    when(base === 0, rank.cast("int"))
+      .when(rank <= headRows, (fdiv(rank - 1, base + 1) + 1).cast("int"))
+      .otherwise((rem + fdiv(rank - headRows - 1, base) + 1).cast("int"))
+  }
+}

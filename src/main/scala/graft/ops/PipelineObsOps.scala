@@ -265,9 +265,12 @@ object PipelineObsOps {
     // curriculum layout a pretraining run materializes once. The global
     // position is the SORT KEY (src_rank, src_idx) — pure arithmetic,
     // never a single-partition row_number over the corpus. 100 TB
-    // posture: one source-key window for the per-source rank (at real
-    // scale: range-partitioned sort within source buckets) plus a
-    // 20-row broadcast dimension for the source index.
+    // posture: the per-source rank rides the two-level distributed
+    // scan (OrderStat.scanRank, chunked by the inverted bps score —
+    // monotone along the uniq_bps DESC order, bounded 10001-value
+    // domain) — a source-partitioned row_number would sort a whole
+    // source's docs in one task at 100x; plus a 20-row broadcast
+    // dimension for the source index.
     "q145_curriculum_interleave" -> Q(
       (s, dir) => {
         val docs = table(s, dir, "documents")
@@ -277,10 +280,10 @@ object PipelineObsOps {
         val srcIdx = docs.select(col("source")).distinct()
           .withColumn("src_idx",
             row_number().over(Window.orderBy("source")))
-        val r = Window.partitionBy("source")
-          .orderBy(col("uniq_bps").desc, col("doc_id"))
-        docs
-          .withColumn("src_rank", row_number().over(r))
+        OrderStat.scanRank(docs, Seq("source"),
+            Seq(col("uniq_bps").desc, col("doc_id")),
+            lit(10000L) - col("uniq_bps"), "src_rank_l")
+          .withColumn("src_rank", col("src_rank_l").cast("int"))
           .join(broadcast(srcIdx), "source")
           .select(col("doc_id"), col("source"), col("uniq_bps"),
             col("src_rank"), col("src_idx"))

@@ -146,20 +146,43 @@ object RelationalOps {
           | ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""
           .stripMargin.replace("\n", ""))),
 
-    // Exact discrete median per group via order statistics (row_number
-    // against the group size) — no floating-point interpolation, so the
-    // result is an actual data element and compares exactly.
+    // Exact discrete median per group WITHOUT sorting the group: the
+    // five o_orderpriority groups each hold N/5 rows, so the naive
+    // row_number() window funnels a corpus-sized group through ONE
+    // task at 100x. Grouped variant of q257's two-pass bucket search
+    // instead: pass 1 histograms 1024-cent buckets map-combinably
+    // (<=489 buckets/priority — bounded by the PRICE DOMAIN, not N),
+    // the per-priority cumulative over that tiny histogram locates
+    // the bucket holding rank (n+1) div 2, and pass 2 ranks ONLY the
+    // located bucket's rows (<=1024 distinct cents wide) via a
+    // broadcast semi-filter. No interpolation — the result is an
+    // actual data element and compares exactly.
     "q48_median_order_value" -> Q(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("o_orderpriority")
-          .orderBy(col("o_totalprice"), col("o_orderkey"))
-        table(s, dir, "orders")
-          .withColumn("rn", row_number().over(w))
-          .withColumn("cnt", count(lit(1))
-            .over(Window.partitionBy("o_orderpriority")))
-          .where(col("rn") === expr("(cnt + 1) div 2"))
-          .select(col("o_orderpriority"),
+        val cents = table(s, dir, "orders")
+          .select(col("o_orderpriority").as("pri"), col("o_totalprice"),
+            expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+              .as("c"))
+          .withColumn("bkt", expr("c div 1024"))
+        val hist = cents.groupBy("pri", "bkt")
+          .agg(count(lit(1)).as("bc"))
+        val located = hist
+          .withColumn("cum", sum("bc").over(Window.partitionBy("pri")
+            .orderBy("bkt")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("n", sum("bc").over(Window.partitionBy("pri")))
+          .withColumn("target", expr("(n + 1) div 2"))
+          .where(col("cum") >= col("target") &&
+            col("cum") - col("bc") < col("target"))
+          .select(col("pri").as("lpri"), col("bkt").as("med_bkt"),
+            (col("target") - (col("cum") - col("bc"))).as("rank_in_bkt"))
+        cents.join(broadcast(located),
+            col("pri") === col("lpri") && col("bkt") === col("med_bkt"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("pri").orderBy("c")))
+          .where(col("rn") === col("rank_in_bkt"))
+          .select(col("pri").as("o_orderpriority"),
             col("o_totalprice").as("median_value"))
           .orderBy("o_orderpriority")
       },
@@ -278,23 +301,29 @@ object RelationalOps {
           | FROM m ORDER BY r_name, n_name"""
           .stripMargin.replace("\n", ""))),
 
-    // Supplier account-balance quartiles per nation via ntile(4) over a
-    // fully deterministic total order (balance cents, then suppkey —
+    // Supplier account-balance quartiles per nation over a fully
+    // deterministic total order (balance cents, then suppkey —
     // SQL-standard ntile group sizing is then engine-identical). The
-    // one window rides a single nation-key exchange; output is the
+    // rank rides the distributed two-level scan (OrderStat.scanRank,
+    // chunked by 1024-cent bucket — trunc-div is monotone across the
+    // negative balances too) and the ntile bucket is recovered
+    // arithmetically from (rank, n): a nation-partitioned ntile would
+    // sort N/25 supplier rows in one task at 100x. Output is the
     // bounded per-(nation, quartile) band report.
     "q249_balance_quartiles" -> Q(
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val sup = table(s, dir, "supplier")
           .join(broadcast(table(s, dir, "nation")),
             col("s_nationkey") === col("n_nationkey"))
           .select(col("n_name"),
             expr("CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)")
               .as("bal_cents"), col("s_suppkey"))
-        val w = Window.partitionBy("n_name")
-          .orderBy("bal_cents", "s_suppkey")
-        sup.withColumn("quartile", ntile(4).over(w).cast("int"))
+        val n = sup.groupBy("n_name").agg(count(lit(1)).as("n"))
+        OrderStat.scanRank(sup, Seq("n_name"),
+            Seq(col("bal_cents"), col("s_suppkey")),
+            expr("bal_cents div 1024"), "rn")
+          .join(broadcast(n), "n_name")
+          .withColumn("quartile", OrderStat.ntileOf(col("rn"), col("n"), 4))
           .groupBy("n_name", "quartile")
           .agg(count(lit(1)).as("n_suppliers"),
             min("bal_cents").as("min_cents"),

@@ -313,6 +313,10 @@ object SimilarityOps {
     // are codegen'd projections; norm2 reuses the graft_dot
     // left-to-right fold so the doubles match DuckDB's list_reduce
     // bit-for-bit), then a map-combinable rollup to <=20 band rows.
+    // NaN vectors route to the SENTINEL band -1 before the bigint
+    // cast: under ANSI mode CAST(NaN AS BIGINT) throws, so without
+    // the guard the audit would crash on exactly the corrupt vectors
+    // it exists to flag instead of reporting them in n_nan.
     "q219_embedding_audit" -> Q(
       (s, dir) => {
         val per = table(s, dir, "embeddings")
@@ -323,7 +327,9 @@ object SimilarityOps {
               .as("norm2"),
             exists(col("v"), x => isnan(x)).as("has_nan"))
         per
-          .select(floor(sqrt(col("norm2"))).cast("bigint").as("norm_band"),
+          .select(when(col("has_nan") || isnan(col("norm2")), lit(-1L))
+            .otherwise(floor(sqrt(col("norm2"))).cast("bigint"))
+            .as("norm_band"),
             col("dim"), col("norm2"), col("has_nan"))
           .groupBy("norm_band")
           .agg(count(lit(1)).as("n_vecs"),
@@ -339,7 +345,8 @@ object SimilarityOps {
           |     list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS norm2,
           |     len(list_filter(v, x -> isnan(x))) > 0 AS has_nan
           |   FROM e)
-          | SELECT CAST(floor(sqrt(norm2)) AS BIGINT) AS norm_band,
+          | SELECT CASE WHEN has_nan OR isnan(norm2) THEN CAST(-1 AS BIGINT)
+          |   ELSE CAST(floor(sqrt(norm2)) AS BIGINT) END AS norm_band,
           |   CAST(count(*) AS BIGINT) AS n_vecs,
           |   CAST(min(dim) AS BIGINT) AS min_dim,
           |   CAST(max(dim) AS BIGINT) AS max_dim,

@@ -633,12 +633,14 @@ object TextOps {
     // 500). The Borda sum is what a curation run uses to pick "best of
     // each source" exemplars without hand-tuned weightings; every
     // signal and every rank is an integer, so the leaderboard is
-    // engine-exact. 100 TB posture: all four windows (three signal
-    // ranks + the final leaderboard cut) partition by source, so the
-    // whole query rides ONE source-key exchange (q113's discipline);
-    // signals are narrow codegen projections computed before the
-    // shuffle, and the output is 10 rows per source regardless of
-    // corpus size.
+    // engine-exact. 100 TB posture: each signal rank rides the
+    // two-level distributed scan (OrderStat.scanRank, chunked by the
+    // inverted bps score — all three signals live on the bounded
+    // 10001-value bps domain) — a source-partitioned row_number would
+    // sort a whole source's docs in one task at 100x; the final
+    // leaderboard cut runs on TopKPerGroup (answer-proportional
+    // shuffle, k rows per source), and the last rank window sees only
+    // the 10-row-per-source survivor frame.
     "q159_quality_ensemble" -> Q(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
@@ -650,18 +652,21 @@ object TextOps {
               .as("alpha_bps"),
             expr("least(size(split(text, ' ')), 500) * 10000 div 500")
               .as("len_bps"))
-        def rk(c: String) = row_number().over(
-          Window.partitionBy("source").orderBy(col(c).desc, col("doc_id")))
-        val ranked = base
-          .withColumn("r_uniq", rk("uniq_bps"))
-          .withColumn("r_alpha", rk("alpha_bps"))
-          .withColumn("r_len", rk("len_bps"))
+        def rk(df: org.apache.spark.sql.DataFrame, sig: String,
+            rankCol: String) =
+          OrderStat.scanRank(df, Seq("source"),
+              Seq(col(sig).desc, col("doc_id")),
+              lit(10000L) - col(sig), rankCol + "_l")
+            .withColumn(rankCol, col(rankCol + "_l").cast("int"))
+            .drop(rankCol + "_l")
+        val ranked = rk(rk(rk(base, "uniq_bps", "r_uniq"),
+            "alpha_bps", "r_alpha"), "len_bps", "r_len")
           .withColumn("borda",
             (col("r_uniq") + col("r_alpha") + col("r_len")).cast("bigint"))
-        ranked
+        graft.plans.TopKPerGroup(ranked, Seq("source"),
+            Seq(("borda", false), ("doc_id", false)), 10)
           .withColumn("rank", row_number().over(
             Window.partitionBy("source").orderBy(col("borda"), col("doc_id"))))
-          .where(col("rank") <= 10)
           .select(col("source"), col("doc_id"), col("r_uniq"),
             col("r_alpha"), col("r_len"), col("borda"), col("rank"))
           .orderBy("source", "rank")

@@ -685,23 +685,29 @@ object TrainDataOps {
     // sources represented (same temperature family as q88, sqrt because
     // it is IEEE-exact cross-engine where pow(x, 0.7) is libm-bound).
     // Docs are admitted in md5-hash order (deterministic shuffle) while
-    // the RUNNING token total stays within budget. One window per group
-    // — partitioned by the group key, never a global sort; cumulative
-    // sums are BIGINT (exact, order-pinned by the (hash, doc_id) sort).
+    // the RUNNING token total stays within budget. The running total
+    // rides the two-level distributed scan (OrderStat.scanCumSum,
+    // chunked by the hash's high 16 bits — monotone along the (h,
+    // doc_id) admission order, uniform by construction), never a
+    // group-partitioned window that would funnel a whole (source,
+    // lang) group through one task at 100x; cumulative sums are BIGINT
+    // (exact, order-pinned by the (hash, doc_id) sort); the per-group
+    // budget is a tiny broadcast dimension.
     "q112_token_budget_sample" -> Q(
       (s, dir) => {
         val toks = table(s, dir, "documents")
           .select(col("doc_id"), col("source"), col("lang"),
             size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
             DedupOps.md5Long60(col("doc_id").cast("string")).as("h"))
-        val grp = Window.partitionBy("source", "lang")
-        val ord = grp.orderBy(col("h"), col("doc_id"))
-        toks
-          .withColumn("budget",
-            floor(sqrt(sum(col("n_tokens")).over(grp).cast("double")) *
-              lit(10.0)).cast("bigint"))
-          .withColumn("cum", sum(col("n_tokens")).over(
-            ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val budgets = toks.groupBy("source", "lang")
+          .agg(sum("n_tokens").as("grp_tokens"))
+          .select(col("source"), col("lang"),
+            floor(sqrt(col("grp_tokens").cast("double")) * lit(10.0))
+              .cast("bigint").as("budget"))
+        OrderStat.scanCumSum(toks, Seq("source", "lang"),
+            col("n_tokens"), Seq(col("h"), col("doc_id")),
+            expr("h div 17592186044416"), "cum")
+          .join(broadcast(budgets), Seq("source", "lang"))
           .select(col("doc_id"), col("source"), col("lang"),
             col("n_tokens"), col("budget"), col("cum"),
             (col("cum") <= col("budget")).cast("int").as("keep"))

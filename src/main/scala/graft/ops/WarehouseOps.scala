@@ -81,18 +81,20 @@ object WarehouseOps {
     // are packed in doc_id order into ~8 KiB output files by cumulative
     // size (greedy first-fit in key order), and the plan reports each
     // planned file's doc count, bytes, and fill factor. 100 TB posture:
-    // ONE shuffle on the partition key, then a per-group ordered window
-    // — the same layout a real compactor (Iceberg/Delta bin-packing)
-    // uses; group sizes are bounded by the partition layout, never the
-    // corpus, and the plan is pure metadata (no text moves until the
-    // rewrite executes it).
+    // the running-byte prefix rides the two-level distributed scan
+    // (OrderStat.scanCumSum, chunked by doc_id range) — a plain
+    // (lang, source)-partitioned window would run each partition's
+    // whole prefix through ONE task at 100x; the same layout a real
+    // compactor (Iceberg/Delta bin-packing) uses, and the plan is pure
+    // metadata (no text moves until the rewrite executes it).
     "q128_compaction_plan" -> Q(
       (s, dir) => {
         val docs = table(s, dir, "documents")
-        val w = Window.partitionBy("lang", "source").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        docs.select(col("lang"), col("source"), col("doc_id"), col("n_chars"))
-          .withColumn("cum", sum("n_chars").over(w))
+        OrderStat.scanCumSum(
+            docs.select(col("lang"), col("source"), col("doc_id"),
+              col("n_chars")),
+            Seq("lang", "source"), col("n_chars"), Seq(col("doc_id")),
+            expr("doc_id div 65536"), "cum")
           .withColumn("file_id",
             expr(s"(greatest(cum, 1) - 1) div $BinBytes").cast("int"))
           .groupBy("lang", "source", "file_id")

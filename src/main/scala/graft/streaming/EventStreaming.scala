@@ -184,9 +184,14 @@ object EventStreaming {
     * trigger. A day is "new" iff it equals the user's first day, which
     * under per-user event-time-ordered delivery (the funnel keeper's
     * contract; out-of-order reconstruction is the batch query's job)
-    * matches q185's min(day) exactly. Re-delivered user-days re-emit
-    * the SAME row (is_new is a pure function of frozen state), so
-    * downstream dedup is a distinct, never a reconciliation.
+    * matches q185's min(day) exactly. The state is FROZEN once set:
+    * a violating out-of-order delivery (an earlier day arriving in a
+    * later trigger) is classified against the frozen first day
+    * (is_new = 0), never moves firstDay backward — so re-delivered
+    * user-days re-emit the SAME row (is_new is a pure function of
+    * frozen state) and downstream dedup is a distinct, never a
+    * reconciliation. (Recovering a true earlier first-day from
+    * out-of-order history is the batch query's job.)
     */
   def firstSeen(events: Dataset[Event]): Dataset[NewRetRow] = {
     import events.sparkSession.implicits._
@@ -198,10 +203,11 @@ object EventStreaming {
           val days = rows.map(e => e.ts.getTime / 86400000L).toSeq.distinct
           if (days.isEmpty) Iterator.empty
           else {
-            val first = state.getOption.map(_.firstDay)
-              .getOrElse(days.min)
-            state.update(SeenState(math.min(first, days.min)))
-            val f = state.get.firstDay
+            val f = state.getOption.map(_.firstDay).getOrElse {
+              val f0 = days.min
+              state.update(SeenState(f0))
+              f0
+            }
             days.sorted.iterator.map(d =>
               NewRetRow(userId, d, if (d == f) 1 else 0))
           }
@@ -215,15 +221,20 @@ object EventStreaming {
   /** Streaming Misra-Gries heavy-hitter monitor: per scope, O(m) keyed
     * state tracking at most m candidate items; every trigger re-emits
     * the scope's full summary stamped with the monotonic n_seen (the
-    * latest-stamp rows are the current summary). Guarantees, pinned by
-    * the spec:
-    *  - DETERMINISM: processing is sequential within keyed state, so
-    *    any batch split of the same ordered stream lands on the exact
-    *    single-pass summary (state carries across triggers);
-    *  - EXACTNESS when distinct items <= m (no decrement ever fires);
+    * latest-stamp rows are the current summary). ORDER-INDEPENDENT
+    * guarantees, pinned by the spec:
+    *  - EXACTNESS when distinct items <= m (no decrement ever fires,
+    *    so counts are exact under ANY arrival order);
     *  - the MG bound otherwise: exact - est <= n_seen/(m+1) for every
     *    item (est = 0 if untracked), because each decrement round
     *    retires m+1 occurrences.
+    * State carries across triggers, so any batch SPLIT processes the
+    * same multiset — but flatMapGroupsWithState does not guarantee
+    * within-batch, within-key iterator order, so the exact identity
+    * of the m-item summary (which ties survive a decrement round) is
+    * order-sensitive when decrements fire; the spec's equality law
+    * against a sequential reference holds under MemoryStream's
+    * local-mode in-order delivery, not as an engine contract.
     * The streaming complement of the CMS/top-k batch sketches: state
     * never grows with cardinality, so a hot-key flood cannot OOM the
     * state store — the property that keeps this runnable forever on an

@@ -416,10 +416,13 @@ class AsofStreamingSpec extends SparkSpec {
   test("streaming Misra-Gries heavy hitters: deterministic, exact, bounded") {
     // three laws over the sf0.001 event log, items = user_id % 50 per
     // event-type scope: (1) streaming across 3 arbitrary triggers lands
-    // exactly on the single-pass reference summary (keyed state is
-    // sequential); (2) with capacity >= distinct items the counts equal
-    // the exact per-item counts; (3) at small capacity every item obeys
-    // the MG bound exact - est <= n/(m+1).
+    // exactly on the single-pass reference summary — this law relies on
+    // MemoryStream's local-mode in-order within-key delivery (the
+    // engine does not contract iterator order; see the keeper's doc);
+    // (2) [order-independent] with capacity >= distinct items the
+    // counts equal the exact per-item counts; (3) [order-independent]
+    // at small capacity every item obeys the MG bound
+    // exact - est <= n/(m+1).
     implicit val sqlCtx = spark.sqlContext
     val sf = "/root/testdata/sf0.001"
     val ev = graft.ops.TestData.table(spark, sf, "events")

@@ -445,11 +445,32 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset("graft.broadcast_graph_frames")
   }
 
-  test("q159 all four rank windows ride ONE source exchange") {
-    val plan = executed("q159_quality_ensemble")
-    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
-    // rank <= 10 must push down as a group limit, not filter post-sort
-    assert(plan.contains("WindowGroupLimit"), plan)
+  test("q159 ranks ride chunked scans; leaderboard cut is TopKPerGroup") {
+    // r8 re-plan (ScaleLintSpec class): the three signal ranks use
+    // OrderStat.scanRank — every per-row window partitions by
+    // (source, chunk), never by source alone over the doc grain — and
+    // the top-10 cut runs on the answer-proportional TopKPerGroup
+    // operator instead of a source-partitioned rank window
+    val df = SparkEntry.queries("q159_quality_ensemble")(spark, sf)
+    // collect() does not traverse the AdaptiveSparkPlanExec boundary
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    assert(plan.toString.contains("TopKPerGroup"), plan)
+    // every PER-ROW rank window partitions by (source, chunk), never
+    // by source alone over the doc grain; the remaining source-only
+    // windows are the three scanRank offsets (over the bounded
+    // chunk-count aggregate) and the 10-row survivor rank —
+    // ScaleLintSpec enforces the corpus-scale law itself catalog-wide
+    val winParts = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.flatMap(_.references.map(_.name)).distinct
+    }
+    val chunked = winParts.count(p => p.contains("source") &&
+      p.exists(_.startsWith("__ck")))
+    assert(chunked == 3, s"windows: $winParts\n$plan")
   }
 
   test("q161 IVM audit reads the raw grain exactly twice") {
