@@ -701,6 +701,45 @@ object DedupOps {
            | ORDER BY jaccard DESC, d1, d2 LIMIT 20""".stripMargin
           .replace("\n", ""))),
 
+    // MULTI-WAY set-similarity join (VERDICT r7 #8's "new plan shape"):
+    // triples of documents MUTUALLY sharing >= 3 distinct shingles —
+    // pairwise similarity does not imply mutual similarity, so the
+    // operator closes triangles over the similarity-pair graph. Plan
+    // shape: the pair list comes from the shared-shingle equi-join
+    // (same bucketed generation as q24, df-cappable the same way) and
+    // the 3-way closure joins the thresholded EDGE LIST against itself
+    // twice — answer-proportional work over the sparse post-threshold
+    // graph, never a doc-grain 3-way join (which would be O(N^3) at
+    // the corpus grain). Integer intersection counts only — exact
+    // cross-engine.
+    "q269_similar_triples" -> Q(
+      (s, dir) => {
+        val sh = hashedShingles(table(s, dir, "documents"))
+          .localCheckpoint(eager = true)
+        val e = sh.as("a").join(sh.as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(count(lit(1)).as("inter"))
+          .where(col("inter") >= 3)
+          .localCheckpoint(eager = true)
+        e.as("e1")
+          .join(e.as("e2"), col("e2.d1") === col("e1.d2"))
+          .join(e.as("e3"), col("e3.d1") === col("e1.d1") &&
+            col("e3.d2") === col("e2.d2"))
+          .select(col("e1.d1").as("d1"), col("e1.d2").as("d2"),
+            col("e2.d2").as("d3"), col("e1.inter").as("i12"),
+            col("e3.inter").as("i13"), col("e2.inter").as("i23"))
+          .orderBy("d1", "d2", "d3")
+      },
+      Some(
+        s"""WITH $jaccardCte,
+           | e AS (SELECT d1, d2, inter FROM p WHERE inter >= 3)
+           | SELECT e1.d1 AS d1, e1.d2 AS d2, e2.d2 AS d3,
+           |   e1.inter AS i12, e3.inter AS i13, e2.inter AS i23
+           | FROM e e1 JOIN e e2 ON e2.d1 = e1.d2
+           |   JOIN e e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2
+           | ORDER BY d1, d2, d3""".stripMargin.replace("\n", ""))),
+
     // Near-dup clustering: connected components over the jaccard >= 0.5
     // pair graph via iterative min-label propagation with pointer
     // jumping (join + min-agg per round, partitioned by vertex

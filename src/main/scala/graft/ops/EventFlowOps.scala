@@ -733,6 +733,66 @@ object EventFlowOps {
           | GROUP BY 1, 2 ORDER BY ends_with, resumes_with"""
           .stripMargin.replace("\n", ""))),
 
+    // Lambda-architecture unified serving view (VERDICT r7 #8's
+    // streaming-batch unification, expressed batch-side): the BATCH
+    // layer reads the compacted daily grain for everything older than
+    // the 7-day speed horizon (in production a materialized rollup —
+    // modeled here by aggregating to days first), the SPEED layer
+    // scans only the raw tail (partition-prunable by the cutoff), and
+    // the serving view is their sum. The query also RECONCILES the
+    // view against a direct raw recompute — the lambda consistency
+    // audit — so the oracle pins both the unified numbers and the
+    // boundary correctness (no double-counted or dropped day at the
+    // batch/speed seam). Full outer join: an event type alive in only
+    // one layer must still serve.
+    "q270_lambda_view" -> Q(
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+          .select(col("event_type"), to_date(col("ts")).as("day"))
+        val cut = ev.agg(date_sub(max("day"), 7).as("cut"))
+        val tagged = ev.crossJoin(broadcast(cut))
+        val batchL = tagged.where(col("day") < col("cut"))
+          .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+          .groupBy("event_type")
+          .agg(sum("n").as("batch_events"),
+            count(lit(1)).as("batch_days"))
+        val speedL = tagged.where(col("day") >= col("cut"))
+          .groupBy("event_type").agg(count(lit(1)).as("speed_events"))
+        val raw = ev.groupBy("event_type").agg(count(lit(1)).as("raw_total"))
+        batchL.join(speedL, Seq("event_type"), "full")
+          .select(col("event_type"),
+            coalesce(col("batch_events"), lit(0L)).as("batch_events"),
+            coalesce(col("batch_days"), lit(0L)).as("batch_days"),
+            coalesce(col("speed_events"), lit(0L)).as("speed_events"))
+          .withColumn("total", col("batch_events") + col("speed_events"))
+          .join(raw, "event_type")
+          .withColumn("consistent",
+            (col("total") === col("raw_total")).cast("int"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+          | cut AS (SELECT max(day) - 7 AS cut FROM ev),
+          | b AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS batch_events,
+          |     CAST(count(*) AS BIGINT) AS batch_days
+          |   FROM (SELECT event_type, day, count(*) AS n FROM ev, cut
+          |     WHERE day < cut GROUP BY 1, 2) GROUP BY event_type),
+          | sp AS (SELECT event_type, CAST(count(*) AS BIGINT) AS speed_events
+          |   FROM ev, cut WHERE day >= cut GROUP BY event_type),
+          | raw AS (SELECT event_type, CAST(count(*) AS BIGINT) AS raw_total
+          |   FROM ev GROUP BY event_type),
+          | u AS (SELECT coalesce(b.event_type, sp.event_type) AS event_type,
+          |     coalesce(b.batch_events, 0) AS batch_events,
+          |     coalesce(b.batch_days, 0) AS batch_days,
+          |     coalesce(sp.speed_events, 0) AS speed_events
+          |   FROM b FULL JOIN sp ON b.event_type = sp.event_type)
+          | SELECT u.event_type, u.batch_events, u.batch_days, u.speed_events,
+          |   u.batch_events + u.speed_events AS total, raw.raw_total,
+          |   CAST(u.batch_events + u.speed_events = raw.raw_total AS INT)
+          |     AS consistent
+          | FROM u JOIN raw ON u.event_type = raw.event_type
+          | ORDER BY u.event_type""".stripMargin.replace("\n", ""))),
+
     // Transition dwell times: q171's Markov matrix weighted by HOW
     // LONG each step takes — per (src, dst) event-type transition, the
     // discrete lower-median and max gap in whole seconds. Gaps come

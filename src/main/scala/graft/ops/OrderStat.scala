@@ -116,6 +116,35 @@ object OrderStat {
       .select((grpCols.map(col) :+ col("__v").as(asCol)): _*)
   }
 
+  /** Distributed EXCLUSIVE running minimum: for each row, the min of
+    * `value` over all STRICTLY EARLIER rows in `order` within the
+    * group (ROWS UNBOUNDED PRECEDING..1 PRECEDING semantics; NULL for
+    * the first row). The skyline/Pareto building block: two-level like
+    * scanCumSum — per-chunk minima aggregate map-combinably, the
+    * bounded chunk frame yields each chunk's previous-chunks min, and
+    * the within-chunk exclusive window folds in. Appends `minCol`.
+    */
+  def scanCumMinExcl(df: DataFrame, grpCols: Seq[String], value: Column,
+      order: Seq[Column], chunk: Column, minCol: String): DataFrame = {
+    val t = df.withColumn("__ck", chunk)
+    val keys = grpCols :+ "__ck"
+    val mins = t.groupBy(keys.map(col): _*)
+      .agg(min(value).as("__cm"))
+    val off = mins
+      .withColumn("__off",
+        min("__cm").over(Window.partitionBy(grpCols.map(col): _*)
+          .orderBy("__ck")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select((keys.map(col) :+ col("__off")): _*)
+    t.join(off, keys)
+      .withColumn(minCol, least(
+        col("__off"),
+        min(value).over(
+          Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+            .rowsBetween(Window.unboundedPreceding, -1))))
+      .drop("__ck", "__off")
+  }
+
   /** Count-per-value rank locate for integer measures whose DISTINCT
     * VALUE count is domain-bounded (the q264 gap_s shape): the
     * map-combinable count-per-(grp, value) pre-aggregate shrinks the

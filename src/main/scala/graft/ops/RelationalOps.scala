@@ -345,6 +345,45 @@ object RelationalOps {
           |   CAST(max(bal_cents) AS BIGINT) AS max_cents,
           |   CAST(sum(bal_cents) AS BIGINT) AS sum_cents
           | FROM q GROUP BY n_name, quartile ORDER BY n_name, quartile"""
-          .stripMargin.replace("\n", "")))
+          .stripMargin.replace("\n", ""))),
+
+    // Skyline (Pareto frontier) operator: parts not DOMINATED on
+    // (retail price, size) — no other part is <= on both and < on at
+    // least one. A 2-D skyline is an exclusive prefix-min along the
+    // price order: a part survives iff no STRICTLY CHEAPER price group
+    // has min-size <= its size AND no same-price part has a smaller
+    // size. The prefix-min rides OrderStat.scanCumMinExcl over the
+    // price-group aggregate (two-level chunked scan — distinct prices
+    // grow with N, so a single global window would serialize at 100x);
+    // dominance tests are integer/exact-double comparisons, no
+    // tolerance. The classic multi-objective shortlist operator
+    // (cheapest-and-smallest tradeoff curve).
+    "q272_skyline_parts" -> Q(
+      (s, dir) => {
+        val p = table(s, dir, "part")
+          .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+        val g = p.groupBy(col("p_retailprice").as("pr"))
+          .agg(min("p_size").as("ms"))
+        val cg = OrderStat.scanCumMinExcl(g, Seq.empty, col("ms"),
+          Seq(col("pr")),
+          expr("CAST(floor(pr * 100 + 0.5) AS BIGINT) div 1024"),
+          "prevmin")
+        p.join(cg, col("p_retailprice") === col("pr"))
+          .where(!(coalesce(col("prevmin"), lit(Int.MaxValue)) <=
+            col("p_size") || col("ms") < col("p_size")))
+          .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+          .orderBy("p_partkey")
+      },
+      Some(
+        """WITH p AS (SELECT p_partkey, p_retailprice, p_size FROM part),
+          | g AS (SELECT p_retailprice AS pr, min(p_size) AS ms FROM p GROUP BY 1),
+          | cg AS (SELECT pr, ms, min(ms) OVER (ORDER BY pr
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmin
+          |   FROM g)
+          | SELECT p.p_partkey, p.p_retailprice, p.p_size
+          | FROM p JOIN cg ON p.p_retailprice = cg.pr
+          | WHERE NOT (coalesce(prevmin, 2147483647) <= p.p_size
+          |   OR ms < p.p_size)
+          | ORDER BY p_partkey""".stripMargin.replace("\n", "")))
   )
 }

@@ -652,6 +652,11 @@ object TextOps {
               .as("alpha_bps"),
             expr("least(size(split(text, ' ')), 500) * 10000 div 500")
               .as("len_bps"))
+          // three rank scans each reference the frame twice (row side +
+          // chunk-count side): checkpoint the narrow 5-col signal frame
+          // once so the text splits aren't re-evaluated per scan level
+          // (measured 1.8 s -> without; the jaccardPairs discipline)
+          .localCheckpoint(eager = true)
         def rk(df: org.apache.spark.sql.DataFrame, sig: String,
             rankCol: String) =
           OrderStat.scanRank(df, Seq("source"),

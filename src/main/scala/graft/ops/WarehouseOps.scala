@@ -137,6 +137,66 @@ object WarehouseOps {
           | FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
           | ORDER BY u, v""".stripMargin.replace("\n", ""))),
 
+    // Multi-hop BFS over the REPEAT-co-purchase graph (pairs bought
+    // together in >= 2 orders — the w >= 2 cut keeps the graph sparse
+    // where the raw co-purchase graph is near-complete): min-hop
+    // distance from the smallest repeat-co-purchased part, bounded at
+    // 4 hops. A genuinely ITERATIVE plan shape beyond CC/PageRank/
+    // k-core: per round, the frontier semi-expands through the edge
+    // list (frontier-adjacent cost only), an anti-join against the
+    // visited set keeps first-discovery distances (= min-hop by BFS
+    // invariant), and both frames localCheckpoint per round so the
+    // lineage never grows (the CC discipline). 100 TB posture: every
+    // round is equi-joins keyed by vertex; no driver collect; rounds
+    // bounded by the hop cap, not the data. Oracle: DuckDB recursive
+    // CTE computing the same bounded min-distances.
+    "q268_bfs_hops" -> Q(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val w2 = li.alias("a").join(li.alias("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+          .agg(count(lit(1)).as("w"))
+          .where(col("w") >= 2)
+        val edges = w2.select(col("u").as("a"), col("v").as("b"))
+          .unionAll(w2.select(col("v").as("a"), col("u").as("b")))
+          .localCheckpoint(eager = true)
+        var visited = edges.agg(min("a").as("node"))
+          .select(col("node"), lit(0).as("dist"))
+          .localCheckpoint(eager = true)
+        var frontier = visited.select("node")
+        for (d <- 1 to 4) {
+          val next = frontier.join(edges, col("node") === col("a"))
+            .select(col("b").as("node")).distinct()
+            .join(visited, Seq("node"), "left_anti")
+            .select(col("node"), lit(d).as("dist"))
+            .localCheckpoint(eager = true)
+          visited = visited.unionByName(next).localCheckpoint(eager = true)
+          frontier = next.select("node")
+        }
+        visited.groupBy("dist")
+          .agg(count(lit(1)).as("n_nodes"), sum("node").as("sum_node_ids"))
+          .orderBy("dist")
+      },
+      Some(
+        """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+          |   FROM lineitem),
+          | pw AS (SELECT a.p AS u, b.p AS v, count(*) AS w
+          |   FROM li a JOIN li b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+          | e2 AS (SELECT u, v FROM pw WHERE w >= 2),
+          | edges AS (SELECT u AS a, v AS b FROM e2 UNION ALL SELECT v, u FROM e2),
+          | seed AS (SELECT min(a) AS s FROM edges),
+          | bfs(node, dist) AS (SELECT s, 0 FROM seed
+          |   UNION SELECT e.b, bfs.dist + 1 FROM bfs JOIN edges e ON e.a = bfs.node
+          |   WHERE bfs.dist < 4),
+          | md AS (SELECT node, min(dist) AS dist FROM bfs GROUP BY node)
+          | SELECT CAST(dist AS INT) AS dist, CAST(count(*) AS BIGINT) AS n_nodes,
+          |   CAST(sum(node) AS BIGINT) AS sum_node_ids
+          | FROM md GROUP BY dist ORDER BY dist"""
+          .stripMargin.replace("\n", ""))),
+
     // Degree-ordered triangle counting over the co-purchase graph
     // (parts appearing in the same order). Edges orient from the
     // (degree, id)-smaller endpoint, so a triangle {a,b,c} materializes
@@ -2095,6 +2155,63 @@ object WarehouseOps {
           |   CAST((n.n + 1) // 2 - rk.below AS BIGINT) AS rank_in_bkt,
           |   bk.median_cents
           | FROM n, bk, rk""".stripMargin.replace("\n", ""))),
+
+    // The RECURSION q257's comment promises: at 100 TB one bucket
+    // level may still leave the located bucket too big for a single
+    // sort, so the bucket search recurses — level 1 histograms
+    // 2^20-cent buckets and locates the one holding rank (n+1) div 2,
+    // level 2 re-histograms ONLY that bucket at 2^10-cent granularity
+    // and re-locates, and the final element rank runs over a <=1024-
+    // cent slice. Each level's histogram is map-combinable and its
+    // locate window rides a domain-bounded frame; the element window's
+    // input shrinks geometrically per level (recurse further for more
+    // levels — the shape is level-invariant). Oracle: brute-force
+    // order statistics pin the exact element AND both located buckets.
+    "q271_recursive_median" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cents = table(s, dir, "orders")
+          .select(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            .as("c"))
+          .localCheckpoint(eager = true)
+        val n = cents.agg(count(lit(1)).as("n"))
+        def cum(h: DataFrame, bkt: String, cnt: String) =
+          h.withColumn("cum", sum(cnt).over(Window.orderBy(bkt)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val loc1 = cum(cents.groupBy(expr("c div 1048576").as("b1"))
+            .agg(count(lit(1)).as("bc")), "b1", "bc")
+          .crossJoin(broadcast(n))
+          .withColumn("t", expr("(n + 1) div 2"))
+          .where(col("cum") >= col("t") &&
+            col("cum") - col("bc") < col("t"))
+          .select(col("b1").as("l1_bkt"),
+            (col("t") - (col("cum") - col("bc"))).as("r1"), col("n"))
+        val in1 = cents.join(broadcast(loc1),
+          expr("c div 1048576") === col("l1_bkt"))
+        val loc2 = cum(in1.groupBy(expr("c div 1024").as("b2"))
+            .agg(count(lit(1)).as("bc2")), "b2", "bc2")
+          .crossJoin(broadcast(loc1))
+          .where(col("cum") >= col("r1") &&
+            col("cum") - col("bc2") < col("r1"))
+          .select(col("l1_bkt").as("f1"), col("b2").as("l2_bkt"),
+            (col("r1") - (col("cum") - col("bc2"))).as("r2"),
+            col("n").as("n2"))
+        in1.select("c").join(broadcast(loc2),
+            expr("c div 1024") === col("l2_bkt"))
+          .withColumn("rn", row_number().over(Window.orderBy("c")))
+          .where(col("rn") === col("r2"))
+          .select(col("n2").as("n_orders"), col("f1").as("l1_bkt"),
+            col("l2_bkt"), col("c").as("median_cents"))
+      },
+      Some(
+        """WITH c AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+          |   FROM orders),
+          | n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+          | r AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM c),
+          | med AS (SELECT r.c AS median_cents FROM r, n WHERE r.rn = (n.n + 1) // 2)
+          | SELECT n.n AS n_orders, CAST(median_cents // 1048576 AS BIGINT) AS l1_bkt,
+          |   CAST(median_cents // 1024 AS BIGINT) AS l2_bkt, median_cents
+          | FROM med, n""".stripMargin.replace("\n", ""))),
 
     // Merkle-style anti-entropy repair plan: two replicas of the event
     // log (B simulates loss: every 1009th event absent) compared by
