@@ -384,6 +384,60 @@ object RelationalOps {
           | FROM p JOIN cg ON p.p_retailprice = cg.pr
           | WHERE NOT (coalesce(prevmin, 2147483647) <= p.p_size
           |   OR ms < p.p_size)
-          | ORDER BY p_partkey""".stripMargin.replace("\n", "")))
+          | ORDER BY p_partkey""".stripMargin.replace("\n", ""))),
+
+    // ROLLUP done at the RIGHT grain — the complement of q247's
+    // rollup-avoidance: there, Expand over fact rows would triple the
+    // scan, so shares came from window sums. Here the hierarchy report
+    // (nation, region, grand-total revenue) rolls up the ALREADY
+    // AGGREGATED 25-row (region, nation) frame, so the Expand operator
+    // multiplies 25 rows by 3 grouping sets — the plan shape is
+    // correct precisely because it runs post-reduction. Level ids from
+    // grouping() bits (SQL-standard, engine-identical); NULL group
+    // keys coalesced to a sentinel so ordering is deterministic.
+    "q273_rollup_report" -> Q(
+      (s, dir) => {
+        val cents = expr(
+          "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)")
+        val cells = table(s, dir, "lineitem")
+          .join(broadcast(table(s, dir, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(table(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(table(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("r_name"), col("n_name"), cents.as("cents"))
+          .groupBy("r_name", "n_name")
+          .agg(sum("cents").as("rev"))
+          // 25-row frame; the checkpoint breaks lineage so rollup's
+          // Expand doesn't trip Spark 4's ambiguous-self-join false
+          // positive (the q247-probed behavior)
+          .localCheckpoint(eager = true)
+        cells.rollup("r_name", "n_name")
+          .agg(sum("rev").as("rev"),
+            (grouping(col("r_name")) * 2 + grouping(col("n_name")))
+              .cast("int").as("lvl"))
+          .select(col("lvl"),
+            coalesce(col("r_name"), lit("ALL")).as("r_name"),
+            coalesce(col("n_name"), lit("ALL")).as("n_name"),
+            col("rev"))
+          .orderBy("lvl", "r_name", "n_name")
+      },
+      Some(
+        """WITH f AS (SELECT r.r_name, n.n_name,
+          |     CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT) AS cents
+          |   FROM lineitem l
+          |     JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          |     JOIN nation n ON s.s_nationkey = n.n_nationkey
+          |     JOIN region r ON n.n_regionkey = r.r_regionkey),
+          | c AS (SELECT r_name, n_name, CAST(sum(cents) AS BIGINT) AS rev
+          |   FROM f GROUP BY 1, 2)
+          | SELECT CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS INT) AS lvl,
+          |   coalesce(r_name, 'ALL') AS r_name,
+          |   coalesce(n_name, 'ALL') AS n_name,
+          |   CAST(sum(rev) AS BIGINT) AS rev
+          | FROM c GROUP BY ROLLUP(r_name, n_name)
+          | ORDER BY lvl, r_name, n_name"""
+          .stripMargin.replace("\n", "")))
   )
 }

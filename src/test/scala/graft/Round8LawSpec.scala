@@ -50,6 +50,21 @@ class Round8LawSpec extends SparkSpec {
         (a._1 < b._1 || a._2 < b._2)), s"$a dominates $b inside skyline")
   }
 
+  test("q273 rollup levels are mutually consistent (additivity)") {
+    val rows = run("q273_rollup_report")
+      .select("lvl", "r_name", "rev").as[(Int, String, Long)].collect()
+    val grand = rows.filter(_._1 == 3).map(_._3)
+    assert(grand.length == 1)
+    // each level re-adds to the grand total
+    assert(rows.filter(_._1 == 0).map(_._3).sum == grand.head)
+    assert(rows.filter(_._1 == 1).map(_._3).sum == grand.head)
+    // nation rows within a region add to that region's subtotal
+    val regionSub = rows.filter(_._1 == 1).map(r => r._2 -> r._3).toMap
+    rows.filter(_._1 == 0).groupBy(_._2).foreach { case (rn, ns) =>
+      assert(ns.map(_._3).sum == regionSub(rn), rn)
+    }
+  }
+
   test("q270 lambda view reconciles batch+speed against raw everywhere") {
     val rows = run("q270_lambda_view")
       .select("batch_events", "speed_events", "total", "raw_total",
