@@ -43,13 +43,19 @@ object Bench {
     * stability probe re-runs these 5x in the same JVM (VERDICT r5 #1/#7).
     * The round-6/7 reworked heavies (q121/q129/q151/q152) are included
     * so their floors are stability-probed in every artifact (VERDICT
-    * r6 #5).
+    * r6 #5). Round 9 (VERDICT r8 #3): the spike class has now appeared
+    * on two different checkpoint-heavy queries in two rounds (q151 r7,
+    * q129 r8), so the probe covers the whole checkpoint/broadcast-heavy
+    * FAMILY — every iterative graph query plus the checkpointed
+    * dedup/golden-record composites — not just the historical hits.
     */
   private val StabilityQueries = Seq(
     "q42_csv_etl_throughput", "q110_full_dedup", "q64_dup_clusters",
     "q105_keeplist_lsh", "q96_curation_pipeline",
     "q121_entity_resolution", "q129_triangle_count",
-    "q151_prefix_filter_join", "q152_kcore")
+    "q151_prefix_filter_join", "q152_kcore",
+    "q158_neighbor_similarity", "q198_golden_record",
+    "q267_copurchase_edges", "q268_bfs_hops")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -115,6 +121,16 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
+      // Broadcast blocks are NOT covered by the two calls above: every
+      // broadcast() hint leaves a TorrentBroadcast whose cleanup is
+      // GC-driven and lags back-to-back re-runs — the r8 driver
+      // artifact caught q129 (several broadcasts per invocation)
+      // climbing 3.4->50 s monotone across 5 same-JVM runs with
+      // blocking unpersist already in place (VERDICT r8 #2).
+      // Accumulated broadcast blocks squat in unified STORAGE memory
+      // and squeeze execution memory into spills. Destroy them
+      // explicitly (blocking), same rationale as the RDD unpersist.
+      org.apache.spark.graft.BenchInternals.removeAllBroadcasts()
       // Settle the heap between queries: without this, one query's
       // garbage is collected DURING the next query's timed window and
       // books its GC storm onto an innocent timing.
@@ -260,12 +276,22 @@ object Bench {
       .filter(q => catalog.exists(_._1 == q))
     val stability = probed.map { name =>
       val fn = SparkEntry.queries(name)
-      val walls = (1 to probeRuns)
-        .map(_ => sample(() => fn(spark, sfDir).count()))
-        .map(_._1).filter(_ >= 0).sorted
+      // Post-run state counters ride along with each wall time
+      // (VERDICT r8 #2): if a future spike recurs, the artifact itself
+      // shows WHICH resource grew across the five runs — live blocks,
+      // storage bytes, blockmgr disk files/bytes, live broadcasts —
+      // instead of leaving the mechanism to forensics.
+      val runsDiag = (1 to probeRuns).map { _ =>
+        val wall = sample(() => fn(spark, sfDir).count())._1
+        val (blocks, memB, files, diskB) =
+          org.apache.spark.graft.BenchInternals.storageCounters()
+        val nBc = org.apache.spark.graft.BenchInternals.broadcastIds().size
+        (wall, blocks, memB, files, diskB, nBc)
+      }
+      val walls = runsDiag.map(_._1).filter(_ >= 0).sorted
       val med = if (walls.isEmpty) -1.0 else walls(walls.size / 2)
       (name, walls.headOption.getOrElse(-1.0), med,
-        walls.lastOption.getOrElse(-1.0), walls)
+        walls.lastOption.getOrElse(-1.0), walls, runsDiag)
     }
 
     def jmap(pairs: Seq[(String, String)]): String =
@@ -281,9 +307,15 @@ object Bench {
       k -> (f"""{"wall":$w%.3f,"expected":$exp%.3f,"host_factor":$hf%.2f,"cpu_wall":$c%.2f,"gc_wall":$g%.2f,"jit_sec":$j%.2f,"samples":""" +
         ss.map(v => f"$v%.3f").mkString("[", ",", "]") + "}")
     })
-    val stab = jmap(stability.map { case (k, mn, md, mx, ws) =>
+    val stab = jmap(stability.map { case (k, mn, md, mx, ws, diag) =>
+      def arr[A](f: ((Double, Int, Long, Int, Long, Int)) => A) =
+        diag.map(f).mkString("[", ",", "]")
       k -> (f"""{"min":$mn%.3f,"median":$md%.3f,"max":$mx%.3f,"runs":""" +
-        ws.map(v => f"$v%.3f").mkString("[", ",", "]") + "}")
+        ws.map(v => f"$v%.3f").mkString("[", ",", "]") +
+        s""","blocks":${arr(_._2)},"storage_mb":${
+          arr(d => d._3 / (1024 * 1024))},"disk_files":${arr(_._4)
+        },"disk_mb":${arr(d => d._5 / (1024 * 1024))},"live_broadcasts":${
+          arr(_._6)}}""")
     })
     val total = results.map { case (_, v, _, _, _, _) => v }.sum
     val totalNorm = total / hostFactor
@@ -315,7 +347,7 @@ object Bench {
     val maxGc = results.map(_._4).foldLeft(0.0)(math.max)
     val ctlShort = jmap(controlRes.map { case (k, w, _, _, _, _) =>
       k -> f"$w%.3f" })
-    val stabShort = jmap(stability.map { case (k, mn, _, mx, _) =>
+    val stabShort = jmap(stability.map { case (k, mn, _, mx, _, _) =>
       k -> f"${if (mn > 0) mx / mn else -1.0}%.2f" })
     println(f"""{"metric":"summary","value":$total%.3f,"unit":"sec","host_factor":$hostFactor%.2f,"total_ctl_normalized":$totalNorm%.3f,"n_queries":${results.size},"slowest":$slow10,"controls":$ctlShort,"stability_maxmin":$stabShort,"sf":"$sfDir","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"load_wait_sec":$loadWaitSec,"max_gc_wall":$maxGc%.2f,"artifact":"$outPath"}""")
     spark.stop()

@@ -418,8 +418,17 @@ object AnalyticsOps {
     // Exact weighted median of customer balance per nation, weighted by
     // the customer's order count: the smallest balance whose cumulative
     // weight reaches half the nation's total (2*cum >= tot — integer
-    // compare, no halving). Windows run over the customer dimension
-    // partitioned by nation; weights come from one fact-side aggregate.
+    // compare, no halving). Re-planned round 9 (the strict scale lint
+    // caught the original: its running-weight window partitioned by
+    // n_name — 25 values — ran over the FULL customer-grain frame, a
+    // corpus-sized single task at 100x) as the WEIGHTED two-pass bucket
+    // locate: pass 1 sums weights per (nation, 1024-cent balance
+    // bucket) map-combinably and locates the bucket where the weighted
+    // cumulative crosses half the total over the tiny histogram; pass 2
+    // runs the running-weight window ONLY over the located bucket's
+    // slice behind a broadcast filter-join. Bucket order is monotone in
+    // balance, so the in-bucket offset + running sum equals the global
+    // weighted cumulative exactly.
     "q187_weighted_median" -> Q(
       (s, dir) => {
         val w = table(s, dir, "orders").groupBy(col("o_custkey"))
@@ -429,16 +438,28 @@ object AnalyticsOps {
           .join(broadcast(table(s, dir, "nation")),
             col("c_nationkey") === col("n_nationkey"))
           .select(col("n_name"), col("c_custkey"), col("c_acctbal"), col("wt"))
-        val wCum = Window.partitionBy("n_name")
+          .withColumn("bkt",
+            expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) div 1024"))
+        val wg = Window.partitionBy("n_name")
+        val located = cust.groupBy("n_name", "bkt")
+          .agg(sum("wt").as("bw"), count(lit(1)).as("bc"))
+          .withColumn("cumw", sum("bw").over(wg.orderBy("bkt")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("tot_w", sum("bw").over(wg))
+          .withColumn("n_cust", sum("bc").over(wg))
+          .where(col("cumw") * 2 >= col("tot_w") &&
+            (col("cumw") - col("bw")) * 2 < col("tot_w"))
+          .select(col("n_name").as("ln"), col("bkt").as("lbkt"),
+            (col("cumw") - col("bw")).as("off_w"),
+            col("tot_w"), col("n_cust"))
+        val wIn = Window.partitionBy("n_name")
           .orderBy("c_acctbal", "c_custkey")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wTot = Window.partitionBy("n_name")
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        cust
-          .withColumn("cum_w", sum("wt").over(wCum))
-          .withColumn("tot_w", sum("wt").over(wTot))
+        cust.join(broadcast(located),
+            col("n_name") === col("ln") && col("bkt") === col("lbkt"))
+          .withColumn("cum_w", col("off_w") + sum("wt").over(wIn))
           .groupBy("n_name")
-          .agg(count(lit(1)).as("n_cust"), max("tot_w").as("tot_w"),
+          .agg(max("n_cust").as("n_cust"), max("tot_w").as("tot_w"),
             min(when(col("cum_w") * 2 >= col("tot_w"), col("c_acctbal")))
               .as("wmedian_bal"))
           .orderBy("n_name")

@@ -22,9 +22,31 @@ import org.apache.spark.sql.functions._
   * NON-DECREASING along `order` (equal order prefixes may share a
   * chunk; a later order position must never map to a smaller chunk).
   * Coarsenings of the leading sort key — `c div 1024`, high hash bits
-  * `h div 2^44`, an inverted bps score — all qualify.
+  * `h div 2^44`, an inverted bps score — all qualify. A NULL chunk
+  * value is admitted only when NULLs sort FIRST under `order` (Spark's
+  * asc default): the offset window orders chunks NULLS FIRST, so e.g.
+  * `v div 8` of a nullable ascending `v` stays monotone.
+  *
+  * NULL group keys are first-class: every scan matches the window
+  * functions it replicates, which keep a NULL partition (all rejoins
+  * below are null-safe `<=>` equi-joins, and groupBy/partitionBy
+  * already treat NULL as a value).
   */
 object OrderStat {
+
+  /** Null-safe offset rejoin shared by the two-level scans: windows
+    * keep a NULL partition, so the per-chunk offset must come back to
+    * NULL-keyed rows too — a plain equi-join would silently drop them
+    * (ADVICE r8). `<=>` on every key keeps this an equi-join (hash /
+    * sort-merge eligible), not a cartesian.
+    */
+  private def joinOffsets(t: DataFrame, off: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val offR = off.select(
+      (keys.map(c => col(c).as("__o_" + c)) :+ col("__off")): _*)
+    val cond = keys.map(c => t(c) <=> offR("__o_" + c)).reduce(_ && _)
+    t.join(offR, cond).drop(keys.map("__o_" + _): _*)
+  }
 
   /** Distributed row_number(): rank rows within each `grpCols` group
     * by `order` (1-based, gapless — exactly row_number's semantics for
@@ -45,7 +67,7 @@ object OrderStat {
           .orderBy("__ck")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select((keys.map(col) :+ col("__off")): _*)
-    t.join(off, keys)
+    joinOffsets(t, off, keys)
       .withColumn(rankCol,
         col("__off") + row_number().over(
           Window.partitionBy(keys.map(col): _*).orderBy(order: _*)))
@@ -64,16 +86,24 @@ object OrderStat {
     val sums = t.groupBy(keys.map(col): _*)
       .agg(sum(value).as("__cs"))
     val off = sums
-      .withColumn("__off", coalesce(
+      .withColumn("__off",
         sum("__cs").over(Window.partitionBy(grpCols.map(col): _*)
           .orderBy("__ck")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .rowsBetween(Window.unboundedPreceding, -1)))
       .select((keys.map(col) :+ col("__off")): _*)
-    t.join(off, keys)
+    // sum() skips NULL values but returns NULL over an all-NULL frame,
+    // so the running sum is NULL exactly until the group's first
+    // non-null value. Coalescing only in the combine step (not in the
+    // offset itself) preserves that: NULL offset + NULL chunk prefix
+    // stays NULL; anything else folds with 0-identity.
+    val within = sum(value).over(
+      Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    joinOffsets(t, off, keys)
       .withColumn(cumCol,
-        col("__off") + sum(value).over(
-          Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        when(col("__off").isNull && within.isNull, within)
+          .otherwise(coalesce(col("__off"), lit(0L)) +
+            coalesce(within, lit(0L))))
       .drop("__ck", "__off")
   }
 
@@ -88,6 +118,14 @@ object OrderStat {
     * filter-join. Ties in `value` share the output value, so no tie
     * column is needed for a well-defined result. Returns one row per
     * group: grpCols :+ (value AS asCol).
+    *
+    * Target contract: `target(n)` must land in [1, n] for every group
+    * (1-based rank). A target outside that range matches NO bucket and
+    * the group is silently ABSENT from the output — callers wanting a
+    * clamp must apply `greatest(lit(1), least(n, t))` themselves
+    * (ADVICE r8: documented rather than clamped, so an off-by-one in a
+    * caller's rank arithmetic surfaces as a missing group in its
+    * oracle diff instead of a silently wrong element).
     */
   def locateRank(df: DataFrame, grpCols: Seq[String], value: Column,
       bucket: Column, target: Column => Column, asCol: String)
@@ -107,8 +145,8 @@ object OrderStat {
       .select((grpCols.map(c => col(c).as("__g_" + c)) :+
         col("__bkt").as("__lbkt") :+
         (col("__t") - (col("__cum") - col("__bc"))).as("__rib")): _*)
-    val cond = (grpCols.map(c => t(c) === located("__g_" + c)) :+
-      (t("__bkt") === located("__lbkt"))).reduce(_ && _)
+    val cond = (grpCols.map(c => t(c) <=> located("__g_" + c)) :+
+      (t("__bkt") <=> located("__lbkt"))).reduce(_ && _)
     t.join(broadcast(located), cond)
       .withColumn("__rn", row_number().over(
         Window.partitionBy(grpCols.map(col): _*).orderBy("__v")))
@@ -123,6 +161,12 @@ object OrderStat {
     * scanCumSum — per-chunk minima aggregate map-combinably, the
     * bounded chunk frame yields each chunk's previous-chunks min, and
     * the within-chunk exclusive window folds in. Appends `minCol`.
+    *
+    * Determinism caveat (here and for scanCumSum, ADVICE r8): a ROWS
+    * frame over a non-tie-complete `order` is nondeterministic at the
+    * ties — a tied row may or may not precede another tie. Pass a
+    * tie-complete `order` (unique suffix column), or accept the window
+    * functions' own nondeterminism, which these scans match.
     */
   def scanCumMinExcl(df: DataFrame, grpCols: Seq[String], value: Column,
       order: Seq[Column], chunk: Column, minCol: String): DataFrame = {
@@ -136,7 +180,7 @@ object OrderStat {
           .orderBy("__ck")
           .rowsBetween(Window.unboundedPreceding, -1)))
       .select((keys.map(col) :+ col("__off")): _*)
-    t.join(off, keys)
+    joinOffsets(t, off, keys)
       .withColumn(minCol, least(
         col("__off"),
         min(value).over(
@@ -151,7 +195,8 @@ object OrderStat {
     * frame to distinct values, and the cumulative over that aggregate
     * reads the rank-`target(n)` element off the value key directly —
     * no second pass, no row ever sorted. Returns one row per group:
-    * grpCols :+ (value AS asCol).
+    * grpCols :+ (value AS asCol). Same target contract as locateRank:
+    * `target(n)` outside [1, n] silently drops the group.
     */
   def locateRankByValue(df: DataFrame, grpCols: Seq[String],
       value: Column, target: Column => Column, asCol: String)

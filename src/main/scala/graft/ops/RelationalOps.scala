@@ -162,6 +162,7 @@ object RelationalOps {
         import org.apache.spark.sql.expressions.Window
         val cents = table(s, dir, "orders")
           .select(col("o_orderpriority").as("pri"), col("o_totalprice"),
+            col("o_orderkey"),
             expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
               .as("c"))
           .withColumn("bkt", expr("c div 1024"))
@@ -177,10 +178,17 @@ object RelationalOps {
             col("cum") - col("bc") < col("target"))
           .select(col("pri").as("lpri"), col("bkt").as("med_bkt"),
             (col("target") - (col("cum") - col("bc"))).as("rank_in_bkt"))
+        // Pass-2 order is TIE-COMPLETE on the RAW price + key (ADVICE
+        // r8): ranking by the derived cent column alone would leave the
+        // tie order nondeterministic if two distinct prices ever shared
+        // a cent, diverging from the oracle's (price, orderkey) order.
+        // Cents stay monotone in price, so the bucket located in pass 1
+        // still holds the same rank under this order.
         cents.join(broadcast(located),
             col("pri") === col("lpri") && col("bkt") === col("med_bkt"))
           .withColumn("rn", row_number().over(
-            Window.partitionBy("pri").orderBy("c")))
+            Window.partitionBy("pri")
+              .orderBy(col("o_totalprice"), col("o_orderkey"))))
           .where(col("rn") === col("rank_in_bkt"))
           .select(col("pri").as("o_orderpriority"),
             col("o_totalprice").as("median_value"))

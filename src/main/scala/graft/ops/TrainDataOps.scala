@@ -1267,6 +1267,73 @@ object TrainDataOps {
            | WHERE i.rnk <= 5 ORDER BY i.qid, i.rnk""".stripMargin.replace("\n", "")
       }),
 
+    // Broadcast-free IVF rerank (VERDICT r8 #7's second shape): q199
+    // assumes the probed QUERY frame is broadcastable — true for an
+    // audit panel, false for the production case where the query set is
+    // itself corpus-scale (batch re-embedding, all-pairs linkage). Here
+    // the rerank join runs SHUFFLE-PARTITIONED on the cell id with the
+    // probe side as the per-partition BUILD side (SHUFFLE_HASH hint —
+    // a strategy hint beats autoBroadcastJoinThreshold, so the shape
+    // holds at any threshold): both sides exchange once on cid, each
+    // task hash-builds only ITS cells' queries, and no row of either
+    // side ever passes through the driver. The only broadcasts left are
+    // the k-row centroid frames (k is the operator's own parameter —
+    // bounded by config, not by the corpus). Candidate ranking stays
+    // answer-proportional via TopKPerGroup; the rnk window sorts the
+    // <= panel x 5 result. Pinned broadcast-free-at-the-rerank by
+    // PlanSpec.
+    "q274_ann_shuffle_rerank" -> Q(
+      (s, dir) => {
+        val points = embPoints(s, dir)
+        val cent = kmeansCentroids(points, kmeansK(s))
+        val cells = kmeansAssign(points, cent).select("vec_id", "v", "cid")
+        val qs = points.where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        val fold = "aggregate(zip_with(qv, %s, (x, y) -> (x - y) * (x - y)), " +
+          "cast(0 as double), (a, p) -> a + p)"
+        val probed = qs.crossJoin(broadcast(cent.agg(sort_array(
+            collect_list(struct(col("cid"), col("c")))).as("cs"))))
+          .select(col("qid"), col("qv"), explode(expr(
+            "transform(cs, ct -> struct(" +
+              fold.format("ct.c") + " as cdist2, ct.cid as cid))")).as("pc"))
+          .select(col("qid"), col("qv"), col("pc.cid").as("cid"),
+            col("pc.cdist2").as("cdist2"))
+          .withColumn("crk", row_number().over(
+            Window.partitionBy("qid").orderBy("cdist2", "cid")))
+          .where(col("crk") <= 2)
+          .select("qid", "qv", "cid")
+        val cand = probed.hint("shuffle_hash").join(cells, "cid")
+          .select(col("qid"), col("vec_id"),
+            expr(fold.format("v")).as("dist2"))
+        graft.plans.TopKPerGroup(cand, Seq("qid"),
+            Seq(("dist2", false), ("vec_id", false)), 5)
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("qid").orderBy(col("dist2"), col("vec_id")))
+            .cast("int"))
+          .select(col("qid"), col("rnk"), col("vec_id"), col("dist2"))
+          .orderBy("qid", "rnk")
+      },
+      Some {
+        def d2(a: String, b: String) =
+          s"list_reduce(list_transform(list_zip($a, $b), " +
+            "q -> (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE)) * " +
+            "(CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE))), (x, y) -> x + y)"
+        s"""WITH $kmeansCteSql,
+           | cells AS (SELECT vec_id, v, cid FROM a3 WHERE rnk = 1),
+           | qp AS (SELECT vec_id AS qid, v AS qv FROM pts WHERE vec_id % 100 = 0),
+           | qc AS (SELECT qid, qv, cid, cdist2,
+           |     row_number() OVER (PARTITION BY qid ORDER BY cdist2, cid) AS crk
+           |   FROM (SELECT q.qid, q.qv, c.cid, ${d2("q.qv", "c.c")} AS cdist2
+           |     FROM qp q CROSS JOIN c2 c)),
+           | probe AS (SELECT qid, qv, cid FROM qc WHERE crk <= 2),
+           | cand AS (SELECT p.qid, s.vec_id, ${d2("p.qv", "s.v")} AS dist2
+           |   FROM probe p JOIN cells s ON s.cid = p.cid),
+           | rk AS (SELECT qid, vec_id, dist2,
+           |   CAST(row_number() OVER (PARTITION BY qid ORDER BY dist2, vec_id) AS INT) AS rnk FROM cand)
+           | SELECT qid, rnk, vec_id, dist2 FROM rk WHERE rnk <= 5
+           | ORDER BY qid, rnk""".stripMargin.replace("\n", "")
+      }),
+
     // DSIR-style importance weights (after Data Selection via
     // Importance Resampling, Xie et al. 2023): score each document by
     // how much it resembles a TARGET domain (here lang='en') relative

@@ -27,7 +27,9 @@ class HarnessCompatSpec extends SparkSpec {
 
   test("every catalog query emits a scalar-only, uniquely-named schema") {
     val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
-    assert(catalog.size >= 155, s"catalog shrank to ${catalog.size} entries")
+    assert(catalog.size == CatalogContract.expectedSize,
+      s"catalog is ${catalog.size} entries, expected " +
+        s"${CatalogContract.expectedSize} (bump CatalogContract on growth)")
     val offenders = catalog.flatMap { case (name, fn) =>
       val schema = fn(spark, sf).schema
       val nonScalar = schema.fields.collect {

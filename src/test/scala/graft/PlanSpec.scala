@@ -197,6 +197,30 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange"), plan)
   }
 
+  test("q274 rerank join is shuffle-partitioned with NO broadcast of either side") {
+    // The broadcast-free shape's whole point: the probed-query x cells
+    // join must be a ShuffledHashJoin on cid (SHUFFLE_HASH hint beats
+    // autoBroadcastJoinThreshold), never a broadcast of the query panel
+    // — the production case this models has a corpus-scale query set.
+    // The centroid assignment steps DO keep their BroadcastNestedLoop
+    // crossJoins: each builds from a ONE-ROW collect_list(struct)
+    // aggregate (the k-row centroid frame folded into a single array
+    // cell), which is broadcastable at any corpus size. So the pin is:
+    // shuffled-hash rerank present, no broadcast EQUI-join anywhere
+    // (that's what the rerank would degrade to), and every nested-loop
+    // join is the Cross-against-one-row-aggregate pattern.
+    val plan = executed("q274_ann_shuffle_rerank")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"rerank join not shuffle-partitioned:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"a broadcast equi-join leaked into the rerank:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"unpartitioned cartesian in the rerank:\n$plan")
+    val bnlj = plan.split("\n").filter(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj.forall(_.contains("BuildRight, Cross")),
+      s"a nested-loop join beyond the one-row centroid crossJoins:\n$plan")
+  }
+
   test("q110 map-back join is keyed on the 120-bit fingerprint, not text") {
     // the exact-collapse result (checkpointed, so it appears as the
     // ExistingRDD scan) re-joins documents on (fp1, fp2) — the join
