@@ -310,8 +310,13 @@ object Bench {
     val stab = jmap(stability.map { case (k, mn, md, mx, ws, diag) =>
       def arr[A](f: ((Double, Int, Long, Int, Long, Int)) => A) =
         diag.map(f).mkString("[", ",", "]")
+      // "runs" is SORTED (min/median/max read off it); "walls_seq" is
+      // EXECUTION order — the column that separates a monotone leak
+      // (r7 q151, r8 q129) from load noise at a glance.
       k -> (f"""{"min":$mn%.3f,"median":$md%.3f,"max":$mx%.3f,"runs":""" +
         ws.map(v => f"$v%.3f").mkString("[", ",", "]") +
+        s""","walls_seq":${diag.map(d => f"${d._1}%.3f")
+          .mkString("[", ",", "]")}""" +
         s""","blocks":${arr(_._2)},"storage_mb":${
           arr(d => d._3 / (1024 * 1024))},"disk_files":${arr(_._4)
         },"disk_mb":${arr(d => d._5 / (1024 * 1024))},"live_broadcasts":${
