@@ -216,8 +216,11 @@ class PlanSpec extends SparkSpec {
       s"a broadcast equi-join leaked into the rerank:\n$plan")
     assert(!plan.contains("CartesianProduct"),
       s"unpartitioned cartesian in the rerank:\n$plan")
+    // Build side and join type matched as separate tokens (ADVICE r9):
+    // the exact "BuildRight, Cross" field order is one-line formatting a
+    // Spark upgrade could reshuffle without changing the plan shape.
     val bnlj = plan.split("\n").filter(_.contains("BroadcastNestedLoopJoin"))
-    assert(bnlj.forall(_.contains("BuildRight, Cross")),
+    assert(bnlj.forall(l => l.contains("BuildRight") && l.contains("Cross")),
       s"a nested-loop join beyond the one-row centroid crossJoins:\n$plan")
   }
 

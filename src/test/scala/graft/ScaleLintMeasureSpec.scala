@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** The ScaleLint allowlist, measured (VERDICT r9 #1): each allowlisted
+  * window claims its input frame is a LOCATED BUCKET SLICE (~1/buckets
+  * of the group behind a broadcast locate-filter), not the corpus. The
+  * lint cannot tell a reducing filter-join from an expanding one, and
+  * ADVICE r8 proved a written justification can hide a real offender
+  * (q187's pre-fix running-weight window ran over the full customer
+  * frame). So this spec stops trusting prose: for every allowlist
+  * entry it re-finds the flagged window in the optimized plan, COUNTS
+  * the window's actual input rows (Window preserves cardinality, so
+  * executing the window's child subtree gives exactly the frame the
+  * window sorts) at sf0.001 AND sf0.01, and asserts the located-slice
+  * bound two ways:
+  *
+  *  1. ABSOLUTE: input rows <= 5% of the largest base relation in the
+  *     window's subtree, at both SFs. A window that sorts the corpus
+  *     (the q187 pre-fix shape: input = corpus rows joined 1:1) fails
+  *     by 20x.
+  *  2. GROWTH: input rows grow at most LINEARLY with the corpus
+  *     between the two SFs (ratio <= 2x the corpus ratio). An
+  *     EXPANDING locate-join (the failure mode the allowlist cannot
+  *     see) grows the slice superlinearly and fails here even if it
+  *     sneaks under the absolute cap at tiny SF.
+  *
+  * The spec also fails if an allowlist entry is NO LONGER flagged by
+  * the lint — a stale entry is an un-linted window waiting to regress.
+  */
+class ScaleLintMeasureSpec extends SparkSpec {
+  private val sfSmall = "/root/testdata/sf0.001"
+  private val sfMid = "/root/testdata/sf0.01"
+
+  /** Max slice share of the corpus a located bucket may hold. The
+    * measured shares at sf0.01 are all far below (see the assertion
+    * message for the live numbers); 5% keeps ~8x headroom over the
+    * worst measured entry while a corpus-grain window (share ~100%)
+    * fails by 20x.
+    */
+  private val maxSliceShare = 0.05
+
+  /** (window input rows, largest leaf-relation rows) for every flagged
+    * window matching an allowlist signature, per signature.
+    */
+  private def measure(sf: String): Map[String, Seq[(Long, Long)]] = {
+    val bounded = ScaleLint.boundedDomainCols(spark)
+    ScaleLint.allow.keys.toSeq.sorted.map { sig =>
+      val qname = sig.takeWhile(_ != '[')
+      val plan =
+        SparkEntry.queries(qname)(spark, sf).queryExecution.optimizedPlan
+      val ws = ScaleLint.flagged(qname, plan, bounded)
+        .filter(_._1 == sig).map(_._2)
+      assert(ws.nonEmpty,
+        s"allowlist entry $sig is no longer flagged by the lint at $sf " +
+          "— delete the stale entry (an unused allowlist row is an " +
+          "un-linted window waiting to regress)")
+      sig -> ws.map { w =>
+        val in = Bridge.ofRows(spark, w.child).count()
+        val corpus = w.child.collectLeaves()
+          .map(l => Bridge.ofRows(spark, l).count()).max
+        (in, corpus)
+      }
+    }.toMap
+  }
+
+  test("every allowlisted pass-2 window inputs a bucket slice, not the corpus") {
+    val small = measure(sfSmall)
+    val mid = measure(sfMid)
+    val report = new StringBuilder
+    ScaleLint.allow.keys.toSeq.sorted.foreach { sig =>
+      val pairs = small(sig).zip(mid(sig))
+      pairs.zipWithIndex.foreach { case (((inS, corpS), (inM, corpM)), i) =>
+        val shareS = inS.toDouble / corpS
+        val shareM = inM.toDouble / corpM
+        report ++= f"$sig#$i: sf0.001 $inS/$corpS (${shareS * 100}%.2f%%), " +
+          f"sf0.01 $inM/$corpM (${shareM * 100}%.2f%%)\n"
+        assert(shareS <= maxSliceShare && shareM <= maxSliceShare,
+          f"$sig window #$i inputs ${shareM * 100}%.1f%% of its largest " +
+            f"base relation (sf0.001: ${shareS * 100}%.1f%%) — the " +
+            "located-slice justification does not hold; re-plan or fix " +
+            s"the locate-filter\n$report")
+        // Linear-growth law: slice rows scale with the corpus (ratio
+        // ~ corpus ratio), never faster. 2x slack covers bucket-
+        // occupancy noise at these tiny SFs; an expanding join is
+        // ~corpusRatio^2 and clears the slack by an order of magnitude.
+        val corpusRatio = corpM.toDouble / math.max(corpS, 1L)
+        assert(inM.toDouble <= math.max(inS, 1L).toDouble * corpusRatio * 2.0,
+          s"$sig window #$i input grew ${inS} -> ${inM} rows while its " +
+            f"corpus grew ${corpusRatio}%.1fx — superlinear growth means " +
+            s"the locate-join is EXPANDING, not filtering\n$report")
+      }
+    }
+    info(report.toString)
+  }
+}
