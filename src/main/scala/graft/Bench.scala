@@ -130,7 +130,13 @@ object Bench {
       // Accumulated broadcast blocks squat in unified STORAGE memory
       // and squeeze execution memory into spills. Destroy them
       // explicitly (blocking), same rationale as the RDD unpersist.
-      org.apache.spark.graft.BenchInternals.removeAllBroadcasts()
+      // The removed ids go to stderr (ADVICE r9): if a probe run ever
+      // dies with broadcast-block-not-found, the log shows exactly
+      // which ids the harness destroyed right before.
+      val removed = org.apache.spark.graft.BenchInternals.removeAllBroadcasts()
+      if (removed.nonEmpty)
+        System.err.println(
+          s"[bench] destroyed broadcasts: ${removed.mkString(",")}")
       // Settle the heap between queries: without this, one query's
       // garbage is collected DURING the next query's timed window and
       // books its GC storm onto an innocent timing.
@@ -317,9 +323,12 @@ object Bench {
         ws.map(v => f"$v%.3f").mkString("[", ",", "]") +
         s""","walls_seq":${diag.map(d => f"${d._1}%.3f")
           .mkString("[", ",", "]")}""" +
+        // One-decimal MB, not integer division (ADVICE r9): a slow
+        // monotone leak below ~1 MB/run — the exact class these
+        // counters exist to expose — must not truncate to [0,0,0,0,0].
         s""","blocks":${arr(_._2)},"storage_mb":${
-          arr(d => d._3 / (1024 * 1024))},"disk_files":${arr(_._4)
-        },"disk_mb":${arr(d => d._5 / (1024 * 1024))},"live_broadcasts":${
+          arr(d => f"${d._3 / 1048576.0}%.1f")},"disk_files":${arr(_._4)
+        },"disk_mb":${arr(d => f"${d._5 / 1048576.0}%.1f")},"live_broadcasts":${
           arr(_._6)}}""")
     })
     val total = results.map { case (_, v, _, _, _, _) => v }.sum

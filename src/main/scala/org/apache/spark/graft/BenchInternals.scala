@@ -30,14 +30,27 @@ object BenchInternals {
       .collect { case BroadcastBlockId(id, _) => id }.distinct.sorted
 
   /** Drop every live broadcast's blocks (driver + executors), blocking
-    * until removal completes. Safe between bench runs: each run builds
-    * fresh DataFrames, so no prior broadcast is ever re-read.
+    * until removal completes. Safe between bench runs ONLY because each
+    * run builds fresh DataFrames — and that invariant is now ENFORCED,
+    * not assumed (ADVICE r9): if any persistent RDD survives the
+    * caller's unpersist pass, a cached plan could still re-read a
+    * broadcast we are about to destroy, so fail loudly with the
+    * offending RDD ids instead of letting a later run die with an
+    * opaque broadcast-block-not-found. The removed ids are returned so
+    * the caller can log them.
     */
-  def removeAllBroadcasts(): Int = {
+  def removeAllBroadcasts(): Seq[Long] = {
+    val persistent =
+      org.apache.spark.SparkContext.getActive.toSeq
+        .flatMap(_.getPersistentRDDs.keys)
+    require(persistent.isEmpty,
+      s"removeAllBroadcasts() with persistent RDDs still live " +
+        s"(ids ${persistent.sorted.mkString(",")}): a cached plan may " +
+        "re-read a destroyed broadcast — unpersist first")
     val ids = broadcastIds()
     ids.foreach(id =>
       master.removeBroadcast(id, removeFromMaster = true, blocking = true))
-    ids.size
+    ids
   }
 
   /** Point-in-time state counters for the stability artifact:
