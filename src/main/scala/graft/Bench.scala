@@ -55,7 +55,7 @@ object Bench {
     "q121_entity_resolution", "q129_triangle_count",
     "q151_prefix_filter_join", "q152_kcore",
     "q158_neighbor_similarity", "q198_golden_record",
-    "q267_copurchase_edges", "q268_bfs_hops")
+    "q267_copurchase_edges", "q268_bfs_hops", "q275_labelprop_settle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -54,6 +54,59 @@ object WarehouseOps {
       .localCheckpoint(eager = true)
   }
 
+  /** Synchronous min-label flooding to FIXPOINT over an undirected pair
+    * list (u, v) — the engine under q275. Returns (nd, l, settle):
+    * l = min node id reachable from nd, settle = the LAST round nd's
+    * label changed. Because flooding advances labels exactly one hop
+    * per round and labels decrease monotonically, settle equals the hop
+    * distance from nd to its component's min-id node — a graph
+    * property, not an implementation artifact, which is what makes the
+    * convergence certificate oracle-checkable (and why this deliberately
+    * does NOT pointer-jump like DedupOps.connectedComponents: path
+    * halving would compress settle rounds unpredictably). The round
+    * count is decided by the DATA — the loop ends when a round changes
+    * nothing, read from an `observe` aggregate during each round's
+    * eager localCheckpoint (no extra action) — and hard-capped by
+    * `maxRounds` (graph radius bound; require, never silent).
+    * LabelPropPropertySpec pins the law against a driver-side
+    * union-find + BFS reference on arbitrary graphs.
+    */
+  private[graft] def labelPropSettle(pairs: DataFrame,
+      maxRounds: Int = 64): DataFrame = {
+    val p2 = pairs.toDF("u", "v")
+    val edges = p2.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(p2.select(col("v").as("a"), col("u").as("b")))
+      .repartition(col("a"))
+      .localCheckpoint(eager = true)
+    var lbl = edges.select(col("a").as("nd")).distinct()
+      .select(col("nd"), col("nd").as("l"), lit(0).as("settle"))
+      .localCheckpoint(eager = true)
+    var changed = 1L
+    var round = 0
+    while (changed > 0) {
+      round += 1
+      require(round <= maxRounds,
+        s"label propagation failed to converge in $maxRounds rounds")
+      val obs = org.apache.spark.sql.Observation(s"lp_changed_$round")
+      val nbrMin = edges.join(lbl, col("a") === col("nd"))
+        .groupBy(col("b")).agg(min("l").as("nl"))
+      val next = lbl.join(nbrMin, col("nd") === col("b"), "left")
+        .select(col("nd"), col("l").as("l0"), col("settle"),
+          least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
+        .select(col("nd"), col("l"),
+          when(col("l") < col("l0"), lit(round))
+            .otherwise(col("settle")).as("settle"),
+          col("l0"))
+        .observe(obs, coalesce(
+          sum((col("l") < col("l0")).cast("long")), lit(0L))
+          .as("changed"))
+        .localCheckpoint(eager = true)
+      changed = obs.get("changed").asInstanceOf[Long]
+      lbl = next.select("nd", "l", "settle")
+    }
+    lbl
+  }
+
   /** One k-core peeling round: filter `edges(a, b)` to endpoints whose
     * degree (in `deg(a, deg)`) is >= k. The survivor list derives from
     * the checkpointed deg (no checkpoint of its own); under the default
@@ -195,6 +248,63 @@ object WarehouseOps {
           | SELECT CAST(dist AS INT) AS dist, CAST(count(*) AS BIGINT) AS n_nodes,
           |   CAST(sum(node) AS BIGINT) AS sum_node_ids
           | FROM md GROUP BY dist ORDER BY dist"""
+          .stripMargin.replace("\n", ""))),
+
+    // Label propagation to FIXPOINT with the convergence itself as the
+    // output (VERDICT r9 #7's missing family): synchronous min-label
+    // flooding over the repeat-co-purchase graph (q268's w >= 2 edge
+    // base), looped until a round changes NOTHING — the round count is
+    // decided by the DATA, not a fixed budget — and every node carries
+    // a convergence CERTIFICATE: settle_round, the last round its label
+    // changed. Under synchronous flooding labels decrease monotonically
+    // and the component's min id reaches node v exactly at round
+    // d(v, seed), so settle_round is a graph PROPERTY (hop distance
+    // from the component's min-id node), which is what makes a
+    // convergence certificate oracle-checkable: DuckDB reproduces it as
+    // reachability closure (min reachable id) + BFS from each
+    // component's own min node. Deliberately different from the shared
+    // connectedComponents fixpoint (DedupOps): no pointer jumping —
+    // path halving would turn settle rounds into an implementation
+    // artifact, plain flooding makes them data. 100 TB posture: each
+    // round is one vertex-keyed equi-join + a min-agg with the CC
+    // discipline (edges pre-partitioned + checkpointed once, eager
+    // localCheckpoint per round so lineage never grows, convergence
+    // read from an `observe` aggregate during the checkpoint job — no
+    // extra action per round); rounds are bounded by seed eccentricity
+    // (small-world here: 4 at sf0.1), hard-required <= 64.
+    "q275_labelprop_settle" -> Q(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val w2 = li.alias("x").join(li.alias("y"),
+            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+          .groupBy(col("x.p").as("u"), col("y.p").as("v"))
+          .agg(count(lit(1)).as("w"))
+          .where(col("w") >= 2)
+        labelPropSettle(w2.select("u", "v"))
+          .select(col("nd").as("node"), col("l").as("lbl"),
+            col("settle").cast("int").as("settle_round"))
+          .orderBy("node")
+      },
+      Some(
+        """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+          |   FROM lineitem),
+          | pw AS (SELECT x.p AS u, y.p AS v, count(*) AS w
+          |   FROM li x JOIN li y ON x.o = y.o AND x.p < y.p GROUP BY 1, 2),
+          | e2 AS (SELECT u, v FROM pw WHERE w >= 2),
+          | edges AS (SELECT u AS a, v AS b FROM e2 UNION ALL SELECT v, u FROM e2),
+          | nodes AS (SELECT DISTINCT a AS node FROM edges),
+          | reach(node, lbl) AS (SELECT node, node FROM nodes
+          |   UNION SELECT e.b, reach.lbl FROM reach JOIN edges e ON e.a = reach.node),
+          | mlbl AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node),
+          | seeds AS (SELECT node FROM mlbl WHERE node = lbl),
+          | bfs(node, d) AS (SELECT node, 0 FROM seeds
+          |   UNION SELECT e.b, bfs.d + 1 FROM bfs JOIN edges e ON e.a = bfs.node
+          |   WHERE bfs.d < 64),
+          | dist AS (SELECT node, min(d) AS settle_round FROM bfs GROUP BY node)
+          | SELECT m.node, m.lbl, CAST(di.settle_round AS INT) AS settle_round
+          | FROM mlbl m JOIN dist di ON di.node = m.node ORDER BY m.node"""
           .stripMargin.replace("\n", ""))),
 
     // Degree-ordered triangle counting over the co-purchase graph
