@@ -196,15 +196,17 @@ object DedupOps {
     */
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
     // Edges are consumed once per propagation round, always joined on
-    // d2: materialize them ALREADY hash-partitioned by d2 with an eager
-    // localCheckpoint — the LogicalRDD keeps the partitioning, so no
-    // round re-shuffles the edge side (persist() kept the lineage and
+    // d2: materialize them ALREADY hash-partitioned by d2 so no round
+    // re-shuffles the edge side (persist() kept the lineage and
     // re-optimized + re-exchanged it every round; measured at sf0.1 the
-    // checkpoint+prepartition cut q64 from 6.4 s to ~3.5 s).
-    val edges = pairs.toDF("d1", "d2").unionByName(
-      pairs.toDF("d2", "d1").select(col("d1"), col("d2")))
-      .repartition(col("d2"))
-      .localCheckpoint(eager = true)
+    // checkpoint+prepartition cut q64 from 6.4 s to ~3.5 s). A plain
+    // repartition+localCheckpoint LOSES the partitioning under AQE
+    // (round 10 finding) — PartitionedCheckpoint materializes it so the
+    // LogicalRDD actually carries hash(d2) into every round's plan.
+    val edges = PartitionedCheckpoint.byKeys(
+      pairs.toDF("d1", "d2").unionByName(
+        pairs.toDF("d2", "d1").select(col("d1"), col("d2"))),
+      "d2")
     var comp = edges.select(col("d1").as("v")).distinct()
       .withColumn("c", col("v"))
       .localCheckpoint(eager = true)

@@ -74,10 +74,14 @@ object WarehouseOps {
   private[graft] def labelPropSettle(pairs: DataFrame,
       maxRounds: Int = 64): DataFrame = {
     val p2 = pairs.toDF("u", "v")
-    val edges = p2.select(col("u").as("a"), col("v").as("b"))
-      .unionAll(p2.select(col("v").as("a"), col("u").as("b")))
-      .repartition(col("a"))
-      .localCheckpoint(eager = true)
+    // hash(a)-partitioned once, PRESERVED across rounds (plain
+    // repartition+localCheckpoint loses it under AQE — see
+    // PartitionedCheckpoint): each round's edge side feeds the join
+    // with no exchange; only the node-grain frames shuffle per round.
+    val edges = PartitionedCheckpoint.byKeys(
+      p2.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(p2.select(col("v").as("a"), col("u").as("b"))),
+      "a")
     var lbl = edges.select(col("a").as("nd")).distinct()
       .select(col("nd"), col("nd").as("l"), lit(0).as("settle"))
       .localCheckpoint(eager = true)
@@ -213,9 +217,12 @@ object WarehouseOps {
           .groupBy(col("a.p").as("u"), col("b.p").as("v"))
           .agg(count(lit(1)).as("w"))
           .where(col("w") >= 2)
-        val edges = w2.select(col("u").as("a"), col("v").as("b"))
-          .unionAll(w2.select(col("v").as("a"), col("u").as("b")))
-          .localCheckpoint(eager = true)
+        // hash(a)-partitioned once (PartitionedCheckpoint): each BFS
+        // round's frontier expansion joins on a with no edge exchange.
+        val edges = PartitionedCheckpoint.byKeys(
+          w2.select(col("u").as("a"), col("v").as("b"))
+            .unionAll(w2.select(col("v").as("a"), col("u").as("b"))),
+          "a")
         var visited = edges.agg(min("a").as("node"))
           .select(col("node"), lit(0).as("dist"))
           .localCheckpoint(eager = true)
