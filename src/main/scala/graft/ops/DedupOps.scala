@@ -239,6 +239,11 @@ object DedupOps {
           .as("changed"))
         .localCheckpoint(eager = true)
       changed = obs.get("changed").asInstanceOf[Long]
+      // The superseded iteration's checkpoint blocks are dead once
+      // `next` is materialized — release them instead of stacking up
+      // to 12 node-frame copies in storage memory per invocation
+      // (the same accumulation class Bench.clearState documents).
+      org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoints(comp)
       comp = next.select("v", "c")
       iters += 1
     }

@@ -350,6 +350,30 @@ object TrainDataOps {
   private[graft] def kmeansK(s: SparkSession): Int =
     s.conf.getOption("graft.kmeans.k").map(_.toInt).getOrElse(8)
 
+  /** The IVF probe assignment shared by q199, q274 and the hot-cell
+    * measurement probe (ProbeQ274Cells): each query's 2 nearest cells
+    * by exact L2 against the broadcast k-row centroid frame. A single
+    * definition so the probe rule can never silently diverge between
+    * the queries and the posture measurement recorded in PLANS.md.
+    * `qs` = (qid, qv); returns (qid, qv, cid).
+    */
+  private[graft] def ivfProbedCells(qs: DataFrame, cent: DataFrame)
+  : DataFrame = {
+    val fold = "aggregate(zip_with(qv, %s, (x, y) -> (x - y) * (x - y)), " +
+      "cast(0 as double), (a, p) -> a + p)"
+    qs.crossJoin(broadcast(cent.agg(sort_array(
+        collect_list(struct(col("cid"), col("c")))).as("cs"))))
+      .select(col("qid"), col("qv"), explode(expr(
+        "transform(cs, ct -> struct(" +
+          fold.format("ct.c") + " as cdist2, ct.cid as cid))")).as("pc"))
+      .select(col("qid"), col("qv"), col("pc.cid").as("cid"),
+        col("pc.cdist2").as("cdist2"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("qid").orderBy("cdist2", "cid")))
+      .where(col("crk") <= 2)
+      .select("qid", "qv", "cid")
+  }
+
   /** The k seed vectors: distinct-by-value, hash-spread. First-k init
     * (`vec_id < k`) degenerates when the head of the corpus contains
     * near-duplicates — two seeds coincide, their cells collapse, and
@@ -1207,17 +1231,7 @@ object TrainDataOps {
           .select(col("vec_id").as("qid"), col("v").as("qv"))
         val fold = "aggregate(zip_with(qv, %s, (x, y) -> (x - y) * (x - y)), " +
           "cast(0 as double), (a, p) -> a + p)"
-        val probed = qs.crossJoin(broadcast(cent.agg(sort_array(
-            collect_list(struct(col("cid"), col("c")))).as("cs"))))
-          .select(col("qid"), col("qv"), explode(expr(
-            "transform(cs, ct -> struct(" +
-              fold.format("ct.c") + " as cdist2, ct.cid as cid))")).as("pc"))
-          .select(col("qid"), col("qv"), col("pc.cid").as("cid"),
-            col("pc.cdist2").as("cdist2"))
-          .withColumn("crk", row_number().over(
-            Window.partitionBy("qid").orderBy("cdist2", "cid")))
-          .where(col("crk") <= 2)
-          .select("qid", "qv", "cid")
+        val probed = ivfProbedCells(qs, cent)
         val cand = probed.join(cells, "cid")
           .select(col("qid"), col("vec_id"),
             expr(fold.format("v")).as("dist2"))
@@ -1291,17 +1305,7 @@ object TrainDataOps {
           .select(col("vec_id").as("qid"), col("v").as("qv"))
         val fold = "aggregate(zip_with(qv, %s, (x, y) -> (x - y) * (x - y)), " +
           "cast(0 as double), (a, p) -> a + p)"
-        val probed = qs.crossJoin(broadcast(cent.agg(sort_array(
-            collect_list(struct(col("cid"), col("c")))).as("cs"))))
-          .select(col("qid"), col("qv"), explode(expr(
-            "transform(cs, ct -> struct(" +
-              fold.format("ct.c") + " as cdist2, ct.cid as cid))")).as("pc"))
-          .select(col("qid"), col("qv"), col("pc.cid").as("cid"),
-            col("pc.cdist2").as("cdist2"))
-          .withColumn("crk", row_number().over(
-            Window.partitionBy("qid").orderBy("cdist2", "cid")))
-          .where(col("crk") <= 2)
-          .select("qid", "qv", "cid")
+        val probed = ivfProbedCells(qs, cent)
         val cand = probed.hint("shuffle_hash").join(cells, "cid")
           .select(col("qid"), col("vec_id"),
             expr(fold.format("v")).as("dist2"))

@@ -89,11 +89,12 @@ object WarehouseOps {
     var round = 0
     while (changed > 0) {
       round += 1
-      require(round <= maxRounds,
-        s"label propagation failed to converge in $maxRounds rounds")
       val obs = org.apache.spark.sql.Observation(s"lp_changed_$round")
       val nbrMin = edges.join(lbl, col("a") === col("nd"))
         .groupBy(col("b")).agg(min("l").as("nl"))
+      // observe sits ABOVE the 4-column frame (it reads l vs l0) but
+      // the checkpoint stores only the projected 3 columns — l0 never
+      // occupies storage memory.
       val next = lbl.join(nbrMin, col("nd") === col("b"), "left")
         .select(col("nd"), col("l").as("l0"), col("settle"),
           least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
@@ -104,11 +105,42 @@ object WarehouseOps {
         .observe(obs, coalesce(
           sum((col("l") < col("l0")).cast("long")), lit(0L))
           .as("changed"))
+        .select("nd", "l", "settle")
         .localCheckpoint(eager = true)
       changed = obs.get("changed").asInstanceOf[Long]
-      lbl = next.select("nd", "l", "settle")
+      // maxRounds bounds the label-CHANGING rounds; the confirming
+      // round (changed == 0) is always allowed, so a radius-R graph
+      // needs maxRounds >= R — not R+1 (the off-by-one a radius-=-cap
+      // graph would otherwise hit despite having converged).
+      require(changed == 0 || round <= maxRounds,
+        s"label propagation failed to converge in $maxRounds rounds")
+      // Round N's blocks are dead once round N+1 is materialized —
+      // release instead of letting superseded node frames stack up in
+      // storage memory for the whole fixpoint (up to maxRounds copies).
+      org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoints(lbl)
+      lbl = next
     }
     lbl
+  }
+
+  /** The REPEAT-co-purchase edge list — part pairs sharing >= 2 orders
+    * (the w >= 2 cut keeps the graph sparse where the raw co-purchase
+    * graph is near-complete). The shared base of q268's BFS and q275's
+    * label flooding, derived ONCE so the two queries can never
+    * silently diverge on the edge definition (the same rationale as
+    * [[coPurchasePairs]]). Returns undirected (u, v) pairs.
+    */
+  private[graft] def repeatCoPurchasePairs(s: SparkSession,
+      dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    li.alias("x").join(li.alias("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("u"), col("y.p").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .where(col("w") >= 2)
+      .select("u", "v")
   }
 
   /** One k-core peeling round: filter `edges(a, b)` to endpoints whose
@@ -209,16 +241,10 @@ object WarehouseOps {
     // CTE computing the same bounded min-distances.
     "q268_bfs_hops" -> Q(
       (s, dir) => {
-        val li = table(s, dir, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
-        val w2 = li.alias("a").join(li.alias("b"),
-            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-          .agg(count(lit(1)).as("w"))
-          .where(col("w") >= 2)
-        // hash(a)-partitioned once (PartitionedCheckpoint): each BFS
-        // round's frontier expansion joins on a with no edge exchange.
+        val w2 = repeatCoPurchasePairs(s, dir)
+        // Edge layout via PartitionedCheckpoint: each BFS round's
+        // frontier expansion joins on a (flag-gated whether the layout
+        // is claimed or AQE-owned).
         val edges = PartitionedCheckpoint.byKeys(
           w2.select(col("u").as("a"), col("v").as("b"))
             .unionAll(w2.select(col("v").as("a"), col("u").as("b"))),
@@ -280,20 +306,11 @@ object WarehouseOps {
     // extra action per round); rounds are bounded by seed eccentricity
     // (small-world here: 4 at sf0.1), hard-required <= 64.
     "q275_labelprop_settle" -> Q(
-      (s, dir) => {
-        val li = table(s, dir, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
-        val w2 = li.alias("x").join(li.alias("y"),
-            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-          .groupBy(col("x.p").as("u"), col("y.p").as("v"))
-          .agg(count(lit(1)).as("w"))
-          .where(col("w") >= 2)
-        labelPropSettle(w2.select("u", "v"))
+      (s, dir) =>
+        labelPropSettle(repeatCoPurchasePairs(s, dir))
           .select(col("nd").as("node"), col("l").as("lbl"),
             col("settle").cast("int").as("settle_round"))
-          .orderBy("node")
-      },
+          .orderBy("node"),
       Some(
         """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
           |   FROM lineitem),

@@ -65,4 +65,20 @@ object Bridge {
           s"got ${other.getClass.getSimpleName}")
     }
   }
+
+  /** Unpersist the blocks behind every localCheckpoint leaf in `df`'s
+    * plan. For iterative fixpoints that re-checkpoint a frame per
+    * round: once round N+1 is eagerly materialized, round N's blocks
+    * are dead weight in unified storage memory (the accumulation class
+    * the bench's clearState logs document) — release them instead of
+    * waiting for GC-driven cleanup. The CALLER must guarantee nothing
+    * will read the released frame again: a localCheckpoint's lineage
+    * is truncated, so its data is unrecoverable after this.
+    */
+  def releaseCheckpoints(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }
