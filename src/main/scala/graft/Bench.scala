@@ -287,12 +287,19 @@ object Bench {
       // shows WHICH resource grew across the five runs — live blocks,
       // storage bytes, blockmgr disk files/bytes, live broadcasts —
       // instead of leaving the mechanism to forensics.
+      // Load covariates per run (VERDICT r10 #1): three >=7x wall
+      // outliers in the r10 driver artifact could only be exonerated by
+      // cross-artifact forensics. With cpu_wall + loadavg riding along
+      // per run, a co-tenant window is visible in the row itself:
+      // wall up, cpu_wall flat/down, loadavg up => host load;
+      // wall up WITH cpu_wall up and state counters up => engine.
       val runsDiag = (1 to probeRuns).map { _ =>
-        val wall = sample(() => fn(spark, sfDir).count())._1
+        val s = sample(() => fn(spark, sfDir).count())
+        val load = loadavg1m()
         val (blocks, memB, files, diskB) =
           org.apache.spark.graft.BenchInternals.storageCounters()
         val nBc = org.apache.spark.graft.BenchInternals.broadcastIds().size
-        (wall, blocks, memB, files, diskB, nBc)
+        (s._1, blocks, memB, files, diskB, nBc, s._2, load)
       }
       val walls = runsDiag.map(_._1).filter(_ >= 0).sorted
       val med = if (walls.isEmpty) -1.0 else walls(walls.size / 2)
@@ -314,7 +321,7 @@ object Bench {
         ss.map(v => f"$v%.3f").mkString("[", ",", "]") + "}")
     })
     val stab = jmap(stability.map { case (k, mn, md, mx, ws, diag) =>
-      def arr[A](f: ((Double, Int, Long, Int, Long, Int)) => A) =
+      def arr[A](f: ((Double, Int, Long, Int, Long, Int, Double, Double)) => A) =
         diag.map(f).mkString("[", ",", "]")
       // "runs" is SORTED (min/median/max read off it); "walls_seq" is
       // EXECUTION order — the column that separates a monotone leak
@@ -329,7 +336,14 @@ object Bench {
         s""","blocks":${arr(_._2)},"storage_mb":${
           arr(d => f"${d._3 / 1048576.0}%.1f")},"disk_files":${arr(_._4)
         },"disk_mb":${arr(d => f"${d._5 / 1048576.0}%.1f")},"live_broadcasts":${
-          arr(_._6)}}""")
+          arr(_._6)}""" +
+        // Per-run load covariates (VERDICT r10 #1): cpu_wall is the
+        // cpu-seconds/wall-seconds ratio of THAT run, loadavg the
+        // 1-minute load read right after it. Read rule (PLANS.md):
+        // a wall spike with flat cpu_wall and elevated loadavg is host
+        // co-tenancy; a spike with cpu_wall and counters up is ours.
+        s""","cpu_wall_seq":${arr(d => f"${d._7}%.2f")},"loadavg_seq":${
+          arr(d => f"${d._8}%.2f")}}""")
     })
     val total = results.map { case (_, v, _, _, _, _) => v }.sum
     val totalNorm = total / hostFactor

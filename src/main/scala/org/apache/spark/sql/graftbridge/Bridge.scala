@@ -66,19 +66,31 @@ object Bridge {
     }
   }
 
-  /** Unpersist the blocks behind every localCheckpoint leaf in `df`'s
-    * plan. For iterative fixpoints that re-checkpoint a frame per
-    * round: once round N+1 is eagerly materialized, round N's blocks
-    * are dead weight in unified storage memory (the accumulation class
-    * the bench's clearState logs document) — release them instead of
-    * waiting for GC-driven cleanup. The CALLER must guarantee nothing
-    * will read the released frame again: a localCheckpoint's lineage
-    * is truncated, so its data is unrecoverable after this.
+  /** Unpersist the blocks behind the SINGLE localCheckpoint leaf in
+    * `df`'s plan. For iterative fixpoints that re-checkpoint a frame
+    * per round: once round N+1 is eagerly materialized, round N's
+    * blocks are dead weight in unified storage memory (the accumulation
+    * class the bench's clearState logs document) — release them instead
+    * of waiting for GC-driven cleanup. The CALLER must guarantee
+    * nothing will read the released frame again: a localCheckpoint's
+    * lineage is truncated, so its data is unrecoverable after this.
+    *
+    * The plan must be exactly one LogicalRDD leaf (optionally under
+    * projections/filters) — a frame whose plan embeds ANY other leaf
+    * (e.g. a still-live edges checkpoint joined in before
+    * re-checkpointing) is rejected loudly rather than having its
+    * unrelated, unrecoverable checkpoint destroyed mid-fixpoint
+    * (ADVICE r10).
     */
-  def releaseCheckpoints(df: org.apache.spark.sql.DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+  def releaseCheckpoints(df: org.apache.spark.sql.DataFrame): Unit = {
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    leaves match {
+      case Seq(lr: org.apache.spark.sql.execution.LogicalRDD) =>
         lr.rdd.unpersist(blocking = false)
-      case _ => ()
+      case other => throw new IllegalArgumentException(
+        "releaseCheckpoints expects a plan with exactly one LogicalRDD " +
+          s"leaf (a superseded checkpoint); got ${other.size} leaves: " +
+          other.map(_.getClass.getSimpleName).mkString(", "))
     }
+  }
 }

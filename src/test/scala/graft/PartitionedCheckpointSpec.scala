@@ -43,6 +43,31 @@ class PartitionedCheckpointSpec extends SparkSpec {
     }
   }
 
+  test("flag off: the round join pays the per-round edge exchange it accepts") {
+    // The default path's rationale is "AQE's partitioning loss costs a
+    // per-round edge re-exchange, and that loses to AQE's own layout
+    // only in the small regime". Pin that the exchange is actually
+    // THERE (broadcast disabled so the shuffle join can't hide it): a
+    // future Spark that preserves partitioning through localCheckpoint
+    // fails this test, which is the signal to re-evaluate the gate
+    // (VERDICT r10 #7).
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try withFlag(on = false) {
+      val ck = PartitionedCheckpoint.byKeys(edges.toDF("a", "b"), "a")
+      val lbl = ck.select(col("a").as("nd")).distinct()
+        .select(col("nd"), col("nd").as("l")).localCheckpoint(eager = true)
+      val round = ck.join(lbl, col("a") === col("nd"))
+        .groupBy(col("b")).agg(min("l").as("nl"))
+      val plan = round.queryExecution.executedPlan.toString
+      assert(plan.linesIterator.exists(_.contains("Exchange hashpartitioning(a#")),
+        "default path shows NO edge-side exchange — Spark now preserves " +
+          "partitioning through localCheckpoint; re-evaluate the " +
+          s"graft.graph_edge_prepartition gate's rationale:\n$plan")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("flag on: leaf carries hash(key) and the round join adds no edge exchange") {
     withFlag(on = true) {
       val n = spark.conf.get("spark.sql.shuffle.partitions").toInt

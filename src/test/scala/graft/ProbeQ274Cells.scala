@@ -40,20 +40,13 @@ object ProbeQ274Cells {
       val occ = cells.groupBy("cid").agg(count(lit(1)).as("rows"))
         .localCheckpoint(eager = true)
       val n = points.count()
-      // Probe fan-in: same 2-nearest-cells rule as q274 (crk <= 2).
+      // Probe fan-in: the SHARED 2-nearest-cells rule (ADVICE r10: call
+      // TrainDataOps.ivfProbedCells instead of an inline copy, so the
+      // posture this probe measures is definitionally the rule q199 and
+      // q274 execute).
       val qs = points.where(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
-      val probed = qs.crossJoin(broadcast(cent.agg(sort_array(
-          collect_list(struct(col("cid"), col("c")))).as("cs"))))
-        .select(col("qid"), explode(expr(
-          "transform(cs, ct -> struct(" +
-            "aggregate(zip_with(qv, ct.c, (x, y) -> (x - y) * (x - y)), " +
-            "cast(0 as double), (a, p) -> a + p) as cdist2, ct.cid as cid))"))
-          .as("pc"))
-        .select(col("qid"), col("pc.cid").as("cid"), col("pc.cdist2").as("cdist2"))
-        .withColumn("crk", row_number().over(
-          Window.partitionBy("qid").orderBy("cdist2", "cid")))
-        .where(col("crk") <= 2)
+      val probed = ops.TrainDataOps.ivfProbedCells(qs, cent).drop("qv")
       val fanIn = probed.groupBy("cid").agg(count(lit(1)).as("queries"))
       val perCell = occ.join(fanIn, Seq("cid"), "left")
         .na.fill(0, Seq("queries"))

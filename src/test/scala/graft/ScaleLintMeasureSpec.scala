@@ -29,8 +29,12 @@ import org.apache.spark.sql.graftbridge.Bridge
   * the lint — a stale entry is an un-linted window waiting to regress.
   */
 class ScaleLintMeasureSpec extends SparkSpec {
-  private val sfSmall = "/root/testdata/sf0.001"
-  private val sfMid = "/root/testdata/sf0.01"
+  // Three SFs spanning two decades (VERDICT r10 #5): the growth law is
+  // asserted over EACH adjacent decade, so superlinear growth that
+  // hides in bucket-occupancy noise over one decade is unmistakable
+  // over the second.
+  private val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1")
 
   /** Max slice share of the corpus a located bucket may hold. The
     * measured shares at sf0.01 are all far below (see the assertion
@@ -65,30 +69,37 @@ class ScaleLintMeasureSpec extends SparkSpec {
   }
 
   test("every allowlisted pass-2 window inputs a bucket slice, not the corpus") {
-    val small = measure(sfSmall)
-    val mid = measure(sfMid)
+    val bySf = sfs.map(sf => sf -> measure(sf))
     val report = new StringBuilder
     ScaleLint.allow.keys.toSeq.sorted.foreach { sig =>
-      val pairs = small(sig).zip(mid(sig))
-      pairs.zipWithIndex.foreach { case (((inS, corpS), (inM, corpM)), i) =>
-        val shareS = inS.toDouble / corpS
-        val shareM = inM.toDouble / corpM
-        report ++= f"$sig#$i: sf0.001 $inS/$corpS (${shareS * 100}%.2f%%), " +
-          f"sf0.01 $inM/$corpM (${shareM * 100}%.2f%%)\n"
-        assert(shareS <= maxSliceShare && shareM <= maxSliceShare,
-          f"$sig window #$i inputs ${shareM * 100}%.1f%% of its largest " +
-            f"base relation (sf0.001: ${shareS * 100}%.1f%%) — the " +
-            "located-slice justification does not hold; re-plan or fix " +
-            s"the locate-filter\n$report")
-        // Linear-growth law: slice rows scale with the corpus (ratio
-        // ~ corpus ratio), never faster. 2x slack covers bucket-
-        // occupancy noise at these tiny SFs; an expanding join is
-        // ~corpusRatio^2 and clears the slack by an order of magnitude.
-        val corpusRatio = corpM.toDouble / math.max(corpS, 1L)
-        assert(inM.toDouble <= math.max(inS, 1L).toDouble * corpusRatio * 2.0,
-          s"$sig window #$i input grew ${inS} -> ${inM} rows while its " +
-            f"corpus grew ${corpusRatio}%.1fx — superlinear growth means " +
-            s"the locate-join is EXPANDING, not filtering\n$report")
+      val n = bySf.head._2(sig).size
+      (0 until n).foreach { i =>
+        val points = bySf.map { case (sf, m) => (sf, m(sig)(i)) }
+        // ABSOLUTE bound at every SF.
+        points.foreach { case (sf, (in, corp)) =>
+          val share = in.toDouble / corp
+          report ++= f"$sig#$i $sf: $in/$corp (${share * 100}%.2f%%)\n"
+          assert(share <= maxSliceShare,
+            f"$sig window #$i inputs ${share * 100}%.1f%% of its largest " +
+              s"base relation at $sf — the located-slice justification " +
+              s"does not hold; re-plan or fix the locate-filter\n$report")
+        }
+        // Linear-growth law over EACH adjacent decade: slice rows scale
+        // with the corpus (ratio ~ corpus ratio), never faster. 2x
+        // slack covers bucket-occupancy noise at the tiny SFs; an
+        // expanding join is ~corpusRatio^2 per decade and clears the
+        // slack by an order of magnitude.
+        points.sliding(2).foreach {
+          case Seq((sfA, (inA, corpA)), (sfB, (inB, corpB))) =>
+            val corpusRatio = corpB.toDouble / math.max(corpA, 1L)
+            assert(inB.toDouble <=
+              math.max(inA, 1L).toDouble * corpusRatio * 2.0,
+              s"$sig window #$i input grew ${inA} ($sfA) -> ${inB} " +
+                f"($sfB) while its corpus grew ${corpusRatio}%.1fx — " +
+                "superlinear growth means the locate-join is EXPANDING, " +
+                s"not filtering\n$report")
+          case _ => ()
+        }
       }
     }
     info(report.toString)
