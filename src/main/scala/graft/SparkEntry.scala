@@ -30,7 +30,8 @@ object SparkEntry {
     ScorecardOps.all,
     CorpusStatsOps.all,
     EventFlowOps.all,
-    GovernanceOps.all
+    GovernanceOps.all,
+    SqlSurface.all
   )
 
   private lazy val catalog: Map[String, Q] = {

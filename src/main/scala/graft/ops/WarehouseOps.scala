@@ -43,7 +43,16 @@ object WarehouseOps {
     * (≤ C(13,2) here), the pair list shuffles as fixed-width longs, and
     * the checkpoint makes it a materialized leaf for every consumer.
     */
-  private[graft] def coPurchasePairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def coPurchasePairs(s: SparkSession, dir: String): DataFrame =
+    coPurchasePairsPlan(s, dir).localCheckpoint(eager = true)
+
+  /** The same edge derivation as a LAZY plan — no checkpoint. Used by
+    * [[SqlSurface]] to bind the relation as a SQL view (a view
+    * registration must not eagerly materialize a corpus-scale
+    * self-join) while the batch consumers above keep the shared
+    * checkpointed leaf.
+    */
+  private[graft] def coPurchasePairsPlan(s: SparkSession, dir: String): DataFrame = {
     val li = table(s, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
@@ -51,7 +60,6 @@ object WarehouseOps {
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .select(col("a.p").as("u"), col("b.p").as("v"))
       .distinct()
-      .localCheckpoint(eager = true)
   }
 
   /** Synchronous min-label flooding to FIXPOINT over an undirected pair
