@@ -31,7 +31,8 @@ object SparkEntry {
     CorpusStatsOps.all,
     EventFlowOps.all,
     GovernanceOps.all,
-    SqlSurface.all
+    SqlSurface.all,
+    StreamingGate.all
   )
 
   private lazy val catalog: Map[String, Q] = {
