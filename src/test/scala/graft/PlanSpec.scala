@@ -249,7 +249,7 @@ class PlanSpec extends SparkSpec {
         col("c_nationkey"), col("c_mktsegment"))
     val v = graft.ops.ExtendedOps.deletionVariants(c, "c_name",
       Seq("c_custkey", "c_nationkey", "c_mktsegment"))
-    val cand = v.as("a").join(v.as("b"),
+    val cand = v.as("a").hint("shuffle_hash").join(v.as("b"),
         col("a.vh") === col("b.vh") &&
           col("a.c_nationkey") === col("b.c_nationkey") &&
           col("a.c_mktsegment") === col("b.c_mktsegment") &&
@@ -260,6 +260,12 @@ class PlanSpec extends SparkSpec {
     assert("Join \\[vh#".r.findAllIn(plan).nonEmpty, plan)
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // r11: the self-join rides SHUFFLE_HASH — both sides are the same
+    // materialized frame, so sort-merge's two full sorts buy no
+    // ordering anyone uses (measured 4.5 -> 3.5 s candidate stage,
+    // full q121 6.6-7.5 -> 5.2-5.8 s at sf0.1).
+    assert(plan.contains("ShuffledHashJoin"),
+      s"q121 candidate join is not shuffled-hash:\n$plan")
   }
 
   test("q132 audit joins every FK target broadcast — no fact-side shuffle join") {
