@@ -56,7 +56,12 @@ object WarehouseOps {
     val li = table(s, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
-    li.alias("a").join(li.alias("b"),
+    // shuffle_hash (r11, same rationale as q121's variant self-join):
+    // both sides are the same frame, so sort-merge sorts it twice for
+    // no downstream ordering — measured 1.3-1.9 -> 1.0-1.6 s at sf0.1
+    // (A/B x3, identical pair sets). No skew hazard: the join key is
+    // the order id, fanout bounded by order width (<= 13).
+    li.alias("a").hint("shuffle_hash").join(li.alias("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .select(col("a.p").as("u"), col("b.p").as("v"))
       .distinct()
@@ -143,7 +148,9 @@ object WarehouseOps {
     val li = table(s, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
-    li.alias("x").join(li.alias("y"),
+    // shuffle_hash: same self-join shape and measurement as
+    // coPurchasePairsPlan (1.1-1.6 -> 0.9-1.1 s at sf0.1).
+    li.alias("x").hint("shuffle_hash").join(li.alias("y"),
         col("x.o") === col("y.o") && col("x.p") < col("y.p"))
       .groupBy(col("x.p").as("u"), col("y.p").as("v"))
       .agg(count(lit(1)).as("w"))
