@@ -65,6 +65,30 @@ object DedupOps {
       .select(col("doc_id"), md5Long60(col("s")).as("s"))
       .distinct()
 
+  /** (doc_id, fp1, fp2): the 120-bit md5 exact-dedup fingerprint (two
+    * 60-bit halves) — the SINGLE definition of "byte-identical text"
+    * for the engine. Shared by q110's full-dedup composition and the
+    * `exact_canonical` SQL view (ADVICE r11: the view inlined a copy;
+    * a future fingerprint change would have silently diverged them).
+    * The collapse groupBy and every map-back join downstream shuffle
+    * (long, long) keys instead of document bytes — at 100 TB that is
+    * kilobyte texts twice vs 16-byte keys; 120 bits keeps accidental
+    * collision astronomically unlikely (birthday bound ~2^60 docs)
+    * while staying byte-exact vs the GROUP BY text oracle.
+    */
+  private[graft] def docFingerprints(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("h", md5(col("text")))
+      .select(col("doc_id"),
+        conv(substring(col("h"), 1, 15), 16, 10).cast("long").as("fp1"),
+        conv(substring(col("h"), 16, 15), 16, 10).cast("long").as("fp2"))
+
+  /** Exact-collapse over [[docFingerprints]]: one row per distinct
+    * fingerprint with the min-doc_id representative as `repCol`.
+    */
+  private[graft] def exactCollapse(fp: DataFrame, repCol: String): DataFrame =
+    fp.groupBy("fp1", "fp2").agg(min("doc_id").as(repCol))
+
   /** Tile count for the exact O(N^2) pair join: each vector fans into
     * O(B) tile keys and each task compares one (N/B) x (N/B) tile, so B
     * is the knob that spreads the quadratic FLOPs over B(B+1)/2 tasks.
@@ -861,24 +885,16 @@ object DedupOps {
     // `graft.pair_source` like q85/q96.
     "q110_full_dedup" -> Q(
       (s, dir) => {
-        // Exact-collapse keyed on a 120-bit md5 fingerprint (two 60-bit
-        // halves), NOT raw text: the corpus-wide collapse groupBy and
-        // the map-back join then shuffle (long, long) keys instead of
-        // full document bytes — at 100 TB that is the difference
-        // between shuffling kilobyte texts twice and shuffling 16-byte
-        // keys. 120 bits makes accidental collision astronomically
-        // unlikely (birthday bound ~2^60 docs); semantics stay
-        // byte-exact vs the GROUP BY text oracle.
+        // Exact-collapse keyed on the shared 120-bit fingerprint
+        // ([[docFingerprints]] — single definition with the
+        // exact_canonical SQL view), NOT raw text: shuffles 16-byte
+        // keys, never document bytes.
         val docs = table(s, dir, "documents")
-        val fp = docs
-          .withColumn("h", md5(col("text")))
-          .select(col("doc_id"),
-            conv(substring(col("h"), 1, 15), 16, 10).cast("long").as("fp1"),
-            conv(substring(col("h"), 16, 15), 16, 10).cast("long").as("fp2"))
+        val fp = docFingerprints(docs)
         // ex feeds BOTH the reps branch and the final expansion join —
         // checkpoint it eagerly so the corpus-wide collapse shuffle
         // (the heaviest exchange here) runs once, not once per consumer.
-        val ex = fp.groupBy("fp1", "fp2").agg(min("doc_id").as("rep_id"))
+        val ex = exactCollapse(fp, "rep_id")
           .localCheckpoint(eager = true)
         val reps = docs.as("d")
           .join(ex.as("e"), col("d.doc_id") === col("e.rep_id"))

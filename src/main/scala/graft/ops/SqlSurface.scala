@@ -25,20 +25,16 @@ object SqlSurface {
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
   /** Exact-dedup canonical map (doc_id, canonical_id) — q110's stage-1
-    * semantics (fingerprint collapse on md5(text), canonical = min
-    * doc_id per group), kept here as a LAZY plan so the view binds
-    * without running the corpus-wide collapse. The 120-bit fingerprint
-    * rationale is q110's (DedupOps.scala): the groupBy + map-back join
-    * shuffle 16-byte keys, never document bytes.
+    * semantics, built from the SAME `DedupOps.docFingerprints` /
+    * `exactCollapse` helpers q110 runs (ADVICE r11: this view
+    * previously inlined a copy of the fingerprint projection; a future
+    * change to q110's fingerprint would have silently diverged the
+    * view from the operator it claims to mirror). Kept as a LAZY plan
+    * so the view binds without running the corpus-wide collapse.
     */
   private[graft] def exactCanonical(s: SparkSession, dir: String): DataFrame = {
-    val fp = table(s, dir, "documents")
-      .withColumn("h", md5(col("text")))
-      .select(col("doc_id"),
-        conv(substring(col("h"), 1, 15), 16, 10).cast("long").as("fp1"),
-        conv(substring(col("h"), 16, 15), 16, 10).cast("long").as("fp2"))
-    fp.join(fp.groupBy("fp1", "fp2").agg(min("doc_id").as("canonical_id")),
-        Seq("fp1", "fp2"))
+    val fp = DedupOps.docFingerprints(table(s, dir, "documents"))
+    fp.join(DedupOps.exactCollapse(fp, "canonical_id"), Seq("fp1", "fp2"))
       .select(col("doc_id"), col("canonical_id"))
   }
 

@@ -42,11 +42,15 @@ object StreamingGate {
         // the generator has emitted nanos-as-long in some rounds.
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-        // The file stream source requires a directory basePath; the
-        // testdata table is a single file — glob it under its parent.
+        // The file stream source requires a directory; the testdata
+        // table is a single flat file, so stream the parent dir with an
+        // EXACT-name pathGlobFilter (ADVICE r11: the previous
+        // `events.parquet*` glob would also match stray siblings like
+        // events.parquet.bak and silently feed extra rows into the
+        // gated aggregate).
         val stream0 = s.readStream.schema(rawSchema)
-          .option("basePath", dir)
-          .parquet(s"$dir/events.parquet*")
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
         val events = (rawSchema("ts").dataType match {
           case LongType =>
             stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
