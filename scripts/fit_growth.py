@@ -28,7 +28,10 @@ def fit(xs, ys):
 print("### Structural counts (predict ~ factor^1.0)\n")
 print("| count | " + " | ".join(f"x{f}" for f in factors) + " | exponent |")
 print("|---|" + "---|" * (len(factors) + 1))
-for key in ("jaccard_candidates", "copurchase_edges", "repeat_edges"):
+for key in ("jaccard_candidates", "prefix_candidates",
+            "copurchase_edges", "repeat_edges"):
+    if key not in rows[0]:  # older curves.json predate a count
+        continue
     vals = [r[key] for r in rows]
     print(f"| {key} | " + " | ".join(str(v) for v in vals) +
           f" | {fit(factors, vals):.2f} |")

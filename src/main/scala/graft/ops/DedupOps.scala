@@ -410,6 +410,30 @@ object DedupOps {
           (col("ca.n") + col("cb.n") - col("inter"))).as("jaccard"))
   }
 
+  /** Prefix-filter (PPJoin-family) candidate pairs over a hashed-
+    * shingle frame: under the global rarest-first (df, s) token order,
+    * any pair with Jaccard >= 0.5 must collide within each side's first
+    * floor(|S|/2)+1 tokens, so only prefix tokens enter the self-join.
+    * Extracted from q151 so the growth sweep can measure the candidate
+    * count — the one structural growth law of the family that was an
+    * argument, not a curve (VERDICT r11 #4).
+    */
+  private[graft] def prefixFilterCandidates(sh: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val pre = sh.join(dfreq, "s")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "s")))
+      .join(cnt, "doc_id")
+      .where(col("rk") <= expr("n div 2 + 1"))
+      .select(col("doc_id"), col("s"))
+    pre.as("a").join(pre.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
   /** The configured near-dup pair source (`graft.pair_source`):
     * "exact" (default) = the blocked shingle self-join — every true
     * pair, cost Sum df^2; "lsh" = q25's minhash band buckets + exact
@@ -509,21 +533,10 @@ object DedupOps {
     // full shingle join is law-tested in PipelineObsSpec.
     "q151_prefix_filter_join" -> Q(
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val sh = hashedShingles(table(s, dir, "documents"))
           .localCheckpoint(eager = true)
         val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
-        val pre = sh.join(dfreq, "s")
-          .withColumn("rk", row_number().over(
-            Window.partitionBy("doc_id").orderBy("df", "s")))
-          .join(cnt, "doc_id")
-          .where(col("rk") <= expr("n div 2 + 1"))
-          .select(col("doc_id"), col("s"))
-        val cand = pre.as("a").join(pre.as("b"),
-            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-          .distinct()
+        val cand = prefixFilterCandidates(sh)
           .localCheckpoint(eager = true)
         // verify by ARRAY INTERSECTION (q129's trick), not a 3-way join:
         // cand x per-doc shingles would materialize ~21M join rows at

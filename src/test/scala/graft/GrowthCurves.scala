@@ -38,14 +38,24 @@ object GrowthCurves {
   private val Base = "/root/testdata/sf0.1"
   private val Out = "/tmp/growth"
   private val Factors = Seq(1, 2, 4, 8)
-  private val Heavies = Seq("q110_full_dedup", "q121_entity_resolution",
+  // Round 12 (VERDICT r11 #4) adds the curation/LSH family: q96, q105,
+  // q151 — and with q151, the prefix-filter candidate count, the one
+  // structural growth law of the family that was an argument rather
+  // than a measured curve. SPARK_GRAFT_GROWTH_ONLY (comma substring
+  // filter, like SPARK_GRAFT_ONLY) selects a subset for a focused run.
+  private val AllHeavies = Seq("q110_full_dedup", "q121_entity_resolution",
     "q129_triangle_count", "q158_neighbor_similarity",
-    "q275_labelprop_settle")
+    "q275_labelprop_settle",
+    "q96_curation_pipeline", "q105_keeplist_lsh", "q151_prefix_filter_join")
+  private val only = sys.env.get("SPARK_GRAFT_GROWTH_ONLY")
+    .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+  private val Heavies = AllHeavies
+    .filter(q => only.forall(_.exists(q.contains)))
   // The three heavies whose fixpoint edge frames ride the
   // graft.graph_edge_prepartition gate (CC under q110/q121, flooding
   // under q275).
   private val Gated = Seq("q110_full_dedup", "q121_entity_resolution",
-    "q275_labelprop_settle")
+    "q275_labelprop_settle").filter(q => only.forall(_.exists(q.contains)))
 
   private val lower = "abcdefghijklmnopqrstuvwxyz"
   private val alphabet = lower + lower.toUpperCase + "0123456789"
@@ -135,9 +145,17 @@ object GrowthCurves {
       // Structural counts the linear-growth claim predicts ~ r.
       clearState(spark)
       val docs = ops.TestData.table(spark, dir, "documents")
-      val cand = ops.DedupOps.jaccardPairsFromHashed(
-        ops.DedupOps.hashedShingles(docs)
-          .localCheckpoint(eager = true)).count()
+      val sh = ops.DedupOps.hashedShingles(docs)
+        .localCheckpoint(eager = true)
+      val cand = ops.DedupOps.jaccardPairsFromHashed(sh).count()
+      clearState(spark)
+      // q151's structural law (round 12): prefix-collision candidate
+      // pairs — the prefix-filter bound predicts ~ r (per-replica
+      // disjoint shingle universes; high-df tokens pushed out of
+      // prefixes), never r^2.
+      val sh2 = ops.DedupOps.hashedShingles(docs)
+        .localCheckpoint(eager = true)
+      val preCand = ops.DedupOps.prefixFilterCandidates(sh2).count()
       clearState(spark)
       val coEdges = ops.WarehouseOps.coPurchasePairs(spark, dir).count()
       clearState(spark)
@@ -165,6 +183,7 @@ object GrowthCurves {
             s""""loadavg":[${ss.map(s => f"${s._3}%.2f").mkString(",")}]}"""
         }.mkString(",")
       sb ++= s"""{"factor":$r,"jaccard_candidates":$cand,""" +
+        s""""prefix_candidates":$preCand,""" +
         s""""copurchase_edges":$coEdges,"repeat_edges":$repEdges,""" +
         s""""default":{${wjson(walls)}},"prepartition":{${wjson(gatedWalls)}}}""" +
         (if (r == Factors.last) "\n" else ",\n")
