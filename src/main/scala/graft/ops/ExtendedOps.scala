@@ -1052,18 +1052,23 @@ object ExtendedOps {
         // re-evaluates the deletion-neighborhood generation on both
         // sides (measured ~2x the whole candidate stage at sf0.1). Same
         // checkpoint-the-expensive-leaf discipline as q110/q118.
-        // c_name rides the variant table so the Levenshtein VERIFY runs
-        // INSIDE the candidate join (as its non-equi residual) — at 4.3
-        // candidates per true pair the verify is cheaper than the two
-        // name re-joins + pre-verify distinct it replaces, and the
-        // remaining distinct dedups only VERIFIED pairs (VERDICT r6 #6:
-        // q121's wall was barrier latency, 2.3x its CPU).
+        // The variant frame is SLIM — (vh, block keys, custkey), no
+        // c_name (VERDICT r11 #5, adopted on a ProbeQ121Slim A/B x3 win
+        // at sf0.1: B < A in all three alternating pairs, best 3.15 ->
+        // 2.99 s, identical 32,527-pair sets): the corpus-scale variant
+        // self-join — the heaviest shuffle here — sheds ~18 name bytes
+        // of ~48 per row on BOTH sides, and the name fetch moves to the
+        // candidate grain. This supersedes the r6 verify-inside-join
+        // finding, which predates the pre-verify distinct: dedup'ing
+        // multi-variant candidate collisions BEFORE fetching names means
+        // the name joins and the Levenshtein verify each touch a
+        // candidate pair once. 100 TB posture: the name joins key on
+        // custkey against the customer base (~1% of the variant frame's
+        // rows) and their volume is candidate-proportional, while the
+        // big self-join's shuffle bytes drop ~40%.
         val variants = deletionVariants(c, "c_name",
-            Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
+            Seq("c_custkey", "c_nationkey", "c_mktsegment"))
           .localCheckpoint(eager = true)
-        // graft_lev_leq = banded early-exit bounded edit distance
-        // (ScalaCheck-pinned equivalent of levenshtein(a,b) <= 2, ~4x
-        // fewer DP cells on 18-char names and most rejects exit early)
         // shuffle_hash: both sides are the same materialized variant
         // frame, so sort-merge pays two full sorts of it per query for
         // no ordering anyone downstream uses — measured 4.5 -> 3.5 s
@@ -1072,16 +1077,30 @@ object ExtendedOps {
         // side is one hash bucket's partition of the variant frame and
         // partition count scales with the cluster, so the in-memory
         // build stays bounded exactly when the shuffle itself does.
-        val pairs = variants.as("a").hint("shuffle_hash")
+        val cand = variants.as("a").hint("shuffle_hash")
           .join(variants.as("b"),
             col("a.vh") === col("b.vh") &&
               col("a.c_nationkey") === col("b.c_nationkey") &&
               col("a.c_mktsegment") === col("b.c_mktsegment") &&
-              col("a.c_custkey") < col("b.c_custkey") &&
-              graft.functions.LevWithin.levWithin(
-                col("a.c_name"), col("b.c_name"), 2))
+              col("a.c_custkey") < col("b.c_custkey"))
           .select(col("a.c_custkey").as("d1"), col("b.c_custkey").as("d2"))
           .distinct()
+        // graft_lev_leq = banded early-exit bounded edit distance
+        // (ScalaCheck-pinned equivalent of levenshtein(a,b) <= 2, ~4x
+        // fewer DP cells on 18-char names and most rejects exit early).
+        // No broadcast hint on the name fetch: the optimizer broadcasts
+        // the 15k-row customer frame at bench SFs, and at corpus scale
+        // the same plan degrades gracefully to a candidate-proportional
+        // shuffled join instead of an impossible broadcast.
+        val names = c.select(col("c_custkey"), col("c_name"))
+        val pairs = cand
+          .join(names.select(col("c_custkey").as("d1"),
+            col("c_name").as("n1")), "d1")
+          .join(names.select(col("c_custkey").as("d2"),
+            col("c_name").as("n2")), "d2")
+          .where(graft.functions.LevWithin.levWithin(
+            col("n1"), col("n2"), 2))
+          .select(col("d1"), col("d2"))
         val comp = DedupOps.connectedComponents(pairs)
           .select(col("v"), col("c"))
         c.join(comp, col("c_custkey") === col("v"), "left")
