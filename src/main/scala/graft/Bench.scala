@@ -258,16 +258,17 @@ object Bench {
     // across rounds. Per-query normalization divides by the NEAREST
     // window's factor (read rule in PLANS.md).
     val windowEvery = sys.env.getOrElse("SPARK_GRAFT_CTL_WINDOW", "50").toInt
-    def controlWindow(afterQ: Int): (Int, Seq[(String, Double)], Double) = {
+    def controlWindow(afterQ: Int)
+    : (Int, Seq[(String, Double)], Double, Double) = {
       val walls = controls.map { case (name, thunk) => name -> sample(thunk)._1 }
       val hf = walls.flatMap { case (k, w) =>
         controlExpected.get(k).filter(_ > 0)
           .flatMap(e => if (w > 0) Some(w / e) else None)
       }.foldLeft(1.0)(math.max)
-      (afterQ, walls, hf)
+      (afterQ, walls, hf, loadavg1m())
     }
     val ctlWindows = scala.collection.mutable.ArrayBuffer(
-      (0, controlRes.map(c => c._1 -> c._2), hostFactor))
+      (0, controlRes.map(c => c._1 -> c._2), hostFactor, loadavg1m()))
 
     val loadStart = loadavg1m()
     val results = catalog.zipWithIndex.map { case ((name, fn), idx) =>
@@ -299,14 +300,12 @@ object Bench {
     ctlWindows += controlWindow(catalog.size)
     val loadEnd = loadavg1m()
 
-    // Nearest-window factor for query index i (the query ran between
-    // boundaries i and i+1, hence the +0.5). Ties break to the earlier
-    // window; factors are already floored at 1.0 per window.
-    def hfAt(i: Int): Double =
-      ctlWindows.minBy(w => math.abs(w._1 - (i + 0.5)))._3
-    val totalWindowedNorm = results.zipWithIndex.map {
-      case ((_, v, _, _, _, _), i) => if (v > 0) v / hfAt(i) else 0.0
-    }.sum
+    // Nearest-window normalization (selection rule + arithmetic live in
+    // BenchMath so BenchMathSpec pins them; factors are already floored
+    // at 1.0 per window).
+    val windowFactors = ctlWindows.map(w => (w._1, w._3)).toSeq
+    val totalWindowedNorm = BenchMath.windowedNormalizedTotal(
+      windowFactors, results.map(_._2).toSeq)
 
     // Stability probe: N consecutive same-JVM runs of the historically
     // runtime-sensitive queries. A healthy engine keeps max/min <= 1.5;
@@ -380,10 +379,10 @@ object Bench {
         s""","cpu_wall_seq":${arr(d => f"${d._7}%.2f")},"loadavg_seq":${
           arr(d => f"${d._8}%.2f")}}""")
     })
-    val ctlWin = ctlWindows.map { case (afterQ, walls, hf) =>
+    val ctlWin = ctlWindows.map { case (afterQ, walls, hf, la) =>
       val ws = walls.map { case (k, w) => "\"" + k + f"""\":$w%.3f""" }
         .mkString(",")
-      f"""{"after_query":$afterQ,$ws,"host_factor":$hf%.2f}"""
+      f"""{"after_query":$afterQ,$ws,"host_factor":$hf%.2f,"loadavg":$la%.2f}"""
     }.mkString("[", ",", "]")
     val total = results.map { case (_, v, _, _, _, _) => v }.sum
     val totalNorm = total / hostFactor
