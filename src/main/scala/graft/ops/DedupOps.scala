@@ -551,8 +551,8 @@ object DedupOps {
           .join(arrs.select(col("doc_id").as("d2"), col("arr").as("sb")),
             "d2")
           .select(col("d1"), col("d2"),
-            size(array_intersect(col("sa"), col("sb"))).cast("bigint")
-              .as("inter"))
+            graft.functions.SortedIntersect
+              .interCountBig(s, col("sa"), col("sb")).as("inter"))
         inter
           .join(cnt.as("ca"), col("d1") === col("ca.doc_id"))
           .join(cnt.as("cb"), col("d2") === col("cb.doc_id"))
@@ -634,8 +634,8 @@ object DedupOps {
           .select(col("da"), col("db"),
             size(col("sa")).cast("bigint").as("na"),
             size(col("sb")).cast("bigint").as("nb"),
-            size(array_intersect(col("sa"), col("sb"))).cast("bigint")
-              .as("inter"))
+            graft.functions.SortedIntersect
+              .interCountBig(s, col("sa"), col("sb")).as("inter"))
           .where(col("inter") * 4 >= col("na") * 3)
           .select(col("da"), col("db"), col("na"), col("nb"), col("inter"),
             expr("inter * 10000 div na").as("containment_bps"))

@@ -399,7 +399,8 @@ object WarehouseOps {
           .join(graphHint(adj.select(col("src").as("jv"), col("nbrs").as("nv"))),
             col("dst") === col("jv"))
           .select(col("src").as("ta"), col("dst").as("tb"),
-            explode(array_intersect(col("nu"), col("nv"))).as("tc"))
+            explode(graft.functions.SortedIntersect
+              .interArray(s, col("nu"), col("nv"))).as("tc"))
         tri.select(explode(array(col("ta"), col("tb"), col("tc"))).as("part"))
           .groupBy("part").agg(count(lit(1)).as("triangles"))
           .join(deg.select(col("n").as("part"), col("deg")), "part")
@@ -1304,8 +1305,8 @@ object WarehouseOps {
             col("nbrs").as("nv"), col("deg").as("dv"))), col("v") === col("jv"))
           .where(col("du") >= 3 && col("dv") >= 3)
           .select(col("u"), col("v"), col("du"), col("dv"),
-            size(array_intersect(col("nu"), col("nv"))).cast("bigint")
-              .as("common"))
+            graft.functions.SortedIntersect
+              .interCountBig(s, col("nu"), col("nv")).as("common"))
           .where(col("common") >= 1)
           .withColumn("jaccard_bps",
             expr("common * 10000 div (du + dv - common)"))

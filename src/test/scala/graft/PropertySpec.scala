@@ -172,4 +172,51 @@ class PropertySpec extends SparkSpec {
     assert(!spark.sql(
       "SELECT graft_lev_leq('kitten', 'sitting', 2)").head().getBoolean(0))
   }
+
+  test("graft_sorted_inter_count equals size(array_intersect) on sorted arrays") {
+    // The two-pointer expression must agree with the builtin's SET
+    // semantics for every pair of SORTED long arrays — including
+    // duplicates (equal runs count once), empty arrays, and
+    // all-overlap/no-overlap extremes. Values drawn from a small domain
+    // so collisions and duplicate runs are dense.
+    val arrGen = for {
+      n <- Gen.chooseNum(0, 40)
+      vs <- Gen.listOfN(n, Gen.chooseNum(-20L, 20L))
+    } yield vs.sorted
+    val pairs = sample(Gen.zip(arrGen, arrGen), 600) ++ Seq(
+      (List.empty[Long], List.empty[Long]),
+      (List.empty[Long], List(1L, 2L)),
+      (List(1L, 1L, 1L), List(1L)),
+      (List(1L, 2L, 3L), List(1L, 2L, 3L)),
+      (List(Long.MinValue, 0L, Long.MaxValue), List(Long.MinValue, Long.MaxValue)),
+      (List(1L, 1L, 2L, 2L, 3L), List(2L, 2L, 4L)))
+    val rows = pairs.toDF("a", "b")
+      .select(
+        graft.functions.SortedIntersect.count(col("a"), col("b")).as("g"),
+        size(array_intersect(col("a"), col("b"))).as("ref"),
+        col("a"), col("b"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1),
+        s"graft=${r.getInt(0)} builtin=${r.getInt(1)} for " +
+          s"a=${r.getSeq[Long](2)} b=${r.getSeq[Long](3)}")
+    }
+    // Interpreted path agrees with codegen (nullSafeEval coverage).
+    val one = pairs.take(50).toDF("a", "b").repartition(1)
+      .select(graft.functions.SortedIntersect.count(col("a"), col("b")))
+    assert(one.collect().map(_.getInt(0)).toSeq ==
+      pairs.take(50).map { case (a, b) => a.toSet.intersect(b.toSet).size })
+    // The array-producing sibling must equal the builtin ELEMENT-WISE:
+    // for sorted inputs array_intersect's left-order-of-first-occurrence
+    // output IS ascending, so the sequences match exactly.
+    val arrRows = pairs.toDF("a", "b")
+      .select(
+        graft.functions.SortedIntersect.array(col("a"), col("b")).as("g"),
+        array_intersect(col("a"), col("b")).as("ref"))
+      .collect()
+    arrRows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"graft=${r.getSeq[Long](0)} builtin=${r.getSeq[Long](1)}")
+    }
+  }
 }
