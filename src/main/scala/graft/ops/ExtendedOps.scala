@@ -27,16 +27,25 @@ object ExtendedOps {
   def all: Map[String, Q] = base ++ warehouseOps
 
   /** The FastSS deletion neighborhood as a DataFrame: one row per
-    * (carry..., vh) where vh ranges over the hashes of every string
-    * reachable from `name` by deleting at most 2 characters — 1 + L +
-    * C(L,2) variants for length L, ~170 for typical short entity names
-    * (for long text the LSH/winnowing family in DedupOps is the right
-    * tool). Built from three chained codegen'd Generate stages (0-, 1-,
-    * 2-deletion), NOT a nested higher-order-function array: HOFs are
-    * CodegenFallback, and the interpreted per-element expression tree
-    * measured ~3.5 s per evaluation over sf0.1's 1.6M variants where
-    * the exploded form runs fused. The second explode enumerates only
-    * j >= i, so each unordered deletion pair appears once.
+    * (carry..., vh) where vh ranges over the xxhash64 values of every
+    * string reachable from `name` by deleting at most 2 characters —
+    * 1 + L + C(L,2) variants for length L, ~170 for typical short
+    * entity names (for long text the LSH/winnowing family in DedupOps
+    * is the right tool).
+    *
+    * Since round 12 the default path is ONE codegen'd expression
+    * (`graft_del_variants`, DeletionVariants.scala): the whole
+    * neighborhood is hashed straight out of a byte scratch buffer —
+    * no variant string is ever materialized — deduped IN-ROW, and
+    * exploded once. That removes the two Generate+substring+concat
+    * stages AND the corpus-wide `.distinct()` shuffle of the previous
+    * form, whose only effect was within-entity dedup: `carry` must
+    * include a row-unique key (every caller carries the entity key),
+    * so cross-row duplicates cannot exist. Hash VALUES are
+    * bit-identical to the old form (same xxhash64 seed over the same
+    * variant bytes, law-tested in PropertySpec), so candidate sets are
+    * unchanged. `graft.del_variants = explode` restores the chained
+    * Generate pipeline (the A/B lever; measurements in PLANS.md).
     *
     * Hashing is xxhash64, not the md5-60-bit bridge: the variant hash
     * never reaches the oracle (DuckDB verifies with the full quadratic
@@ -47,31 +56,36 @@ object ExtendedOps {
   private[graft] def deletionVariants(rows: DataFrame, name: String,
       carry: Seq[String]): DataFrame = {
     val cs = carry.map(col)
-    val base = rows.select(cs :+ col(name).as("s0"): _*)
-    val v0 = base.select(cs :+ col("s0").as("v"): _*)
-    // one deletion at position i; keep (s1, i) so the second deletion
-    // can restrict to original positions j > i
-    val d1x = base.where(length(col("s0")) >= 1)
-      .select(cs :+ col("s0") :+
-        explode(sequence(lit(1), length(col("s0")))).as("i"): _*)
-      .select(cs :+ col("i") :+
-        concat(col("s0").substr(lit(1), col("i") - 1),
-          col("s0").substr(col("i") + 1, lit(Int.MaxValue))).as("s1"): _*)
-    val d1 = d1x.select(cs :+ col("s1").as("v"): _*)
-    // deleting position j' of s1 for j' in [i, len(s1)] removes
-    // original position j = j'+1 > i — each unordered {i, j} once
-    val d2 = d1x.where(length(col("s1")) >= col("i"))
-      .select(cs :+ col("s1") :+
-        explode(sequence(col("i"), length(col("s1")))).as("j"): _*)
-      .select(cs :+
-        concat(col("s1").substr(lit(1), col("j") - 1),
-          col("s1").substr(col("j") + 1, lit(Int.MaxValue))).as("v"): _*)
-    // distinct: equal variants of one entity ("aab" losing position 1
-    // or 2 both yield "ab") would otherwise multiply candidate-join
-    // output before ITS distinct
-    v0.unionAll(d1).unionAll(d2)
-      .select(cs :+ xxhash64(col("v")).as("vh"): _*)
-      .distinct()
+    if (rows.sparkSession.conf.getOption("graft.del_variants")
+        .contains("explode")) {
+      val base = rows.select(cs :+ col(name).as("s0"): _*)
+      val v0 = base.select(cs :+ col("s0").as("v"): _*)
+      // one deletion at position i; keep (s1, i) so the second deletion
+      // can restrict to original positions j > i
+      val d1x = base.where(length(col("s0")) >= 1)
+        .select(cs :+ col("s0") :+
+          explode(sequence(lit(1), length(col("s0")))).as("i"): _*)
+        .select(cs :+ col("i") :+
+          concat(col("s0").substr(lit(1), col("i") - 1),
+            col("s0").substr(col("i") + 1, lit(Int.MaxValue))).as("s1"): _*)
+      val d1 = d1x.select(cs :+ col("s1").as("v"): _*)
+      // deleting position j' of s1 for j' in [i, len(s1)] removes
+      // original position j = j'+1 > i — each unordered {i, j} once
+      val d2 = d1x.where(length(col("s1")) >= col("i"))
+        .select(cs :+ col("s1") :+
+          explode(sequence(col("i"), length(col("s1")))).as("j"): _*)
+        .select(cs :+
+          concat(col("s1").substr(lit(1), col("j") - 1),
+            col("s1").substr(col("j") + 1, lit(Int.MaxValue))).as("v"): _*)
+      // distinct: equal variants of one entity ("aab" losing position 1
+      // or 2 both yield "ab") would otherwise multiply candidate-join
+      // output before ITS distinct
+      v0.unionAll(d1).unionAll(d2)
+        .select(cs :+ xxhash64(col("v")).as("vh"): _*)
+        .distinct()
+    } else
+      rows.select(cs :+ explode(graft.functions.DeletionVariants
+        .hashesCol(col(name))).as("vh"): _*)
   }
 
   private def base: Map[String, Q] = Map(

@@ -219,4 +219,41 @@ class PropertySpec extends SparkSpec {
         s"graft=${r.getSeq[Long](0)} builtin=${r.getSeq[Long](1)}")
     }
   }
+
+  test("graft_del_variants equals the exploded xxhash64 deletion pipeline") {
+    // The one-expression neighborhood must produce EXACTLY the hash SET
+    // of the chained-Generate form it replaces — same xxhash64 seed
+    // over the same variant bytes, in-row dedup standing in for the
+    // old corpus-wide distinct. Random strings include multi-byte
+    // UTF-8 (character-position deletions, not byte), empties, and
+    // repeated characters (the dedup-sensitive case "aab" -> "ab").
+    val strGen = for {
+      n <- Gen.chooseNum(0, 12)
+      cs <- Gen.listOfN(n, Gen.frequency(
+        6 -> Gen.alphaNumChar, 2 -> Gen.const('a'),
+        1 -> Gen.oneOf('é', 'ß', '中')))
+    } yield cs.mkString
+    val names = (sample(strGen, 120) ++
+      Seq("", "a", "aa", "aab", "Customer#000000001", "ééé")).distinct
+    val df = names.toDF("name")
+    val got = df.select(col("name"),
+        graft.functions.DeletionVariants.hashesCol(col("name")).as("vhs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+    // reference: enumerate variants in Scala, hash via the BUILTIN
+    // xxhash64 so the seed/byte semantics are Spark's own
+    def variants(s: String): Seq[String] = {
+      val cs = s.toVector // BMP test data: one Char per character
+      val one = cs.indices.map(i => cs.patch(i, Nil, 1).mkString)
+      val two = for {
+        i <- cs.indices; j <- (i + 1) until cs.length
+      } yield cs.patch(j, Nil, 1).patch(i, Nil, 1).mkString
+      (s +: (one ++ two)).distinct
+    }
+    names.foreach { nm =>
+      val ref = variants(nm).toDF("v")
+        .select(xxhash64(col("v"))).collect().map(_.getLong(0)).toSet
+      assert(got(nm) == ref,
+        s"'$nm': graft ${got(nm).size} hashes vs builtin ${ref.size}")
+    }
+  }
 }
