@@ -286,7 +286,19 @@ object Bench {
         val s = ok
         s.size >= 2 && s(1) / math.max(s(0), 1e-9) > 2.0
       }
-      while (retries < 2 && divergent) {
+      // JIT-storm guard (round 12): the q129/q121 forensic showed
+      // HotSpot occasionally re-compiles a query's (codegen-cache-hit)
+      // classes across BOTH timed samples — jit_sec ~ wall while the
+      // same query's stability block reads its normal floor minutes
+      // later. Both samples inflate together, so the >2x divergence
+      // rule never fires; instead, when the BEST sample spent more than
+      // half its wall in JIT, buy extra samples from the same retry
+      // budget until one lands outside the storm.
+      def jitStorm = {
+        val best = samples.filter(_._1 >= 0).sortBy(_._1).headOption
+        best.exists(s => s._4 > 0.5 * s._1)
+      }
+      while (retries < 2 && (divergent || jitStorm)) {
         samples ::= one()
         retries += 1
       }
