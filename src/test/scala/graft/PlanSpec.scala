@@ -268,6 +268,33 @@ class PlanSpec extends SparkSpec {
       s"q121 candidate join is not shuffled-hash:\n$plan")
   }
 
+  test("q121 variant generation is one shuffle-free expression stage") {
+    // r12 adoption (graft_del_variants): the deletion neighborhood is
+    // hashed + deduped IN-ROW and exploded once — the plan must carry
+    // the custom expression and NO Exchange before the explode (the
+    // old pipeline paid a corpus-wide distinct shuffle of 2.6M variant
+    // rows whose only effect was within-entity dedup).
+    val c = TestData.table(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_mktsegment"))
+    val plan = graft.ops.ExtendedOps.deletionVariants(c, "c_name",
+        Seq("c_custkey", "c_nationkey", "c_mktsegment"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_del_variants"),
+      s"custom variant expression not in plan:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"variant generation shuffles (the shape the r12 adoption removed):\n$plan")
+  }
+
+  test("q158 similarity scores via the sorted-intersect expression") {
+    // r12 adoption: the per-edge common-neighbor count must run through
+    // graft_sorted_inter_count (allocation-free two-pointer merge), not
+    // the builtin's per-row hash set (A/B 4.73 -> 2.09 s at sf0.1).
+    val plan = executed("q158_neighbor_similarity")
+    assert(plan.contains("graft_sorted_inter_count"),
+      s"sorted-intersect expression not in q158 plan:\n$plan")
+  }
+
   test("q132 audit joins every FK target broadcast — no fact-side shuffle join") {
     val plan = executed("q132_dq_audit")
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
