@@ -257,7 +257,18 @@ object Bench {
     // best-of-2 pair above, so the legacy host_factor stays comparable
     // across rounds. Per-query normalization divides by the NEAREST
     // window's factor (read rule in PLANS.md).
-    val windowEvery = sys.env.getOrElse("SPARK_GRAFT_CTL_WINDOW", "50").toInt
+    // Clamped at 1 (ADVICE r12: 0 made `idx % windowEvery` throw
+    // ArithmeticException on query 1, killing the pass mid-run); an
+    // unparsable value fails fast with the variable named, <=0 means
+    // "window after every query" rather than a crash.
+    val windowEvery = {
+      val raw = sys.env.getOrElse("SPARK_GRAFT_CTL_WINDOW", "50")
+      val parsed = try raw.toInt catch {
+        case _: NumberFormatException => sys.error(
+          s"SPARK_GRAFT_CTL_WINDOW must be an integer, got '$raw'")
+      }
+      math.max(1, parsed)
+    }
     def controlWindow(afterQ: Int)
     : (Int, Seq[(String, Double)], Double, Double) = {
       val walls = controls.map { case (name, thunk) => name -> sample(thunk)._1 }

@@ -39,10 +39,17 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      // containsNull rejected at ANALYSIS time (ADVICE r12): a null
+      // element reaching getLong would read as an undefined long and
+      // silently corrupt the count. All call sites produce
+      // containsNull=false arrays (collect_list/sort_array of a
+      // non-null column), so this contract costs nothing and turns a
+      // future misuse into an analysis error instead of wrong data.
+      case (ArrayType(LongType, false), ArrayType(LongType, false)) =>
         TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        s"graft_sorted_inter_count needs two ARRAY<BIGINT> inputs, got " +
+        s"graft_sorted_inter_count needs two ARRAY<BIGINT> (non-null " +
+          s"elements) inputs, got " +
           s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
     }
   override def dataType: DataType = IntegerType
@@ -119,10 +126,13 @@ case class SortedIntersectArray(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      // Same containsNull=false contract as SortedIntersectCount
+      // (ADVICE r12) — see the rationale there.
+      case (ArrayType(LongType, false), ArrayType(LongType, false)) =>
         TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        s"graft_sorted_inter needs two ARRAY<BIGINT> inputs, got " +
+        s"graft_sorted_inter needs two ARRAY<BIGINT> (non-null " +
+          s"elements) inputs, got " +
           s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
     }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

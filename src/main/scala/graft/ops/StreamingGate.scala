@@ -24,6 +24,11 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
   * aggregation independent of watermark emission timing. The oracle is
   * q34's SQL verbatim.
   *
+  * q278 gates Append-mode watermark EMISSION (the incremental output a
+  * production append sink receives); q279 gates late-row DROPPING (an
+  * out-of-order replay file delivered after the watermark has passed
+  * it — VERDICT r12 "Next round" #2, previously spec-only).
+  *
   * 100 TB posture: AvailableNow is exactly how production backfills a
   * streaming pipeline over historical data — bounded batches with the
   * streaming semantics (watermark state bounds still enforced); the
@@ -34,6 +39,7 @@ object StreamingGate {
 
   private val SinkName = "graft_q277_hourly_sink"
   private val AppendSinkName = "graft_q278_hourly_append_sink"
+  private val LateSinkName = "graft_q279_hourly_late_sink"
 
   /** Events with ts normalized to TIMESTAMP (handles the generator's
     * nanos-as-long variant) and value quantized to DECIMAL(18,4) —
@@ -49,6 +55,97 @@ object StreamingGate {
       case _ =>
         df.withColumn("ts", col("ts").cast("timestamp"))
     }).withColumn("value", col("value").cast(DecimalType(18, 4)))
+
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmrf)
+    f.delete()
+  }
+
+  /** Content-keyed, atomically-built replay fixture (ADVICE r12: the
+    * previous key was `dir.hashCode` with a `_DONE` marker — two dirs
+    * could hash-collide onto the wrong fixture, a REGENERATED events
+    * table at the same path silently reused the stale one, and two
+    * concurrent JVMs could race on the half-built dir). The key is now
+    * the source file's (length, mtime) — a regenerated table gets a
+    * fresh fixture path — and the build happens in a process-unique
+    * temp dir followed by ONE atomic rename, so a fixture dir either
+    * does not exist or is complete; concurrent builders race only on
+    * the rename, and the loser discards its copy. The fixture content
+    * is a pure function of the (read-only by contract) source table,
+    * so winners and losers built identical bytes.
+    */
+  private def replayFixture(tag: String, dir: String)
+                           (build: java.io.File => Unit): java.io.File = {
+    val src = new java.io.File(s"$dir/events.parquet")
+    val root = new java.io.File(
+      s"/tmp/graft_replay_${tag}_${src.length()}_${src.lastModified()}")
+    if (root.isDirectory) return root
+    val tmp = new java.io.File(root.getPath +
+      s".build_${ProcessHandle.current().pid()}_${System.nanoTime()}")
+    tmp.mkdirs()
+    build(tmp)
+    try java.nio.file.Files.move(tmp.toPath, root.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      // Another JVM renamed its identical fixture first.
+      case _: java.nio.file.FileSystemException if root.isDirectory =>
+        rmrf(tmp)
+    }
+    root
+  }
+
+  /** Write `part` as the fixture's `idx`-th replay file. Lexical names
+    * AND strictly increasing mtimes pin the file source's order twice
+    * over; `coalesce(1)` writes single replay files (gate plumbing,
+    * not a query plan).
+    */
+  private def writeReplayFile(part: DataFrame, root: java.io.File,
+                              idx: Int): Unit = {
+    val stage = s"${root.getPath}/_stage"
+    part.coalesce(1).write.mode("overwrite").parquet(stage)
+    val f = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val target = new java.io.File(root, f"replay_$idx%03d.parquet")
+    java.nio.file.Files.move(f.toPath, target.toPath)
+    target.setLastModified(1000000000000L + idx * 60000L)
+    rmrf(new java.io.File(stage))
+  }
+
+  /** Run `hourlyByType` over a replay fixture as a real multi-batch
+    * stream (`maxFilesPerTrigger=1`) and return the sink's content in
+    * the gate's canonical projection.
+    */
+  private def runReplay(s: SparkSession, root: java.io.File,
+                        sinkName: String, mode: OutputMode,
+                        schema: org.apache.spark.sql.types.StructType)
+  : DataFrame = {
+    s.catalog.dropTempView(sinkName)
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "replay_*.parquet")
+      .parquet(root.getPath)
+    val q = graft.streaming.EventStreaming.hourlyByType(stream)
+      .writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sinkName)
+      .select(
+        unix_timestamp(col("hour_start")).as("hour_epoch"),
+        col("event_type"), col("n"),
+        col("value_sum").cast(DecimalType(18, 4)).cast("double")
+          .as("value_sum"))
+      .orderBy("hour_epoch", "event_type")
+  }
+
+  private def normalizedBatch(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    normalizedEvents(s.read.parquet(s"$dir/events.parquet"), rawSchema)
+  }
 
   def all: Map[String, Q] = Map(
 
@@ -98,8 +195,8 @@ object StreamingGate {
     // #2: q277 proves the aggregation through Complete mode, where
     // emission timing is irrelevant; the watermark-driven *incremental*
     // output — what a production append sink actually receives — was
-    // only spec-covered). This entry replays the events table as SIX
-    // event-time-ordered files (5-day spans, strictly increasing
+    // only spec-covered). This entry replays the events table as
+    // event-time-ordered files (5-day bucket spans, strictly increasing
     // mtimes AND lexical names so the file source's order is pinned
     // twice over) with maxFilesPerTrigger=1, so the run is a real
     // multi-batch stream whose watermark ADVANCES between batches and
@@ -109,10 +206,8 @@ object StreamingGate {
     // so the union of emitted rows is exactly the full aggregate
     // restricted to windows closed by the FINAL watermark
     // (max ts - 2h, reached in the trailing no-data batch) — which is
-    // what the DuckDB oracle states. Late-row DROPPING (rows below the
-    // watermark excluded from state) stays spec-covered
-    // (StreamingSpec), since a dropped-late fixture contradicts the
-    // deterministic-replay contract a hash gate needs.
+    // what the DuckDB oracle states. Late-row DROPPING is gated by
+    // q279 below.
     // 100 TB posture: Append over a watermark is THE production shape
     // for an unbounded stream into an append-only table — state is
     // bounded by the watermark horizon and each window is written
@@ -120,65 +215,28 @@ object StreamingGate {
     // batch aggregate over closed windows, byte-exact (DECIMAL sums).
     "q278_streaming_append_gate" -> Q(
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-        val batch = normalizedEvents(
-          s.read.parquet(s"$dir/events.parquet"), rawSchema)
+        val batch = normalizedBatch(s, dir)
           .select("ts", "event_type", "value")
-        // Replay fixture, deterministic per source dir: bucket = global
-        // 5-day epoch index, monotone in event time. The content is a
-        // pure function of the (read-only) source table, so a complete
-        // fixture (_DONE marker) is reused across invocations — the
-        // gate's cost is the streaming run, not six rewrites of the
-        // same files.
-        val replayRoot = new java.io.File(
-          s"/tmp/graft_q278_replay_${math.abs(dir.hashCode)}")
-        def rmrf(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rmrf)
-          f.delete()
-        }
-        val done = new java.io.File(replayRoot, "_DONE")
-        if (!done.exists()) {
-          rmrf(replayRoot)
-          replayRoot.mkdirs()
+        // graft.q278_group: consecutive 5-day buckets per replay file
+        // (A/B lever — any grouping >= 2 files is a real multi-batch
+        // watermark progression with the SAME gated output, since the
+        // final watermark and row totals are grouping-independent; the
+        // lever trades per-batch planning cost against batch count).
+        val group = s.conf.getOption("graft.q278_group")
+          .map(_.toInt).filter(_ >= 1).getOrElse(1)
+        val root = replayFixture(s"q278g$group", dir) { tmp =>
           val bucketed = batch.withColumn("bucket",
             expr("unix_timestamp(ts) div 432000"))
           val buckets = bucketed.select("bucket").distinct()
             .orderBy("bucket").collect().map(_.getLong(0))
-          buckets.zipWithIndex.foreach { case (b, i) =>
-            val stage = s"${replayRoot.getPath}/_stage"
-            bucketed.where(col("bucket") === b).drop("bucket")
-              .coalesce(1).write.mode("overwrite").parquet(stage)
-            val part = new java.io.File(stage).listFiles()
-              .filter(_.getName.endsWith(".parquet")).head
-            val target = new java.io.File(replayRoot,
-              f"replay_$i%03d.parquet")
-            java.nio.file.Files.move(part.toPath, target.toPath)
-            target.setLastModified(1000000000000L + i * 60000L)
-            rmrf(new java.io.File(stage))
+          buckets.grouped(group).zipWithIndex.foreach { case (bs, i) =>
+            writeReplayFile(
+              bucketed.where(col("bucket").isin(bs: _*)).drop("bucket"),
+              tmp, i)
           }
-          done.createNewFile()
         }
-        s.catalog.dropTempView(AppendSinkName)
-        val stream = s.readStream.schema(batch.schema)
-          .option("maxFilesPerTrigger", "1")
-          .option("pathGlobFilter", "replay_*.parquet")
-          .parquet(replayRoot.getPath)
-        val q = graft.streaming.EventStreaming.hourlyByType(stream)
-          .writeStream
-          .format("memory")
-          .queryName(AppendSinkName)
-          .outputMode(OutputMode.Append())
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        s.table(AppendSinkName)
-          .select(
-            unix_timestamp(col("hour_start")).as("hour_epoch"),
-            col("event_type"), col("n"),
-            col("value_sum").cast(DecimalType(18, 4)).cast("double")
-              .as("value_sum"))
-          .orderBy("hour_epoch", "event_type")
+        runReplay(s, root, AppendSinkName, OutputMode.Append(),
+          batch.schema)
       },
       Some(
         """WITH e AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
@@ -187,6 +245,88 @@ object StreamingGate {
           | SELECT hour_epoch, event_type, count(*) AS n,
           |   CAST(CAST(sum(v) AS DECIMAL(18,4)) AS DOUBLE) AS value_sum
           | FROM e, wm WHERE hour_epoch + 3600 <= w
+          | GROUP BY 1, 2 ORDER BY hour_epoch, event_type"""
+          .stripMargin.replace("\n", ""))),
+
+    // Late-row DROPPING gate (VERDICT r12 "Next round" #2: q278 proves
+    // emission with an in-order replay where no row is ever late;
+    // dropping was spec-only, argued non-replayable — that argument
+    // was half-right, and this entry is the other half). The replay is
+    // THREE files with pinned order: (0) the earliest 5-day bucket
+    // minus the late set; (1) every later bucket — after this batch
+    // the watermark sits at global max ts - 2h, weeks past bucket 0;
+    // (2) the LATE set, delivered weeks out of order.
+    //
+    // MEASURED Spark subtlety that shaped the late-set definition (the
+    // version-dependence VERDICT r12 told us to document if found):
+    // the late-data filter lags the progress-reported watermark by one
+    // batch. In a probe replay (PLANS.md round-13 log), batch 2
+    // reported watermark = global max - 2h, yet late rows at/above
+    // the BATCH-1 watermark (bucket-0 max - 2h) were NOT dropped —
+    // they merged into the still-live last hours of bucket-0 state.
+    // So "late" here means: odd event_id AND window end at least 3h
+    // below bucket-0's max ts — strictly below EVERY candidate filter
+    // boundary (previous-batch vs current watermark, event-time vs
+    // window-end predicate, < vs <=), making the drop deterministic
+    // under any of those policies, not a bet on one of them. Their
+    // windows were emitted (at on-time values) during batch 1 and are
+    // never updated or re-emitted. The oracle states exactly that: the
+    // full aggregate minus the late set, restricted to windows closed
+    // by the final watermark. The drop is observable, not vacuous: if
+    // Spark failed to drop, the closed bucket-0 windows would be
+    // re-emitted with late contributions and the gate's rows would
+    // diverge — StreamingGateSpec additionally pins that the output
+    // differs from the no-drop aggregate and that two full replays
+    // emit identical rows. event_id parity is the split predicate
+    // because both engines compute x % 2 on a BIGINT bit-identically
+    // (no float/hash divergence), and floor-seconds arithmetic defines
+    // bucket/hour identically on both sides.
+    // 100 TB posture: late data is the NORMAL case at scale
+    // (stragglers, retries, mobile clients); bounded state REQUIRES
+    // dropping below the watermark, and this gate proves the exact
+    // output contract an append sink sees when it happens.
+    "q279_streaming_late_drop_gate" -> Q(
+      (s, dir) => {
+        val withId = normalizedBatch(s, dir)
+          .select("event_id", "ts", "event_type", "value")
+        val payload = Seq("ts", "event_type", "value")
+        // Tag carries a fixture-format version: the content key (source
+        // length+mtime) detects source changes, not builder changes.
+        val root = replayFixture("q279v2", dir) { tmp =>
+          val bucketed = withId
+            .withColumn("es", expr("unix_timestamp(ts)"))
+            .withColumn("bucket", expr("es div 432000"))
+          val minB = bucketed.agg(min("bucket")).collect()(0).getLong(0)
+          val b0max = bucketed.where(col("bucket") === minB)
+            .agg(max("es")).collect()(0).getLong(0)
+          val isLate = col("bucket") === minB && col("event_id") % 2 === 1 &&
+            expr("es - es % 3600") + 3600 <= b0max - 10800
+          writeReplayFile(bucketed
+            .where(col("bucket") === minB && !isLate)
+            .select(payload.map(col): _*), tmp, 0)
+          writeReplayFile(bucketed.where(col("bucket") > minB)
+            .select(payload.map(col): _*), tmp, 1)
+          writeReplayFile(bucketed.where(isLate)
+            .select(payload.map(col): _*), tmp, 2)
+        }
+        runReplay(s, root, LateSinkName, OutputMode.Append(),
+          withId.select(payload.map(col): _*).schema)
+      },
+      Some(
+        """WITH raw AS (SELECT event_id,
+          |   CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+          |   event_type, CAST(value AS DECIMAL(18,4)) AS v, epoch(ts) AS es,
+          |   CAST(floor(epoch(ts)) AS BIGINT) AS fes,
+          |   CAST(floor(epoch(ts)) AS BIGINT) // 432000 AS bucket FROM events),
+          | mb AS (SELECT min(bucket) AS minb FROM raw),
+          | b0 AS (SELECT max(fes) AS b0max FROM raw, mb WHERE bucket = minb),
+          | kept AS (SELECT raw.* FROM raw, mb, b0
+          |   WHERE NOT (bucket = minb AND event_id % 2 = 1
+          |     AND hour_epoch + 3600 <= b0max - 10800)),
+          | wm AS (SELECT max(es) - 7200 AS w FROM kept)
+          | SELECT hour_epoch, event_type, count(*) AS n,
+          |   CAST(CAST(sum(v) AS DECIMAL(18,4)) AS DOUBLE) AS value_sum
+          | FROM kept, wm WHERE hour_epoch + 3600 <= w
           | GROUP BY 1, 2 ORDER BY hour_epoch, event_type"""
           .stripMargin.replace("\n", "")))
   )

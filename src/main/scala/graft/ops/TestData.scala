@@ -21,26 +21,37 @@ object TestData {
     * without caching, the SAME ten immutable testdata files get their
     * footers re-read thousands of times per bench/verify run. A real
     * catalog (metastore-backed `spark.table`) resolves the relation
-    * once per session; this map is exactly that, keyed weakly on the
-    * session so closed sessions free their plans. The cached value is
-    * an immutable LOGICAL PLAN — downstream queries still build fresh
-    * physical plans (no AQE/stage reuse across queries), and the
-    * testdata dir is read-only by contract. `graft.table_cache=off`
-    * restores the uncached read (the A/B lever; also the escape hatch
-    * if a mutable-source deployment ever hosts this catalog).
+    * once per session. The cached value is an immutable LOGICAL
+    * PLAN — downstream queries still build fresh physical plans (no
+    * AQE/stage reuse across queries), and the testdata dir is
+    * read-only by contract. `graft.table_cache=off` restores the
+    * uncached read (the A/B lever; also the escape hatch if a
+    * mutable-source deployment ever hosts this catalog).
+    *
+    * Plain map with LAZY EVICTION of stopped sessions (ADVICE r12:
+    * the previous WeakHashMap[SparkSession, _] could never collect an
+    * entry, because every cached DataFrame strongly references its own
+    * SparkSession — the documented value-reaches-key WeakHashMap
+    * failure mode — so stopped sessions and their plans leaked for the
+    * life of the JVM in multi-session processes like test suites).
+    * Each access prunes every entry whose SparkContext has stopped
+    * (identity-keyed, so stop() is observable directly on the key), so
+    * a stopped session's plans outlive it by at most one table() call
+    * from anywhere in the process — an explicit liveness contract
+    * instead of GC semantics the value chain silently defeated.
     */
   private val relationCache =
-    new java.util.WeakHashMap[SparkSession,
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (spark.conf.getOption("graft.table_cache").contains("off"))
       build(spark, sfDir, name)
     else {
-      val perSession = relationCache.synchronized {
-        relationCache.computeIfAbsent(spark, _ =>
-          new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
-      }
+      relationCache.forEach((session, _) =>
+        if (session.sparkContext.isStopped) relationCache.remove(session))
+      val perSession = relationCache.computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
       perSession.computeIfAbsent((sfDir, name),
         _ => build(spark, sfDir, name))
     }

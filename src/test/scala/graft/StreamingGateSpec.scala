@@ -50,4 +50,55 @@ class StreamingGateSpec extends SparkSpec {
     assert(spark.streams.active.isEmpty,
       "append gate left a streaming query running")
   }
+
+  test("late-drop gate drops the out-of-order half, observably and deterministically") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val late = SparkEntry.queries("q279_streaming_late_drop_gate")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    // Spark-side twin of the DuckDB oracle: the aggregate over all rows
+    // EXCEPT the late set (earliest 5-day bucket, odd event_id, window
+    // end >= 3h below the bucket max — below every candidate filter
+    // boundary), restricted to hour windows closed by the final
+    // watermark.
+    val ev = ops.TestData.table(spark, dir, "events")
+      .withColumn("es", unix_timestamp(col("ts")))
+      .withColumn("bucket", expr("es div 432000"))
+    val minB = ev.agg(min("bucket")).head().getLong(0)
+    val b0max = ev.where(col("bucket") === minB).agg(max("es"))
+      .head().getLong(0)
+    val isLate = col("bucket") === minB && col("event_id") % 2 === 1 &&
+      expr("es - es % 3600") + 3600 <= b0max - 10800
+    val lateRows = ev.where(isLate)
+    assert(lateRows.count() > 0,
+      "fixture degenerate: no late rows to drop — the gate would be vacuous")
+    val kept = ev.where(!isLate)
+    val maxEpoch = kept.agg(max("es")).head().getLong(0)
+    val expected = kept
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DecimalType(18, 4))
+          .cast("double").as("value_sum"))
+      .where(col("hour_epoch") + 3600 <= maxEpoch - 7200)
+      .orderBy("hour_epoch", "event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(late == expected,
+      s"late-drop emission diverged from the kept-rows closed-window " +
+        s"aggregate: ${late.take(3)} vs ${expected.take(3)}")
+    // Observability: had Spark NOT dropped the late half, the output
+    // would be q278's (full aggregate over the same closed windows).
+    val noDrop = SparkEntry.queries("q278_streaming_append_gate")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(late != noDrop,
+      "late-drop output equals the no-drop aggregate — dropping unobservable")
+    // Batch-determinism of the watermark sequence (the property the
+    // r12 spec-only argument doubted): a second full replay emits the
+    // identical row set.
+    val again = SparkEntry.queries("q279_streaming_late_drop_gate")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(again == late, "second replay diverged — watermark sequence not deterministic")
+    assert(spark.streams.active.isEmpty,
+      "late-drop gate left a streaming query running")
+  }
 }
