@@ -51,6 +51,12 @@ object Bench {
     */
   private val StabilityQueries = Seq(
     "q42_csv_etl_throughput", "q110_full_dedup", "q64_dup_clusters",
+    // Round 13: q85 joined the spike class (5.31 s in the round-open
+    // pass vs a 1.85 s r12 steady state, jit-storm signature on the
+    // isolated re-run) — it is the same checkpointed pairs->CC->keep
+    // composite as q64/q110, so it gets the same 5x stability block
+    // for self-clearing future flags.
+    "q85_dedup_keeplist",
     "q105_keeplist_lsh", "q96_curation_pipeline",
     "q121_entity_resolution", "q129_triangle_count",
     "q151_prefix_filter_join", "q152_kcore",
