@@ -638,7 +638,17 @@ object TrainDataOps {
 
     "q111_winnow_pairs" -> Q(
       (s, dir) => {
+        // Materialize the winnow fingerprints ONCE: the self-join
+        // otherwise re-evaluates the per-position md5 winnowing on
+        // BOTH sides — the same expensive-leaf discipline as
+        // q24/q110/q121, and the same checkpoint the q148 site above
+        // already had. Adopted round 13 on a ProbeQ111Ckpt A/B x3 win
+        // at sf0.1 (B < A in all three pairs, best 0.93 vs 1.57 s,
+        // identical top-20). The (doc_id, fp) frame is 16 bytes/row —
+        // at corpus scale the checkpoint is fingerprint-sized, never
+        // text-sized.
         val f = winnowFingerprints(table(s, dir, "documents"))
+          .localCheckpoint(eager = true)
         f.as("a").join(f.as("b"),
             col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
