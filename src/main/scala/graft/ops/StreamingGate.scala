@@ -228,8 +228,13 @@ object StreamingGate {
         // identical 3585-row gated output — the cost is per-batch
         // planning, exactly as the r12 plan audit priced it, and three
         // batches still advance the watermark twice mid-stream.
-        val group = s.conf.getOption("graft.q278_group")
-          .map(_.toInt).filter(_ >= 1).getOrElse(2)
+        val group = s.conf.getOption("graft.q278_group").map { v =>
+          // Loud on a bad lever value: a typo'd probe must not
+          // silently measure the default.
+          require(scala.util.Try(v.toInt).toOption.exists(_ >= 1),
+            s"graft.q278_group must be a positive int, got '$v'")
+          v.toInt
+        }.getOrElse(2)
         val root = replayFixture(s"q278g$group", dir) { tmp =>
           val bucketed = batch.withColumn("bucket",
             expr("unix_timestamp(ts) div 432000"))
