@@ -351,6 +351,24 @@ object DedupOps {
     sh.groupBy("doc_id").agg(
       graft.functions.MinHashAgg.minhashSig(col("s"), NumHashes).as("sig"))
 
+  /** Per-document MinHash signatures straight from the text column, via
+    * the scalar [[graft.functions.MinHashSignature]] expression —
+    * bit-identical to `minhashSignatures(rawShingles(docs))` (law-tested)
+    * but a pure map: no shingle Generate, no per-group aggregate state,
+    * no exchange (doc_id is unique, so the aggregate path's partial
+    * aggregation could never combine anything anyway). At corpus scale
+    * the signature stage becomes embarrassingly parallel; the only
+    * shuffle left in LSH is the band-bucket join itself.
+    * `graft.minhash=agg` reverts to the aggregate pipeline for A/B.
+    */
+  private[graft] def docSignatures(docs: DataFrame): DataFrame =
+    if (docs.sparkSession.conf.getOption("graft.minhash").contains("agg"))
+      minhashSignatures(rawShingles(docs))
+    else docs
+      .select(col("doc_id"),
+        graft.functions.MinHashSig.sigCol(col("text"), NumHashes).as("sig"))
+      .where(col("sig").isNotNull)
+
   /** Band-bucket candidate pairs from minhash signatures: band key =
     * (band index, that band's signature slice), candidates = pairs
     * sharing >= 1 bucket. The join is an equi-join on the bucket —
@@ -456,13 +474,10 @@ object DedupOps {
       hashedShingles(docs).localCheckpoint(eager = true))
     val scored = source match {
       case "exact" => jaccardPairsFromHashed(sh)
-      // rawShingles, NOT shingles(): the per-bucket MIN is duplicate-
-      // insensitive, so the distinct() would buy nothing while paying a
-      // wide shuffle of full shingle STRINGS — raw shingles feed the
-      // one-pass aggregate narrowly and only fixed-width signature
-      // buffers cross the wire.
+      // Signatures per-row from text (no shingle Generate, no exchange);
+      // min-hash is duplicate-insensitive so no distinct is needed either.
       case "lsh" => rescoreJaccard(
-        bandedCandidates(minhashSignatures(rawShingles(docs)), LshBandSize), sh)
+        bandedCandidates(docSignatures(docs), LshBandSize), sh)
       case other => throw new IllegalArgumentException(
         s"unknown graft.pair_source '$other' (expected exact | lsh)")
     }
@@ -1010,9 +1025,7 @@ object DedupOps {
     // MinHashAgg.As/Bs).
     "q25_minhash_lsh" -> Q(
       (s, dir) => {
-        // raw shingles: min-hash is duplicate-insensitive (see the lsh
-        // pair source) — same signatures, no string-distinct shuffle.
-        val sig = minhashSignatures(rawShingles(table(s, dir, "documents")))
+        val sig = docSignatures(table(s, dir, "documents"))
         val cand = bandedCandidates(sig, BandSize)
         val agree = aggregate(
           zip_with(col("sa.sig"), col("sb.sig"),
@@ -1065,7 +1078,7 @@ object DedupOps {
     "q139_minhash_calibration" -> Q(
       (s, dir) => {
         val docs = table(s, dir, "documents")
-        val sig = minhashSignatures(rawShingles(docs)).localCheckpoint()
+        val sig = docSignatures(docs).localCheckpoint()
         val cand = bandedCandidates(sig, BandSize)
         val hs = hashedShingles(docs).localCheckpoint()
         val cnt = hs.groupBy("doc_id").agg(count(lit(1)).as("n"))

@@ -256,4 +256,55 @@ class PropertySpec extends SparkSpec {
         s"'$nm': graft ${got(nm).size} hashes vs builtin ${ref.size}")
     }
   }
+
+  test("graft_minhash_sig equals the explode + graft_minhash aggregate") {
+    // The scalar signature must be BIT-identical to the shipped
+    // rawShingles -> groupBy(doc_id) -> MinHashAgg pipeline on every
+    // text shape split(' ') can produce: multi-byte UTF-8 words,
+    // consecutive/leading/trailing spaces (empty words), single-char
+    // words, and <3-word documents (no shingles — the aggregate emits
+    // no row, the scalar returns NULL and is filtered).
+    val wordGen = Gen.frequency(
+      5 -> Gen.listOfN(3, Gen.alphaNumChar).map(_.mkString),
+      2 -> Gen.listOfN(1, Gen.alphaLowerChar).map(_.mkString),
+      1 -> Gen.const(""),
+      1 -> Gen.oneOf("é中", "ß", "naïve"))
+    val textGen = for {
+      n <- Gen.chooseNum(0, 15)
+      ws <- Gen.listOfN(n, wordGen)
+    } yield ws.mkString(" ")
+    val texts = (sample(textGen, 300) ++ Seq(
+      "", "one", "one two", "a b c", "  ", "   ", " a b c ",
+      "x  y  z", "é中 ß naïve é中")).distinct
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val agg = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 2), " +
+          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1), " +
+          "' ', element_at(w, i + 2)))")).as("s"))
+      .groupBy("doc_id")
+      .agg(graft.functions.MinHashAgg.minhashSig(col("s"), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val scalar = docs
+      .select(col("doc_id"),
+        graft.functions.MinHashSig.sigCol(col("text"), 16).as("sig"))
+      .where(col("sig").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(scalar.keySet == agg.keySet,
+      s"doc sets differ: scalar-only=${scalar.keySet -- agg.keySet} " +
+        s"agg-only=${agg.keySet -- scalar.keySet}")
+    scalar.foreach { case (id, sig) =>
+      assert(sig == agg(id), s"doc $id: scalar=$sig agg=${agg(id)}")
+    }
+    // Interpreted path agrees with codegen (nullSafeEval coverage).
+    val interp = docs.repartition(1)
+      .select(col("doc_id"),
+        graft.functions.MinHashSig.sigCol(col("text"), 16).as("sig"))
+      .where(col("sig").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(interp == scalar)
+  }
 }
