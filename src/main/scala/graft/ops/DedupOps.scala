@@ -56,14 +56,24 @@ object DedupOps {
   private[graft] def md5Long60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Distinct 60-bit-hashed shingles per doc (hash BEFORE distinct so
-    * the dedup shuffle carries longs). Shared by the Jaccard pair join,
-    * decontamination, and the composed curation pipeline.
+  /** Distinct 60-bit-hashed shingles per doc, computed PER ROW by the
+    * scalar [[graft.functions.ShingleHashArray]] expression and then
+    * exploded. Shared by the Jaccard pair join, decontamination, and
+    * the composed curation pipeline. Row-identical to the explode ->
+    * md5 -> distinct() pipeline it replaces (law-tested), but with zero
+    * exchanges: doc_id is unique in every caller's frame, so that
+    * corpus-wide distinct's only effect was within-document dedup — an
+    * in-row sort — while shuffling the corpus's whole shingle volume.
+    * `graft.shingle_hashes=explode` reverts to the old shape for A/B.
     */
   private[graft] def hashedShingles(docs: DataFrame): DataFrame =
-    rawShingles(docs)
-      .select(col("doc_id"), md5Long60(col("s")).as("s"))
-      .distinct()
+    if (docs.sparkSession.conf.getOption("graft.shingle_hashes")
+        .contains("explode"))
+      rawShingles(docs)
+        .select(col("doc_id"), md5Long60(col("s")).as("s"))
+        .distinct()
+    else docs.select(col("doc_id"),
+      explode(graft.functions.ShingleHashes.hashesCol(col("text"))).as("s"))
 
   /** (doc_id, fp1, fp2): the 120-bit md5 exact-dedup fingerprint (two
     * 60-bit halves) — the SINGLE definition of "byte-identical text"

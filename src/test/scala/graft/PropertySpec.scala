@@ -307,4 +307,52 @@ class PropertySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(interp == scalar)
   }
+
+  test("graft_shingle_hashes equals explode + md5Long60 + distinct") {
+    // The per-row hashed-shingle array must reproduce EXACTLY the
+    // (doc_id, s) row set of the pipeline it replaces — same word
+    // splitting (empty words from repeated/leading/trailing spaces),
+    // same 60-bit md5 key (conv(substr(md5, 1, 15), 16, 10)), with
+    // within-document dedup standing in for the corpus-wide distinct.
+    // The array itself must also be sorted ascending and duplicate-free
+    // (the contract graft_sorted_inter* consumers rely on).
+    val wordGen = Gen.frequency(
+      5 -> Gen.listOfN(3, Gen.alphaNumChar).map(_.mkString),
+      2 -> Gen.listOfN(1, Gen.alphaLowerChar).map(_.mkString),
+      1 -> Gen.const(""),
+      1 -> Gen.oneOf("é中", "ß", "naïve"))
+    val textGen = for {
+      n <- Gen.chooseNum(0, 15)
+      ws <- Gen.listOfN(n, wordGen)
+    } yield ws.mkString(" ")
+    // "a b c a b c" repeats a shingle — the dedup-sensitive case.
+    val texts = (sample(textGen, 300, seed = 7L) ++ Seq(
+      "", "one", "one two", "a b c", "a b c a b c", "  ", " a b c ",
+      "x x x x", "é中 ß naïve é中 ß naïve")).distinct
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val old = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 2), " +
+          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1), " +
+          "' ', element_at(w, i + 2)))")).as("s0"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("s0")), 1, 15), 16, 10).cast("long").as("s"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val arrs = docs
+      .select(col("doc_id"),
+        graft.functions.ShingleHashes.hashesCol(col("text")).as("hs"))
+      .where(col("hs").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    arrs.foreach { case (id, hs) =>
+      assert(hs == hs.distinct.sorted, s"doc $id: not sorted-distinct: $hs")
+    }
+    val flat = arrs.flatMap { case (id, hs) => hs.map(id -> _) }.toSet
+    assert(flat == old,
+      s"row sets differ: scalar-only=${(flat -- old).take(5)} " +
+        s"old-only=${(old -- flat).take(5)}")
+  }
 }
