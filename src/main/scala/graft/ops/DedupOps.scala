@@ -75,6 +75,18 @@ object DedupOps {
     else docs.select(col("doc_id"),
       explode(graft.functions.ShingleHashes.hashesCol(col("text"))).as("s"))
 
+  /** (doc_id, arr): each document's sorted-distinct hashed-shingle
+    * ARRAY, the grain [[hashedShingles]] explodes from. Queries that
+    * need per-doc arrays or counts downstream checkpoint THIS frame and
+    * derive the exploded view from it — size(arr) and the array join
+    * are then plain maps where the exploded grain paid a groupBy
+    * exchange each for count and collect_list.
+    */
+  private[graft] def docShingleArrays(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.ShingleHashes.hashesCol(col("text")).as("arr"))
+      .where(col("arr").isNotNull)
+
   /** (doc_id, fp1, fp2): the 120-bit md5 exact-dedup fingerprint (two
     * 60-bit halves) — the SINGLE definition of "byte-identical text"
     * for the engine. Shared by q110's full-dedup composition and the
@@ -151,7 +163,13 @@ object DedupOps {
     // (3.5 s vs 2.7 s — the columnar cache write + lost optimizer stats
     // turned the signature joins into sort-merge). The checkpoint keeps
     // plain row blocks, costs one job, and truncates the plan the three
-    // consumers re-optimize.
+    // consumers re-optimize. Array grain was probed here too
+    // (ProbeArrayGrain2): checkpointing the per-doc ARRAYS and deriving
+    // the join sides by explode re-pays the explode once per side and
+    // LOSES 1-7% to the pre-exploded checkpoint — the count exchange it
+    // removes is cheaper than the double re-explode. Exploded grain
+    // stands for this source; array grain is for consumers that need
+    // per-doc arrays/counts downstream (q139/q151/q196/LSH rescore).
     jaccardPairsFromHashed(hashedShingles(docs).localCheckpoint(eager = true))
 
   /** Optional document-frequency cap on shingles admitted to the exact
@@ -414,30 +432,6 @@ object DedupOps {
     */
   private val LshBandSize = 2
 
-  /** Exact-Jaccard rescore of an explicit candidate pair list:
-    * intersection counts are computed only FOR the candidates (cost ∝
-    * candidate pairs x shingles/doc — never Sum_shingles df^2), with
-    * denominators from the full per-doc shingle counts, so every score
-    * this emits is identical to what the exact all-candidates join
-    * would produce for the same pair.
-    */
-  private[graft] def rescoreJaccard(cand: DataFrame,
-                                    sh: DataFrame): DataFrame = {
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.as("a"), col("d1") === col("a.doc_id"))
-      .select(col("d1"), col("d2"), col("a.s").as("s1"))
-      .join(sh.as("b"),
-        col("s1") === col("b.s") && col("d2") === col("b.doc_id"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-    inter
-      .join(cnt.as("ca"), col("d1") === col("ca.doc_id"))
-      .join(cnt.as("cb"), col("d2") === col("cb.doc_id"))
-      .select(col("d1"), col("d2"), col("inter"),
-        (col("inter") * lit(1.0) /
-          (col("ca.n") + col("cb.n") - col("inter"))).as("jaccard"))
-  }
-
   /** Prefix-filter (PPJoin-family) candidate pairs over a hashed-
     * shingle frame: under the global rarest-first (df, s) token order,
     * any pair with Jaccard >= 0.5 must collide within each side's first
@@ -473,21 +467,52 @@ object DedupOps {
   private[graft] def pairSource(s: SparkSession): String =
     s.conf.getOption("graft.pair_source").getOrElse("exact")
 
+  /** Array-grain exact-Jaccard rescore: candidates join the per-doc
+    * sorted-array frame once per side and the intersection is the
+    * codegen'd sorted merge — where the exploded-grain rescore it
+    * replaces paid a candidate x shingles/doc equi-join plus a groupBy
+    * exchange (plus a count aggregate for the denominators), this
+    * touches the same elements inside one stage (q151's verify shape).
+    * Scores are identical; the one frame difference — a candidate pair
+    * with an EMPTY intersection keeps its inter=0 row here where the
+    * exploded join dropped it — is erased by every caller's
+    * jaccard >= threshold filter (threshold > 0).
+    */
+  private[graft] def rescoreJaccardArrays(cand: DataFrame,
+                                          da: DataFrame): DataFrame =
+    cand
+      .join(da.select(col("doc_id").as("d1"), col("arr").as("sa")), "d1")
+      .join(da.select(col("doc_id").as("d2"), col("arr").as("sb")), "d2")
+      .select(col("d1"), col("d2"),
+        graft.functions.SortedIntersect
+          .interCountBig(da.sparkSession, col("sa"), col("sb")).as("inter"),
+        size(col("sa")).cast("long").as("na"),
+        size(col("sb")).cast("long").as("nb"))
+      .select(col("d1"), col("d2"), col("inter"),
+        (col("inter") * lit(1.0) /
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
+
   /** (d1, d2) pairs with (exact) jaccard >= threshold, produced by the
     * selected source. `shOpt` lets callers share an already-checkpointed
-    * hashed-shingle frame.
+    * hashed-shingle frame (the exact source's grain; the LSH source
+    * builds its own array frame — see ProbeArrayGrain2 for why the two
+    * sources want different grains).
     */
   private[graft] def nearDupPairs(docs: DataFrame, source: String,
                                   shOpt: Option[DataFrame] = None,
                                   threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0, s"threshold must be > 0, got $threshold")
     lazy val sh = shOpt.getOrElse(
       hashedShingles(docs).localCheckpoint(eager = true))
     val scored = source match {
       case "exact" => jaccardPairsFromHashed(sh)
       // Signatures per-row from text (no shingle Generate, no exchange);
-      // min-hash is duplicate-insensitive so no distinct is needed either.
-      case "lsh" => rescoreJaccard(
-        bandedCandidates(docSignatures(docs), LshBandSize), sh)
+      // min-hash is duplicate-insensitive so no distinct is needed
+      // either. Rescore at array grain: counts are size(arr), the
+      // intersection is the sorted merge — no candidate x shingle join.
+      case "lsh" => rescoreJaccardArrays(
+        bandedCandidates(docSignatures(docs), LshBandSize),
+        docShingleArrays(docs).localCheckpoint(eager = true))
       case other => throw new IllegalArgumentException(
         s"unknown graft.pair_source '$other' (expected exact | lsh)")
     }
@@ -558,9 +583,16 @@ object DedupOps {
     // full shingle join is law-tested in PipelineObsSpec.
     "q151_prefix_filter_join" -> Q(
       (s, dir) => {
-        val sh = hashedShingles(table(s, dir, "documents"))
+        // Array grain at the source: checkpoint the per-doc sorted
+        // array frame ONCE; the exploded view (for the prefix filter),
+        // the per-doc counts (size), and the verify arrays are all
+        // plain maps over it — the old exploded grain paid a groupBy
+        // exchange each for count and collect_list.
+        val da = docShingleArrays(table(s, dir, "documents"))
           .localCheckpoint(eager = true)
-        val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val sh = da.select(col("doc_id"), explode(col("arr")).as("s"))
+        val cnt = da.select(col("doc_id"),
+          size(col("arr")).cast("long").as("n"))
         val cand = prefixFilterCandidates(sh)
           .localCheckpoint(eager = true)
         // verify by ARRAY INTERSECTION (q129's trick), not a 3-way join:
@@ -568,8 +600,7 @@ object DedupOps {
         // sf0.1; intersecting the two sorted per-doc shingle arrays
         // inside one codegen stage touches the same elements with no
         // join-row explosion.
-        val arrs = sh.groupBy("doc_id")
-          .agg(sort_array(collect_list(col("s"))).as("arr"))
+        val arrs = da
         val inter = cand
           .join(arrs.select(col("doc_id").as("d1"), col("arr").as("sa")),
             "d1")
@@ -625,9 +656,13 @@ object DedupOps {
     "q196_containment_pairs" -> Q(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val sh = hashedShingles(table(s, dir, "documents"))
+        // Array grain at the source (q151's shape): counts and verify
+        // arrays are maps over the checkpointed array frame.
+        val da = docShingleArrays(table(s, dir, "documents"))
           .localCheckpoint(eager = true)
-        val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val sh = da.select(col("doc_id"), explode(col("arr")).as("s"))
+        val cnt = da.select(col("doc_id"),
+          size(col("arr")).cast("long").as("n"))
         val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
         val pre = sh.join(dfreq, "s")
           .withColumn("rk", row_number().over(
@@ -649,12 +684,10 @@ object DedupOps {
           .join(cnt.select(col("doc_id").as("db"), col("n").as("pnb")), "db")
           .where(col("pnb") * 4 >= col("pna") * 3)
           .select("da", "db")
-        val arrs = sh.groupBy("doc_id")
-          .agg(sort_array(collect_list(col("s"))).as("arr"))
         sized
-          .join(arrs.select(col("doc_id").as("da"), col("arr").as("sa")),
+          .join(da.select(col("doc_id").as("da"), col("arr").as("sa")),
             "da")
-          .join(arrs.select(col("doc_id").as("db"), col("arr").as("sb")),
+          .join(da.select(col("doc_id").as("db"), col("arr").as("sb")),
             "db")
           .select(col("da"), col("db"),
             size(col("sa")).cast("bigint").as("na"),
@@ -1090,13 +1123,13 @@ object DedupOps {
         val docs = table(s, dir, "documents")
         val sig = docSignatures(docs).localCheckpoint()
         val cand = bandedCandidates(sig, BandSize)
-        val hs = hashedShingles(docs).localCheckpoint()
-        val cnt = hs.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val inter = cand
-          .join(hs.as("ha"), col("d1") === col("ha.doc_id"))
-          .join(hs.as("hb"),
-            col("d2") === col("hb.doc_id") && col("ha.s") === col("hb.s"))
-          .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+        // Exact side at array grain: per-candidate intersection is the
+        // codegen'd sorted merge over the per-doc arrays, denominators
+        // are size(arr) — no candidate x shingle join, no count
+        // exchange (the left-join + coalesce(inter, 0) the exploded
+        // grain needed for empty intersections is gone too: the merge
+        // yields 0 directly).
+        val da = docShingleArrays(docs).localCheckpoint()
         val agree = aggregate(
           zip_with(col("sa.sig"), col("sb.sig"),
             (x, y) => when(x === y, 1).otherwise(0)),
@@ -1104,13 +1137,16 @@ object DedupOps {
         val scored = cand
           .join(sig.as("sa"), col("d1") === col("sa.doc_id"))
           .join(sig.as("sb"), col("d2") === col("sb.doc_id"))
-          .join(cnt.as("ca"), col("d1") === col("ca.doc_id"))
-          .join(cnt.as("cb"), col("d2") === col("cb.doc_id"))
-          .join(inter, Seq("d1", "d2"), "left")
+          .join(da.select(col("doc_id").as("d1"), col("arr").as("aa")),
+            "d1")
+          .join(da.select(col("doc_id").as("d2"), col("arr").as("ab")),
+            "d2")
           .select(agree.as("agree"),
-            coalesce(col("inter"), lit(0L)).as("inter"),
-            (col("ca.n") + col("cb.n") - coalesce(col("inter"), lit(0L)))
-              .as("uni"))
+            graft.functions.SortedIntersect
+              .interCountBig(s, col("aa"), col("ab")).as("inter"),
+            (size(col("aa")) + size(col("ab"))).cast("long").as("nn"))
+          .select(col("agree"), col("inter"),
+            (col("nn") - col("inter")).as("uni"))
           .select(
             expr(s"abs(agree * uni - $NumHashes * inter) * 10000" +
               s" div ($NumHashes * uni)").as("err_bps"),

@@ -252,9 +252,9 @@ object TrainDataOps {
       TextOps.gopherKeep.cast("int").as("q_keep"))
     // ONE materialization of the hashed shingle frame feeds both the
     // near-dup pair source (3 consumers inside) and decontamination (2)
-    // — the shingle scan+distinct runs once instead of twice. The pair
-    // source follows `graft.pair_source` (exact default | lsh), same
-    // selection q85 honors.
+    // — the shingle scan runs once instead of twice. The pair source
+    // follows `graft.pair_source` (exact default | lsh), same selection
+    // q85 honors.
     val sh = DedupOps.hashedShingles(docs).localCheckpoint(eager = true)
     val jp = DedupOps.nearDupPairs(docs,
       DedupOps.pairSource(docs.sparkSession), Some(sh))
