@@ -295,6 +295,37 @@ class PlanSpec extends SparkSpec {
       s"sorted-intersect expression not in q158 plan:\n$plan")
   }
 
+  test("hashed shingles and signatures are shuffle-free maps (r13 adoption)") {
+    // The per-row expressions must keep their structural wins: the
+    // hashed-shingle frame is select + explode over graft_shingle_hashes
+    // with ZERO exchanges (the corpus-wide distinct it replaced paid a
+    // full shuffle), and the signature frame is a pure projection over
+    // graft_minhash_sig — no Generate, no aggregate, no exchange.
+    val docs = TestData.table(spark, sf, "documents")
+    val shPlan = graft.ops.DedupOps.hashedShingles(docs)
+      .queryExecution.executedPlan.toString
+    assert(!shPlan.contains("Exchange"),
+      s"exchange in the hashed-shingle frame:\n$shPlan")
+    assert(shPlan.contains("graft_shingle_hashes"),
+      s"scalar shingle expression not in:\n$shPlan")
+    val sigPlan = graft.ops.DedupOps.docSignatures(docs)
+      .queryExecution.executedPlan.toString
+    assert(!sigPlan.contains("Exchange") && !sigPlan.contains("Generate") &&
+      !sigPlan.contains("HashAggregate"),
+      s"signature frame is not a pure map:\n$sigPlan")
+    assert(sigPlan.contains("graft_minhash_sig"),
+      s"scalar signature expression not in:\n$sigPlan")
+  }
+
+  test("q139 exact side verifies via sorted-intersect arrays (r13 adoption)") {
+    // The calibration's exact Jaccard must come from the array-grain
+    // sorted merge, not a candidate x shingle equi-join + count
+    // exchange (ProbeArrayGrain2: wins every block).
+    val plan = executed("q139_minhash_calibration")
+    assert(plan.contains("graft_sorted_inter_count"),
+      s"sorted-intersect expression not in q139 plan:\n$plan")
+  }
+
   test("q132 audit joins every FK target broadcast — no fact-side shuffle join") {
     val plan = executed("q132_dq_audit")
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
