@@ -46,12 +46,15 @@ object GrowthCurves {
   // Round 13 (VERDICT r12 #4) adds q248 (earned a driver stability
   // flag in r12 — host-adjudicated, and a measured curve ends that
   // conversation) and q198 (golden-record composite, the last
-  // checkpoint-heavy family member without a curve).
+  // checkpoint-heavy family member without a curve). Late round 13
+  // adds q139/q196 alongside q105/q151 so every query reshaped by the
+  // array-grain adoption carries a curve measured on its SHIPPED shape.
   private val AllHeavies = Seq("q110_full_dedup", "q121_entity_resolution",
     "q129_triangle_count", "q158_neighbor_similarity",
     "q275_labelprop_settle",
     "q96_curation_pipeline", "q105_keeplist_lsh", "q151_prefix_filter_join",
-    "q248_basket_fanout_audit", "q198_golden_record")
+    "q248_basket_fanout_audit", "q198_golden_record",
+    "q139_minhash_calibration", "q196_containment_pairs")
   private val only = sys.env.get("SPARK_GRAFT_GROWTH_ONLY")
     .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
   private val Heavies = AllHeavies
