@@ -397,6 +397,38 @@ object DedupOps {
         graft.functions.MinHashSig.sigCol(col("text"), NumHashes).as("sig"))
       .where(col("sig").isNotNull)
 
+  /** (doc_id, sig) per-document TF-weighted SimHash signatures over the
+    * leading `bits` bits of md5(word), via the scalar
+    * [[graft.functions.SimHashSignature]] expression — a pure map
+    * (bit-identity with the exploded bit-sum aggregate law-tested in
+    * PropertySpec). `graft.simhash=agg` reverts to the explode ->
+    * groupBy(doc_id) -> `bits`-column bit-majority aggregate for A/B.
+    * Shared by q26 (bits=32) and q163 (bits=60).
+    */
+  private[graft] def simhashSignatures(docs: DataFrame,
+                                       bits: Int): DataFrame =
+    if (docs.sparkSession.conf.getOption("graft.simhash").contains("agg")) {
+      val hashCol =
+        if (bits == 32)
+          conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long")
+        else md5Long60(col("word"))
+      val wordHash = docs
+        .select(col("doc_id"),
+          explode(split(col("text"), " ")).as("word"))
+        .select(col("doc_id"), hashCol.as("h"))
+      val bitSums = wordHash.groupBy("doc_id").agg(
+        sum(when(shiftright(col("h"), 0).bitwiseAND(1L) === 1L, 1)
+          .otherwise(-1)).as("b0"),
+        (1 until bits).map(j =>
+          sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1)
+            .otherwise(-1)).as(s"b$j")): _*)
+      val sigExpr = (0 until bits)
+        .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
+        .reduce(_ + _)
+      bitSums.select(col("doc_id"), sigExpr.as("sig"))
+    } else docs.select(col("doc_id"),
+      graft.functions.SimHashSig.sigCol(col("text"), bits).as("sig"))
+
   /** Band-bucket candidate pairs from minhash signatures: band key =
     * (band index, that band's signature slice), candidates = pairs
     * sharing >= 1 bucket. The join is an equi-join on the bucket —
@@ -1203,24 +1235,9 @@ object DedupOps {
     // Word hash = leading 32 bits of md5 — cross-engine reproducible, so
     // the signature is oracle-checked bit-for-bit (unlike xxhash64).
     "q26_simhash" -> Q(
-      (s, dir) => {
-        val wordHash = table(s, dir, "documents")
-          .select(col("doc_id"),
-            explode(split(col("text"), " ")).as("word"))
-          .select(col("doc_id"),
-            conv(substring(md5(col("word")), 1, 8), 16, 10)
-              .cast("long").as("h"))
-        val bitSums = wordHash.groupBy("doc_id").agg(
-          sum(when(shiftright(col("h"), 0).bitwiseAND(1L) === 1L, 1)
-            .otherwise(-1)).as("b0"),
-          (1 until 32).map(j =>
-            sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1)
-              .otherwise(-1)).as(s"b$j")): _*)
-        val sig = (0 until 32)
-          .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
-          .reduce(_ + _)
-        bitSums.select(col("doc_id"), sig.as("simhash")).orderBy("doc_id")
-      },
+      (s, dir) => simhashSignatures(table(s, dir, "documents"), 32)
+        .select(col("doc_id"), col("sig").as("simhash"))
+        .orderBy("doc_id"),
       Some(
         """WITH wh AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h
           |   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
@@ -1247,20 +1264,7 @@ object DedupOps {
     // popcount per candidate, no text travels anywhere.
     "q163_simhash_hamming" -> Q(
       (s, dir) => {
-        val wordHash = table(s, dir, "documents")
-          .select(col("doc_id"),
-            explode(split(col("text"), " ")).as("word"))
-          .select(col("doc_id"), md5Long60(col("word")).as("h"))
-        val bitSums = wordHash.groupBy("doc_id").agg(
-          sum(when(shiftright(col("h"), 0).bitwiseAND(1L) === 1L, 1)
-            .otherwise(-1)).as("b0"),
-          (1 until 60).map(j =>
-            sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1)
-              .otherwise(-1)).as(s"b$j")): _*)
-        val sigExpr = (0 until 60)
-          .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
-          .reduce(_ + _)
-        val sig = bitSums.select(col("doc_id"), sigExpr.as("sig"))
+        val sig = simhashSignatures(table(s, dir, "documents"), 60)
           .localCheckpoint(eager = true)
         val bands = sig.select(col("doc_id"), col("sig"),
           explode(expr(

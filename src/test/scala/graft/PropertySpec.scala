@@ -355,4 +355,51 @@ class PropertySpec extends SparkSpec {
       s"row sets differ: scalar-only=${(flat -- old).take(5)} " +
         s"old-only=${(old -- flat).take(5)}")
   }
+
+  test("graft_simhash equals the exploded bit-majority aggregate") {
+    // The scalar signature must be BIT-identical to explode ->
+    // groupBy(doc_id) -> bits-column bit-sum -> strict-majority
+    // assembly for BOTH widths (q26's 32, q163's 60), on every split(' ')
+    // shape including empty text (one empty word), repeated words (the
+    // TF weighting), unicode, and consecutive spaces.
+    val wordGen = Gen.frequency(
+      5 -> Gen.listOfN(3, Gen.alphaNumChar).map(_.mkString),
+      2 -> Gen.const("dup"),
+      1 -> Gen.const(""),
+      1 -> Gen.oneOf("é中", "ß"))
+    val textGen = for {
+      n <- Gen.chooseNum(0, 12)
+      ws <- Gen.listOfN(n, wordGen)
+    } yield ws.mkString(" ")
+    val texts = (sample(textGen, 250, seed = 11L) ++ Seq(
+      "", "one", "dup dup dup", "a  b", " x ", "é中 é中 ß")).distinct
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for (bits <- Seq(32, 60)) {
+      val hashCol =
+        if (bits == 32)
+          conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long")
+        else conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long")
+      val bitSums = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .select(col("doc_id"), hashCol.as("h"))
+        .groupBy("doc_id").agg(
+          sum(when(shiftright(col("h"), 0).bitwiseAND(1L) === 1L, 1)
+            .otherwise(-1)).as("b0"),
+          (1 until bits).map(j =>
+            sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1)
+              .otherwise(-1)).as(s"b$j")): _*)
+      val sigExpr = (0 until bits)
+        .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
+        .reduce(_ + _)
+      val agg = bitSums.select(col("doc_id"), sigExpr.as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val scalar = docs.select(col("doc_id"),
+          graft.functions.SimHashSig.sigCol(col("text"), bits).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(scalar == agg, s"bits=$bits: " + scalar.collect {
+        case (id, s) if agg(id) != s => s"doc $id scalar=$s agg=${agg(id)}"
+      }.take(3).mkString("; "))
+    }
+  }
 }
