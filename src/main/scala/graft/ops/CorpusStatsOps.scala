@@ -225,14 +225,16 @@ object CorpusStatsOps {
     // equi-keyed — no quadratic doc-vs-doc comparison anywhere.
     "q190_ngram_novelty" -> Q(
       (s, dir) => {
-        val grams = table(s, dir, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("w"))
-          .where(size(col("w")) >= 3)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', " +
-              "element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))"))
-            .as("gram"))
-          .distinct()
+        // Gram grain = the shared 60-bit md5 word-3-gram hash
+        // (graft_shingle_hashes): within-doc dedup happens in-row, so
+        // the corpus-wide distinct — whose only effect was that dedup —
+        // is gone, and the first-seen aggregation + join-back shuffle
+        // 8-byte longs instead of ~25-byte gram strings. The oracle
+        // replays the identical hash, so any 60-bit collision merges
+        // the same grams in both engines.
+        val grams = graft.ops.DedupOps
+          .docShingleArrays(table(s, dir, "documents"))
+          .select(col("doc_id"), explode(col("arr")).as("gram"))
           .localCheckpoint(eager = true)
         val firstSeen = grams.groupBy("gram")
           .agg(min("doc_id").as("first_doc"))
@@ -249,8 +251,8 @@ object CorpusStatsOps {
       Some(
         """WITH g0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
           | grams AS (SELECT DISTINCT doc_id,
-          |     unnest(list_transform(range(1, length(w) - 1),
-          |       i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS gram
+          |     ('0x' || substr(md5(unnest(list_transform(range(1, length(w) - 1),
+          |       i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))), 1, 15))::BIGINT AS gram
           |   FROM g0 WHERE length(w) >= 3),
           | fs AS (SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram)
           | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
