@@ -35,6 +35,64 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_jaro_winkler takes exactly 2 arguments")
         JaroWinklerSim(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sorted_inter_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName,
+        "graft_sorted_inter_count"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_sorted_inter_count takes exactly 2 arguments")
+        SortedIntersectCount(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sorted_inter"),
+      new ExpressionInfo(classOf[SortedIntersectArray].getName,
+        "graft_sorted_inter"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_sorted_inter takes exactly 2 arguments")
+        SortedIntersectArray(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_del_variants"),
+      new ExpressionInfo(classOf[DeletionVariantHashes].getName,
+        "graft_del_variants"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "graft_del_variants takes exactly 1 argument")
+        DeletionVariantHashes(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignature].getName,
+        "graft_minhash_sig"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "graft_minhash_sig takes exactly 1 argument (the text)")
+        MinHashSignature(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashArray].getName,
+        "graft_shingle_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "graft_shingle_hashes takes exactly 1 argument")
+        ShingleHashArray(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashSignature].getName, "graft_simhash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_simhash takes exactly 2 arguments (text, bits)")
+        children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(b: Int, _) =>
+            SimHashSignature(children.head, b)
+          case other => throw new IllegalArgumentException(
+            s"graft_simhash bits must be an INT literal, got $other")
+        }
+      }))
     ext.injectOptimizerRule(_ => graft.plans.BinnedRangeJoinRule)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }

@@ -402,4 +402,33 @@ class PropertySpec extends SparkSpec {
       }.take(3).mkString("; "))
     }
   }
+
+  test("the sketch and intersect expressions are SQL-registered") {
+    // Every custom expression is reachable from spark.sql, not just the
+    // Column API — the SQL surface a reference user would type.
+    assert(spark.sql("SELECT graft_sorted_inter_count(array(1L, 2L, 3L), " +
+      "array(2L, 3L, 4L))").head().getInt(0) == 2)
+    assert(spark.sql("SELECT graft_sorted_inter(array(1L, 2L), array(2L))")
+      .head().getSeq[Long](0) == Seq(2L))
+    // One-deletion neighborhood of "ab" = {ab, a, b}: 3 distinct hashes.
+    assert(spark.sql("SELECT size(graft_del_variants('ab'))")
+      .head().getInt(0) == 4) // ab, b, a, "" (two deletions)
+    assert(spark.sql("SELECT size(graft_minhash_sig('a b c d'))")
+      .head().getInt(0) == 16)
+    assert(spark.sql("SELECT graft_minhash_sig('a b')").head().get(0) == null)
+    assert(spark.sql("SELECT size(graft_shingle_hashes('a b c d'))")
+      .head().getInt(0) == 2)
+    // SQL simhash equals the Column-API form.
+    val viaSql = spark.sql("SELECT graft_simhash('a b c', 32)")
+      .head().getLong(0)
+    val viaCol = Seq("a b c").toDF("t")
+      .select(graft.functions.SimHashSig.sigCol(col("t"), 32))
+      .head().getLong(0)
+    assert(viaSql == viaCol)
+    // Non-literal bits is an analysis-time error, not a wrong answer.
+    intercept[Exception] {
+      spark.sql("SELECT graft_simhash('a', cast(rand() * 32 as int))")
+        .collect()
+    }
+  }
 }
