@@ -287,6 +287,41 @@ object Bench {
     val ctlWindows = scala.collection.mutable.ArrayBuffer(
       (0, controlRes.map(c => c._1 -> c._2), hostFactor, loadavg1m()))
 
+    // Output path, computed BEFORE the timed pass so the wall-storm
+    // guard's reference scan below can exclude the file this run will
+    // write. Named after the next round number so each round's artifact
+    // survives in git.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", {
+      val rounds = Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .flatMap(f => "^BENCH_r(\\d+)\\.json$".r
+          .findFirstMatchIn(f.getName).map(_.group(1).toInt))
+      f"BENCH_local_r${if (rounds.isEmpty) 0 else rounds.max + 1}%02d.json"
+    })
+
+    // Reference walls for the wall-storm guard (VERDICT r13 #4): the
+    // newest round-numbered artifact in the repo root (excluding the
+    // file this run writes), overridable via SPARK_GRAFT_REF_BENCH.
+    // Raw committed walls, not normalized ones — per-query raw walls in
+    // the committed artifacts track the quiet-host floors closely (the
+    // window factors mostly capture control-sensitive load, and
+    // BenchMath.wallStorm re-scales by the CURRENT window factor).
+    val refWalls: Map[String, Double] = sys.env.get("SPARK_GRAFT_REF_BENCH")
+      .orElse {
+        val re = "^BENCH_local_r(\\d+)\\.json$".r
+        Option(new java.io.File(".").listFiles()).toSeq.flatten
+          .filter(_.getName != new java.io.File(outPath).getName)
+          .flatMap(f => re.findFirstMatchIn(f.getName)
+            .map(m => (m.group(1).toInt, f.getPath)))
+          .sortBy(_._1).lastOption.map(_._2)
+      }
+      .map { p =>
+        try BenchMath.parseQueryWalls(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(p)))
+        catch { case scala.util.control.NonFatal(_) =>
+          Map.empty[String, Double] }
+      }
+      .getOrElse(Map.empty)
+
     val loadStart = loadavg1m()
     val results = catalog.zipWithIndex.map { case ((name, fn), idx) =>
       if (idx > 0 && idx % windowEvery == 0) ctlWindows += controlWindow(idx)
@@ -315,7 +350,16 @@ object Bench {
         val best = samples.filter(_._1 >= 0).sortBy(_._1).headOption
         best.exists(s => s._4 > 0.5 * s._1)
       }
-      while (retries < 2 && (divergent || jitStorm)) {
+      // Wall-storm guard (round 14, VERDICT r13 #4): q85's r13 storm
+      // inflated BOTH samples together with LOW in-bench jit — invisible
+      // to the two predicates above. Compare the best wall against the
+      // previous committed artifact's wall for this query, scaled by the
+      // current control window's host factor (predicate + thresholds
+      // pinned in BenchMathSpec; zero fires across the committed
+      // r12/r13 normal-pass pairs, fires on the q85 replay).
+      def wallStorm = ok.headOption.exists(b =>
+        BenchMath.wallStorm(b, refWalls.get(name), ctlWindows.last._3))
+      while (retries < 2 && (divergent || jitStorm || wallStorm)) {
         samples ::= one()
         retries += 1
       }
@@ -419,14 +463,8 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","host_factor":$hostFactor%.2f,"total_ctl_normalized":$totalNorm%.3f,"total_windowed_normalized":$totalWindowedNorm%.3f,"control_windows":$ctlWin,"queries":$qs,"sf":"$sfDir","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"load_wait_sec":$loadWaitSec,"controls":$ctl,"stability":$stab,"cpu_wall":$cw,"gc_wall":$gw,"jit_sec":$jt,"runs":$runs}"""
 
     // The full record ALSO goes to a file in the repo root (r5 lesson:
-    // stdout tail-capture truncated it two rounds running). Named after
-    // the next round number so each round's artifact survives in git.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", {
-      val rounds = Option(new java.io.File(".").listFiles()).toSeq.flatten
-        .flatMap(f => "^BENCH_r(\\d+)\\.json$".r
-          .findFirstMatchIn(f.getName).map(_.group(1).toInt))
-      f"BENCH_local_r${if (rounds.isEmpty) 0 else rounds.max + 1}%02d.json"
-    })
+    // stdout tail-capture truncated it two rounds running); outPath is
+    // computed before the timed pass, next to the reference-wall scan.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
       fullLine + "\n")
     catch { case scala.util.control.NonFatal(e) =>

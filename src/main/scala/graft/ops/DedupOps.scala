@@ -406,7 +406,13 @@ object DedupOps {
     * Shared by q26 (bits=32) and q163 (bits=60).
     */
   private[graft] def simhashSignatures(docs: DataFrame,
-                                       bits: Int): DataFrame =
+                                       bits: Int): DataFrame = {
+    // Only the two shipped widths have verified scalar/agg A/B identity
+    // (the agg fallback picks its hash by width: head-32 vs md5Long60).
+    // Any other width must be a loud error, not a silently divergent A/B
+    // (ADVICE r13).
+    require(bits == 32 || bits == 60,
+      s"simhashSignatures supports bits = 32 or 60, got $bits")
     if (docs.sparkSession.conf.getOption("graft.simhash").contains("agg")) {
       val hashCol =
         if (bits == 32)
@@ -428,6 +434,12 @@ object DedupOps {
       bitSums.select(col("doc_id"), sigExpr.as("sig"))
     } else docs.select(col("doc_id"),
       graft.functions.SimHashSig.sigCol(col("text"), bits).as("sig"))
+      // Null-text docs must vanish, matching the agg branch (whose
+      // explode of split(NULL) emits no rows) and the DuckDB oracle —
+      // the scalar expression is null exactly when text is null, so
+      // this filter is a no-op on non-null corpora (ADVICE r13).
+      .where(col("sig").isNotNull)
+  }
 
   /** Band-bucket candidate pairs from minhash signatures: band key =
     * (band index, that band's signature slice), candidates = pairs

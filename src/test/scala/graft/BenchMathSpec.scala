@@ -44,4 +44,55 @@ class BenchMathSpec extends AnyFunSuite {
     val total = BenchMath.windowedNormalizedTotal(one, Seq(5.0, 10.0))
     assert(math.abs(total - 6.0) < 1e-12)
   }
+
+  test("wall-storm fires on the q85 replay, stays quiet on steady state") {
+    // The r13 q85 incident verbatim: storm wall 5.31 s vs committed
+    // reference 1.636 s on a quiet host (VERDICT r13 #4).
+    assert(BenchMath.wallStorm(5.31, Some(1.636), 1.0))
+    // Steady-state q85 walls (1.6-2.3 s) must not fire.
+    assert(!BenchMath.wallStorm(2.3, Some(1.636), 1.0))
+    // A loaded host raises the threshold via the current window factor
+    // (the load is already visible in the controls; re-sampling a
+    // co-tenant window buys nothing).
+    assert(!BenchMath.wallStorm(5.31, Some(1.636), 4.28))
+    // Sub-second references are below the guard's floor: multiplicative
+    // jitter on cheap queries must not burn the retry budget.
+    assert(!BenchMath.wallStorm(0.9, Some(0.12), 1.0))
+    // Absolute floor: >2.5x but less than 1 s above the reference.
+    assert(!BenchMath.wallStorm(1.45, Some(0.5), 1.0))
+    // No reference (a brand-new query): inactive.
+    assert(!BenchMath.wallStorm(99.0, None, 1.0))
+  }
+
+  test("wall-storm adds zero re-samples across committed normal passes") {
+    // The r13 'done' bar: the guard fires on the q85 pattern AND a
+    // normal pass adds zero re-samples. Cross-compare the committed
+    // round artifacts as (reference -> measured) pairs at hfNow = 1 —
+    // every wall in each normal pass must sit inside the guard's band.
+    def walls(p: String) = BenchMath.parseQueryWalls(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(p)))
+    val pairs = Seq(
+      "BENCH_local_r12.json" -> "BENCH_local_r13.json",
+      "BENCH_local_r13_close.json" -> "BENCH_local_r13.json",
+      "BENCH_local_r12_final.json" -> "BENCH_local_r13_close.json")
+    for ((refP, curP) <- pairs) {
+      val ref = walls(refP)
+      val cur = walls(curP)
+      assert(ref.nonEmpty && cur.nonEmpty, s"unparsable artifact $refP/$curP")
+      val fires = cur.collect {
+        case (q, w) if BenchMath.wallStorm(w, ref.get(q), 1.0) => q
+      }
+      assert(fires.isEmpty,
+        s"normal pass $refP -> $curP would re-sample: $fires")
+    }
+  }
+
+  test("artifact wall parse reads the queries object only") {
+    val line = """{"metric":"total","value":9.1,"unit":"sec","n_queries":2,""" +
+      """"queries":{"q1_agg":1.250,"q2_x":-1},"controls":{"cal":0.35}}"""
+    val w = BenchMath.parseQueryWalls(line)
+    assert(w == Map("q1_agg" -> 1.25, "q2_x" -> -1.0))
+    assert(BenchMath.parseQueryWalls("{}").isEmpty)
+    assert(BenchMath.parseQueryWalls("""{"queries":{}}""").isEmpty)
+  }
 }

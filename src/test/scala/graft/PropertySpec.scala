@@ -410,9 +410,9 @@ class PropertySpec extends SparkSpec {
       "array(2L, 3L, 4L))").head().getInt(0) == 2)
     assert(spark.sql("SELECT graft_sorted_inter(array(1L, 2L), array(2L))")
       .head().getSeq[Long](0) == Seq(2L))
-    // One-deletion neighborhood of "ab" = {ab, a, b}: 3 distinct hashes.
+    // Two-deletion neighborhood of "ab" = {ab, a, b, ""}: 4 variants.
     assert(spark.sql("SELECT size(graft_del_variants('ab'))")
-      .head().getInt(0) == 4) // ab, b, a, "" (two deletions)
+      .head().getInt(0) == 4)
     assert(spark.sql("SELECT size(graft_minhash_sig('a b c d'))")
       .head().getInt(0) == 16)
     assert(spark.sql("SELECT graft_minhash_sig('a b')").head().get(0) == null)

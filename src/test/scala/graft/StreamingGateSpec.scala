@@ -101,4 +101,69 @@ class StreamingGateSpec extends SparkSpec {
     assert(spark.streams.active.isEmpty,
       "late-drop gate left a streaming query running")
   }
+
+  test("session gate equals the per-batch truncation of batch sessionization") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val rows = SparkEntry.queries("q280_streaming_session_gate")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(rows.nonEmpty)
+    // Observability 1: the 36 h gap actually fires — some user has >= 2
+    // distinct sessions (otherwise the gate degenerates to one
+    // running-total row per user and never tests the break logic).
+    val byUserStarts = rows.groupBy(_.head)
+      .map { case (_, rs) => rs.map(_(1)).distinct.size }
+    assert(byUserStarts.exists(_ >= 2),
+      "fixture degenerate: no user ever starts a second session")
+    // Observability 2: cross-batch state CARRY is real — some session
+    // (user, session_start) is emitted in two different batches with a
+    // grown event count, which only happens if mapGroupsWithState
+    // carried its state across micro-batches.
+    val carried = rows.groupBy(r => (r.head, r(1)))
+      .exists { case (_, rs) => rs.map(_(3)).distinct.size >= 2 }
+    assert(carried,
+      "no session spans a micro-batch boundary — state carry untested")
+    // Spark-side twin of the DuckDB oracle: global gap-sessionization
+    // (lag/cumsum islands), then per (user, batch) the cumulative stats
+    // of the session holding the user's last event in the batch. RANGE
+    // frames so ms-tied events are peers, exactly as the gate argues.
+    val ev = ops.TestData.table(spark, dir, "events")
+      .select(col("user_id"), unix_millis(col("ts")).as("ems"),
+        (col("value").cast(DecimalType(18, 4)) * 10000).cast("long").as("v"),
+        expr("unix_timestamp(ts) div 432000").as("bucket"))
+    val bi = ev.select("bucket").distinct()
+      .withColumn("batch",
+        ((row_number().over(Window.orderBy("bucket")) - 1) / 2).cast("long"))
+    val wu = Window.partitionBy("user_id").orderBy("ems")
+    val sess = ev.join(bi, "bucket")
+      .withColumn("brk",
+        when(col("ems") - lag("ems", 1).over(wu) > 36L * 3600 * 1000, 1)
+          .otherwise(0))
+      .withColumn("sid", sum("brk").over(
+        wu.rangeBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ws = Window.partitionBy("user_id", "sid").orderBy("ems")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = sess
+      .withColumn("session_start_ms", min("ems").over(ws))
+      .withColumn("session_end_ms", max("ems").over(ws))
+      .withColumn("n_events", count(lit(1)).over(ws))
+      .withColumn("value_sum_e4", sum("v").over(ws))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "batch").orderBy(col("ems").desc)))
+      .where(col("rn") === 1)
+      .select("user_id", "session_start_ms", "session_end_ms", "n_events",
+        "value_sum_e4")
+      .orderBy("user_id", "session_start_ms", "session_end_ms", "n_events")
+      .collect().map(_.toSeq).toSeq
+    assert(rows == expected,
+      s"session gate diverged from the batch twin: " +
+        s"${rows.take(3)} vs ${expected.take(3)}")
+    // Replay determinism: a second full replay emits identical rows.
+    val again = SparkEntry.queries("q280_streaming_session_gate")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(again == rows, "second replay diverged")
+    assert(spark.streams.active.isEmpty,
+      "session gate left a streaming query running")
+  }
 }
