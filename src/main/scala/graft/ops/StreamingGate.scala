@@ -142,6 +142,70 @@ object StreamingGate {
       .orderBy("hour_epoch", "event_type")
   }
 
+  /** q280's bucket-per-file grouping. UNLIKE q278's lever, this is a
+    * compile-time constant, not a runtime conf: the emission multiset
+    * of a mapGroupsWithState replay DEPENDS on the batch partition, so
+    * the DuckDB oracle's `// N` must move in lockstep — a runtime lever
+    * would let a typo silently diverge gate and oracle. ProbeQ280Files
+    * measures alternative groupings through [[sessionReplay]] directly.
+    * grouped(3) (3 data batches at the testdata's 30-day span) adopted
+    * over grouped(2) (4 batches) on a ProbeQ280Files 3/3 pairwise win,
+    * best 3.66 vs 4.66 s at sf0.1 — the cost is per-batch planning,
+    * and witness health stays real (13/126 carry witnesses, all users
+    * multi-session at sf0.001/sf0.01).
+    */
+  private val SessionGroup = 3
+
+  /** The q280 replay body, grouping parameterized for the probe (the
+    * shipped gate pins [[SessionGroup]]; changing it requires the
+    * matching oracle `// N` + spec-twin edit — see SessionGroup's doc).
+    */
+  private[graft] def sessionReplay(s: SparkSession, dir: String,
+                                   group: Int): DataFrame = {
+    import s.implicits._
+    val batch = normalizedBatch(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"),
+        // e4 units as an exact-integer double: DECIMAL(18,4) * 1e4
+        // is integral, so the Double holds it exactly (< 2^53) and
+        // sessionize's sequential Double fold is order-free.
+        (col("value") * 10000).cast("long").cast("double").as("value"))
+    val root = replayFixture(s"q280g$group", dir) { tmp =>
+      val bucketed = batch.withColumn("bucket",
+        expr("unix_timestamp(ts) div 432000"))
+      val buckets = bucketed.select("bucket").distinct()
+        .orderBy("bucket").collect().map(_.getLong(0))
+      buckets.grouped(group).zipWithIndex.foreach { case (bs, i) =>
+        writeReplayFile(
+          bucketed.where(col("bucket").isin(bs: _*)).drop("bucket"),
+          tmp, i)
+      }
+    }
+    s.catalog.dropTempView(SessionSinkName)
+    val stream = s.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "replay_*.parquet")
+      .parquet(root.getPath)
+      .as[graft.streaming.EventStreaming.Event]
+    val q = graft.streaming.EventStreaming
+      .sessionize(stream, gapMs = 36L * 3600 * 1000)
+      .writeStream
+      .format("memory")
+      .queryName(SessionSinkName)
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(SessionSinkName)
+      .select(col("user_id"),
+        unix_millis(col("session_start")).as("session_start_ms"),
+        unix_millis(col("session_end")).as("session_end_ms"),
+        col("n_events"),
+        col("value_sum").cast("long").as("value_sum_e4"))
+      .orderBy("user_id", "session_start_ms", "session_end_ms",
+        "n_events")
+  }
+
   private def normalizedBatch(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
@@ -349,12 +413,13 @@ object StreamingGate {
     // Drives [[graft.streaming.EventStreaming.sessionize]] BY REFERENCE
     // (gap = 36 h, chosen from the measured per-user gap distribution:
     // median inter-event gap ~7.4 h, p99 ~55 h — at 36 h the replay has
-    // BOTH real mid-batch session breaks (all 15/150 users multi-session
-    // at sf0.001/sf0.01) and real cross-batch continuations (17/157
-    // sessions emitted in two consecutive batches with grown counts —
-    // the state-carry witness; at 8 h a session almost never survives a
-    // whole 10-day batch as the tail, so carry would be measured-
-    // vacuous: 0/1 witnesses) over the q278 replay mechanism:
+    // BOTH real mid-batch session breaks (all 15/119 users multi-session
+    // at sf0.001/sf0.01 under the shipped grouped(3) split) and real
+    // cross-batch continuations (13/126 sessions emitted in two
+    // consecutive batches with grown counts — the state-carry witness;
+    // at 8 h a session almost never survives a whole multi-day batch
+    // as the tail, so carry would be measured-vacuous: 0/1 witnesses)
+    // over the q278 replay mechanism:
     // event-time-bucketed files in pinned order, maxFilesPerTrigger=1,
     // AvailableNow, Update-mode memory sink.
     //
@@ -383,55 +448,12 @@ object StreamingGate {
     // state carry that makes this a streaming operator rather than a
     // batch window.
     "q280_streaming_session_gate" -> Q(
-      (s, dir) => {
-        import s.implicits._
-        val batch = normalizedBatch(s, dir)
-          .select(col("event_id"), col("ts"), col("user_id"),
-            col("event_type"),
-            // e4 units as an exact-integer double: DECIMAL(18,4) * 1e4
-            // is integral, so the Double holds it exactly (< 2^53) and
-            // sessionize's sequential Double fold is order-free.
-            (col("value") * 10000).cast("long").cast("double").as("value"))
-        val root = replayFixture("q280v1", dir) { tmp =>
-          val bucketed = batch.withColumn("bucket",
-            expr("unix_timestamp(ts) div 432000"))
-          val buckets = bucketed.select("bucket").distinct()
-            .orderBy("bucket").collect().map(_.getLong(0))
-          buckets.grouped(2).zipWithIndex.foreach { case (bs, i) =>
-            writeReplayFile(
-              bucketed.where(col("bucket").isin(bs: _*)).drop("bucket"),
-              tmp, i)
-          }
-        }
-        s.catalog.dropTempView(SessionSinkName)
-        val stream = s.readStream.schema(batch.schema)
-          .option("maxFilesPerTrigger", "1")
-          .option("pathGlobFilter", "replay_*.parquet")
-          .parquet(root.getPath)
-          .as[graft.streaming.EventStreaming.Event]
-        val q = graft.streaming.EventStreaming
-          .sessionize(stream, gapMs = 36L * 3600 * 1000)
-          .writeStream
-          .format("memory")
-          .queryName(SessionSinkName)
-          .outputMode(OutputMode.Update())
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        s.table(SessionSinkName)
-          .select(col("user_id"),
-            unix_millis(col("session_start")).as("session_start_ms"),
-            unix_millis(col("session_end")).as("session_end_ms"),
-            col("n_events"),
-            col("value_sum").cast("long").as("value_sum_e4"))
-          .orderBy("user_id", "session_start_ms", "session_end_ms",
-            "n_events")
-      },
+      (s, dir) => sessionReplay(s, dir, SessionGroup),
       Some(
         """WITH raw AS (SELECT event_id, epoch_ms(ts) AS ems, user_id,
           |   CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v,
           |   CAST(floor(epoch(ts)) AS BIGINT) // 432000 AS bucket FROM events),
-          | bi AS (SELECT bucket, (ROW_NUMBER() OVER (ORDER BY bucket) - 1) // 2 AS batch
+          | bi AS (SELECT bucket, (ROW_NUMBER() OVER (ORDER BY bucket) - 1) // 3 AS batch
           |   FROM (SELECT DISTINCT bucket FROM raw)),
           | e AS (SELECT raw.*, bi.batch FROM raw JOIN bi USING (bucket)),
           | seq AS (SELECT *, CASE WHEN ems - lag(ems) OVER
