@@ -72,6 +72,74 @@ class AsofStreamingSpec extends SparkSpec {
     assert(got(2L) == ((1L, 8.0)))
   }
 
+  test("sessionize emission law: pure function of the batch partition " +
+    "(randomized)") {
+    // The q280 gate's core claim, as a LAW over randomized inputs rather
+    // than one fixture: for ANY time-ordered batch partition of ANY
+    // event set, the Update-mode emission of sessionize equals the
+    // window-function twin — global gap islands (lag/cumsum), cumulative
+    // stats truncated at each (user, batch)'s last event. Three seeded
+    // trials, real MemoryStream micro-batches (one per addData).
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.expressions.Window
+    val gapMs = 2L * 3600 * 1000
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      // Distinct minute offsets over 3 days -> no ts ties anywhere, so
+      // the index-cut batch partition is unambiguous.
+      val minutes = rnd.shuffle((0 until 3 * 24 * 60).toList).take(120)
+      val evs = minutes.zipWithIndex.map { case (m, i) =>
+        (i.toLong + 1, ts(m), rnd.nextInt(6).toLong + 1, "click",
+          rnd.nextInt(100).toDouble)
+      }.sortBy(_._2.getTime)
+      // Two random interior cuts -> three non-empty time-ordered batches.
+      val Seq(c1, c2) = Seq.fill(2)(1 + rnd.nextInt(evs.size - 1)).sorted
+        match { case s if s.head == s.last => Seq(s.head, s.head + 1)
+                case s => s }
+      val batches = Seq(evs.slice(0, c1), evs.slice(c1, c2),
+        evs.slice(c2, evs.size)).filter(_.nonEmpty)
+      val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+      val sink = s"sess_law_$trial"
+      val q = EventStreaming.sessionize(
+          mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+            .as[EventStreaming.Event], gapMs)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+        .start()
+      try {
+        batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      val got = spark.table(sink)
+        .select(col("user_id"), unix_millis(col("session_start")),
+          unix_millis(col("session_end")), col("n_events"), col("value_sum"))
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      // Window-function twin over the SAME batch assignment.
+      val flat = batches.zipWithIndex.flatMap { case (b, i) =>
+        b.map(e => (e._1, e._2.getTime, e._3, e._5, i))
+      }.toDF("event_id", "ems", "user_id", "v", "batch")
+      val wu = Window.partitionBy("user_id").orderBy("ems")
+      val ws = Window.partitionBy("user_id", "sid").orderBy("ems")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val expected = flat
+        .withColumn("brk",
+          when(col("ems") - lag("ems", 1).over(wu) > gapMs, 1).otherwise(0))
+        .withColumn("sid", sum("brk").over(
+          wu.rangeBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("s", min("ems").over(ws))
+        .withColumn("e", max("ems").over(ws))
+        .withColumn("n", count(lit(1)).over(ws))
+        .withColumn("vs", sum("v").over(ws))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id", "batch").orderBy(col("ems").desc)))
+        .where(col("rn") === 1)
+        .select("user_id", "s", "e", "n", "vs")
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      assert(got == expected,
+        s"trial $trial: emission diverged from the batch-partition twin " +
+          s"(${got.take(3)} vs ${expected.take(3)})")
+    }
+  }
+
   test("multimodal decode seam: deterministic stub features over binary") {
     val docs = Seq((1L, "hello world", "en", "src1", 11L),
       (2L, "hello world", "en", "src2", 11L))
