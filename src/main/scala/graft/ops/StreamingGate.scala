@@ -112,6 +112,35 @@ object StreamingGate {
     rmrf(new java.io.File(stage))
   }
 
+  /** Stream-side shuffle partitions for the gate queries, applied
+    * around each writeStream start (the micro-batch engine clones the
+    * session conf at query start, so the session value is restored
+    * immediately after). A STATEFUL micro-batch sets up and commits one
+    * state-store instance per shuffle partition; at the gates' bounded
+    * replay sizes that fixed per-batch overhead dominates the actual
+    * work, and lowering 32 -> 8 -> 4 measured 45-55% then another
+    * ~5-8% off every gate wall at sf0.1 (ProbeStreamPartitions:
+    * 12/12 + 6/6 pairwise wins, byte-identical outputs — hash
+    * aggregation and keyed state are partition-count-independent).
+    * Gate plumbing only, not posture: a production deployment sizes
+    * stream partitions to the data; these queries replay bounded
+    * fixtures. The lever is output-invariant, so unlike q280's
+    * grouping it is safe as a runtime conf (loud on a bad value).
+    */
+  private def streamParts(s: SparkSession): Int =
+    s.conf.getOption("graft.stream_parts").map { v =>
+      require(scala.util.Try(v.toInt).toOption.exists(_ >= 1),
+        s"graft.stream_parts must be a positive int, got '$v'")
+      v.toInt
+    }.getOrElse(4)
+
+  private def withStreamParts[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, streamParts(s).toString)
+    try body finally s.conf.set(key, old)
+  }
+
   /** Run `hourlyByType` over a replay fixture as a real multi-batch
     * stream (`maxFilesPerTrigger=1`) and return the sink's content in
     * the gate's canonical projection.
@@ -125,13 +154,15 @@ object StreamingGate {
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "replay_*.parquet")
       .parquet(root.getPath)
-    val q = graft.streaming.EventStreaming.hourlyByType(stream)
-      .writeStream
-      .format("memory")
-      .queryName(sinkName)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val q = withStreamParts(s) {
+      graft.streaming.EventStreaming.hourlyByType(stream)
+        .writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     s.table(sinkName)
       .select(
@@ -187,14 +218,16 @@ object StreamingGate {
       .option("pathGlobFilter", "replay_*.parquet")
       .parquet(root.getPath)
       .as[graft.streaming.EventStreaming.Event]
-    val q = graft.streaming.EventStreaming
-      .sessionize(stream, gapMs = 36L * 3600 * 1000)
-      .writeStream
-      .format("memory")
-      .queryName(SessionSinkName)
-      .outputMode(OutputMode.Update())
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val q = withStreamParts(s) {
+      graft.streaming.EventStreaming
+        .sessionize(stream, gapMs = 36L * 3600 * 1000)
+        .writeStream
+        .format("memory")
+        .queryName(SessionSinkName)
+        .outputMode(OutputMode.Update())
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     s.table(SessionSinkName)
       .select(col("user_id"),
@@ -233,13 +266,15 @@ object StreamingGate {
         // Re-invocation in the same session: the previous gate run's
         // memory-sink view would otherwise collide with the new query.
         s.catalog.dropTempView(SinkName)
-        val q = graft.streaming.EventStreaming.hourlyByType(events)
-          .writeStream
-          .format("memory")
-          .queryName(SinkName)
-          .outputMode(OutputMode.Complete())
-          .trigger(Trigger.AvailableNow())
-          .start()
+        val q = withStreamParts(s) {
+          graft.streaming.EventStreaming.hourlyByType(events)
+            .writeStream
+            .format("memory")
+            .queryName(SinkName)
+            .outputMode(OutputMode.Complete())
+            .trigger(Trigger.AvailableNow())
+            .start()
+        }
         q.awaitTermination()
         s.table(SinkName)
           .select(
