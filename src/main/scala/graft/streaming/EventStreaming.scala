@@ -350,6 +350,70 @@ object EventStreaming {
       }
   }
 
+  /** Gap-based sessionization with CLOSED-session emission — the
+    * production twin of [[sessionize]] (which emits the current open
+    * session each trigger and never evicts state). Each session is
+    * emitted EXACTLY ONCE, when it closes, through either path:
+    *  - in-batch: a later event of the same user arrives beyond `gapMs`
+    *    (the closing event starts the next session);
+    *  - timeout: the event-time watermark passes lastTs + gapMs with no
+    *    further activity — the state store evicts the user and the
+    *    final record is emitted from the timeout branch.
+    * Both paths produce the identical final record, so downstream sees
+    * one append-only stream of finished sessions.
+    *
+    * 100 TB posture: this is the variant that runs forever — state is
+    * O(1) per ACTIVE user and idle users are evicted at the watermark
+    * horizon, so a user-id-unbounded stream cannot grow the state
+    * store; emission is Append (each record written once), the shape an
+    * append-only session table needs. The timeout timestamp is clamped
+    * strictly above the current watermark (Spark rejects timeouts at or
+    * below it), so a tail already past the horizon closes at the next
+    * batch rather than throwing.
+    */
+  def sessionizeClosed(events: Dataset[Event],
+                       gapMs: Long = 30 * 60 * 1000L,
+                       watermark: String = "1 hour"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          def emit(st: SessionState) =
+            Session(userId, new Timestamp(st.sessionStart),
+              new Timestamp(st.lastTs), st.nEvents, st.valueSum)
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(emit(st))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var stOpt = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              stOpt = stOpt match {
+                case Some(st) if t - st.lastTs > gapMs =>
+                  closed ::= emit(st)
+                  Some(SessionState(t, t, 1L, e.value))
+                case Some(st) =>
+                  Some(st.copy(lastTs = t, nEvents = st.nEvents + 1,
+                    valueSum = st.valueSum + e.value))
+                case None =>
+                  Some(SessionState(t, t, 1L, e.value))
+              }
+            }
+            val st = stOpt.get
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(st.lastTs + gapMs, state.getCurrentWatermarkMs() + 1))
+            closed.reverseIterator
+          }
+      }
+  }
+
   final case class RateState(n: Long, s1: Long, s2: Long, curHour: Long,
                              curCnt: Long, flagged: Long, late: Long)
   final case class RateRow(user_id: Long, closed_hours: Long,

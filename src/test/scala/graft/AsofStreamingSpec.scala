@@ -140,6 +140,59 @@ class AsofStreamingSpec extends SparkSpec {
     }
   }
 
+  test("closed sessionization: each session emitted exactly once, " +
+    "state evicted at the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = EventStreaming.sessionizeClosed(
+        mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+          .as[EventStreaming.Event],
+        gapMs = 30 * 60000L, watermark = "1 hour")
+      .writeStream.format("memory").queryName("closed_sess")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    def rows() = spark.table("closed_sess").collect()
+      .map(s => (s.getLong(0), s.getTimestamp(1), s.getTimestamp(2),
+        s.getLong(3), s.getDouble(4))).toSet
+    try {
+      // batch 1: user 1 has an open 2-event session, user 2 one event.
+      mem.addData((1L, ts(0), 1L, "click", 1.0), (2L, ts(10), 1L, "click", 2.0),
+        (3L, ts(5), 2L, "view", 4.0))
+      q.processAllAvailable()
+      assert(rows().isEmpty, "nothing should close while the watermark lags")
+      // batch 2: event 4 closes user 1's session IN-BATCH (gap 170 min);
+      // event 5 advances the watermark to t0+660, past user 2's timeout
+      // (t0+35) and user 1's new tail (timeout t0+210) -> both close by
+      // TIMEOUT in the engine's follow-up batch; user 3 stays open
+      // (timeout t0+750 > watermark 660).
+      mem.addData((4L, ts(180), 1L, "click", 8.0), (5L, ts(720), 3L, "view", 16.0))
+      q.processAllAvailable()
+      assert(rows() == Set(
+        (1L, ts(0), ts(10), 2L, 3.0),
+        (1L, ts(180), ts(180), 1L, 8.0),
+        (2L, ts(5), ts(5), 1L, 4.0)),
+        s"after batch 2: ${rows()}")
+      // batch 3: user 2 re-appears ABOVE the watermark — its old state
+      // was evicted, so this is a FRESH session, not a continuation.
+      mem.addData((6L, ts(700), 2L, "view", 32.0))
+      q.processAllAvailable()
+      // batch 4: user 3's second event closes its first session in-batch
+      // (gap 780 min) and pushes the watermark to t0+1440, timing out
+      // user 2's fresh session (timeout t0+730); user 3's new tail
+      // (timeout t0+1530) stays open and is never emitted.
+      mem.addData((7L, ts(1500), 3L, "view", 64.0))
+      q.processAllAvailable()
+      val fin = rows()
+      assert(fin == Set(
+        (1L, ts(0), ts(10), 2L, 3.0),
+        (1L, ts(180), ts(180), 1L, 8.0),
+        (2L, ts(5), ts(5), 1L, 4.0),
+        (2L, ts(700), ts(700), 1L, 32.0),
+        (3L, ts(720), ts(720), 1L, 16.0)), s"final: $fin")
+      // exactly-once: the sink has no duplicate records.
+      assert(spark.table("closed_sess").count() == fin.size.toLong)
+    } finally q.stop()
+  }
+
   test("multimodal decode seam: deterministic stub features over binary") {
     val docs = Seq((1L, "hello world", "en", "src1", 11L),
       (2L, "hello world", "en", "src2", 11L))
