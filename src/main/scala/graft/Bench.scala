@@ -287,20 +287,28 @@ object Bench {
     val ctlWindows = scala.collection.mutable.ArrayBuffer(
       (0, controlRes.map(c => c._1 -> c._2), hostFactor, loadavg1m()))
 
+    // One repo-root listing serves both the round-number scan and the
+    // reference scan below — the pairing (outPath first, refs filtered
+    // against it) is the correctness of the exclusion logic.
+    val rootFiles = Option(new java.io.File(".").listFiles()).toSeq.flatten
+
     // Output path, computed BEFORE the timed pass so the wall-storm
     // guard's reference scan below can exclude the file this run will
     // write. Named after the next round number so each round's artifact
     // survives in git.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", {
-      val rounds = Option(new java.io.File(".").listFiles()).toSeq.flatten
+      val rounds = rootFiles
         .flatMap(f => "^BENCH_r(\\d+)\\.json$".r
           .findFirstMatchIn(f.getName).map(_.group(1).toInt))
       f"BENCH_local_r${if (rounds.isEmpty) 0 else rounds.max + 1}%02d.json"
     })
+    val outCanonical = new java.io.File(outPath).getCanonicalPath
 
     // Reference walls for the wall-storm guard (VERDICT r13 #4): the
     // newest round-numbered artifact in the repo root (excluding the
-    // file this run writes), overridable via SPARK_GRAFT_REF_BENCH.
+    // file this run writes — by CANONICAL path, so a same-named output
+    // directed elsewhere doesn't silently drop the repo artifact from
+    // the reference selection), overridable via SPARK_GRAFT_REF_BENCH.
     // Raw committed walls, not normalized ones — per-query raw walls in
     // the committed artifacts track the quiet-host floors closely (the
     // window factors mostly capture control-sensitive load, and
@@ -308,8 +316,8 @@ object Bench {
     val refWalls: Map[String, Double] = sys.env.get("SPARK_GRAFT_REF_BENCH")
       .orElse {
         val re = "^BENCH_local_r(\\d+)\\.json$".r
-        Option(new java.io.File(".").listFiles()).toSeq.flatten
-          .filter(_.getName != new java.io.File(outPath).getName)
+        rootFiles
+          .filter(_.getCanonicalPath != outCanonical)
           .flatMap(f => re.findFirstMatchIn(f.getName)
             .map(m => (m.group(1).toInt, f.getPath)))
           .sortBy(_._1).lastOption.map(_._2)

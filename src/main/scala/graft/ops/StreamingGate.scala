@@ -127,12 +127,20 @@ object StreamingGate {
     * fixtures. The lever is output-invariant, so unlike q280's
     * grouping it is safe as a runtime conf (loud on a bad value).
     */
+  /** Positive-int conf lever, loud on a bad value: a typo'd probe must
+    * not silently measure the default (shared by graft.q278_group and
+    * graft.stream_parts).
+    */
+  private def posIntConf(s: SparkSession, key: String, default: Int): Int =
+    s.conf.getOption(key).map { v =>
+      val parsed = scala.util.Try(v.trim.toInt).toOption
+      require(parsed.exists(_ >= 1),
+        s"$key must be a positive int, got '$v'")
+      parsed.get
+    }.getOrElse(default)
+
   private def streamParts(s: SparkSession): Int =
-    s.conf.getOption("graft.stream_parts").map { v =>
-      require(scala.util.Try(v.toInt).toOption.exists(_ >= 1),
-        s"graft.stream_parts must be a positive int, got '$v'")
-      v.toInt
-    }.getOrElse(4)
+    posIntConf(s, "graft.stream_parts", 4)
 
   private def withStreamParts[A](s: SparkSession)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
@@ -328,13 +336,7 @@ object StreamingGate {
         // identical 3585-row gated output — the cost is per-batch
         // planning, exactly as the r12 plan audit priced it, and three
         // batches still advance the watermark twice mid-stream.
-        val group = s.conf.getOption("graft.q278_group").map { v =>
-          // Loud on a bad lever value: a typo'd probe must not
-          // silently measure the default.
-          require(scala.util.Try(v.toInt).toOption.exists(_ >= 1),
-            s"graft.q278_group must be a positive int, got '$v'")
-          v.toInt
-        }.getOrElse(2)
+        val group = posIntConf(s, "graft.q278_group", 2)
         val root = replayFixture(s"q278g$group", dir) { tmp =>
           val bucketed = batch.withColumn("bucket",
             expr("unix_timestamp(ts) div 432000"))

@@ -331,8 +331,12 @@ object EventStreaming {
       .mapGroupsWithState[SessionState, Session](
         GroupStateTimeout.NoTimeout()) {
         case (userId, rows, state: GroupState[SessionState]) =>
-          // Order within the group: event-time ascending.
-          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          // Order within the group: event-time ascending, event_id
+          // tiebreak — ms-tied events otherwise fold value_sum in
+          // shuffle-delivery order, and (x+a)+b != (x+b)+a bitwise for
+          // fractional doubles, so a micro-batch retry could emit a
+          // different record (same discipline as windowFunnel).
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
           var st = state.getOption.getOrElse(
             SessionState(sorted.head.ts.getTime, sorted.head.ts.getTime, 0L, 0.0))
           sorted.foreach { e =>
@@ -389,7 +393,10 @@ object EventStreaming {
             state.remove()
             Iterator.single(emit(st))
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            // (ts, event_id) sort: see sessionize — ties must fold in a
+            // retry-stable order for the exactly-once record to be
+            // bitwise reproducible.
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             var closed = List.empty[Session]
             var stOpt = state.getOption
             sorted.foreach { e =>
