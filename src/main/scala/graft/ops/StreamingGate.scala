@@ -330,13 +330,17 @@ object StreamingGate {
         // progression with the SAME gated output, since the final
         // watermark and row totals are grouping-independent; the lever
         // trades per-batch planning cost against batch count).
-        // Default 2 (3 files / 3 data batches at the testdata's 30-day
-        // span) adopted on a ProbeQ278Files A/B x3 win at sf0.1: B < A
-        // in all three alternating pairs, best 3.93 vs 5.70 s,
-        // identical 3585-row gated output — the cost is per-batch
-        // planning, exactly as the r12 plan audit priced it, and three
-        // batches still advance the watermark twice mid-stream.
-        val group = posIntConf(s, "graft.q278_group", 2)
+        // Default 3 (3 files / 3 data batches at the testdata's 7-bucket
+        // span), adopted round 14 on a ProbeQ278Files A/B x3 win over
+        // the r13 default 2 (4 files): 3/3 pairwise, best 1.46 vs
+        // 1.76 s at sf0.1 with the stream_parts=4 batches, identical
+        // 3585-row gated output. (r13 had adopted 2 over 1 the same
+        // way: 3.93 vs 5.70 s at the then-6-bucket span.) The cost is
+        // per-batch planning, exactly as the r12 plan audit priced it,
+        // and three batches still advance the watermark twice
+        // mid-stream — the multi-batch progression the gate exists to
+        // prove.
+        val group = posIntConf(s, "graft.q278_group", 3)
         val root = replayFixture(s"q278g$group", dir) { tmp =>
           val bucketed = batch.withColumn("bucket",
             expr("unix_timestamp(ts) div 432000"))

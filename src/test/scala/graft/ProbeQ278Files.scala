@@ -13,6 +13,11 @@ import org.apache.spark.sql.SparkSession
   * the r11/r12 discipline.
   *
   * Run: SPARK_TEST_MEM=16g sbt "Test/runMain graft.ProbeQ278Files"
+  * Round 14: the A/B groupings are env-parameterized
+  * (SPARK_GRAFT_PROBE_Q278_A / _B, defaults 1 vs 2 preserving the r12
+  * probe) so later grouping candidates reuse the same harness — output
+  * identity is still REQUIRED (q278's gated output is
+  * grouping-independent by construction).
   */
 object ProbeQ278Files {
   def main(args: Array[String]): Unit = {
@@ -33,9 +38,12 @@ object ProbeQ278Files {
       finally spark.conf.unset("graft.q278_group")
     }
 
+    val ga = sys.env.getOrElse("SPARK_GRAFT_PROBE_Q278_A", "1").toInt
+    val gb = sys.env.getOrElse("SPARK_GRAFT_PROBE_Q278_B", "2").toInt
+
     // Identity check + fixture build (untimed) for both variants.
-    val a0 = run(1)
-    val b0 = run(2)
+    val a0 = run(ga)
+    val b0 = run(gb)
     require(a0 == b0,
       s"gated output differs between groupings: ${a0.size} vs ${b0.size} rows")
     println(s"[q278files] identical gated output, rows=${a0.size}")
@@ -49,8 +57,8 @@ object ProbeQ278Files {
       w
     }
     val walls = (1 to 3).map { i =>
-      val wa = timed(s"A(6files)#$i")(run(1).size)
-      val wb = timed(s"B(3files)#$i")(run(2).size)
+      val wa = timed(s"A(group=$ga)#$i")(run(ga).size)
+      val wb = timed(s"B(group=$gb)#$i")(run(gb).size)
       (wa, wb)
     }
     val bestA = walls.map(_._1).min
