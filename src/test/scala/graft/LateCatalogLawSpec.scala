@@ -64,6 +64,58 @@ class LateCatalogLawSpec extends SparkSpec {
       }
   }
 
+  test("q234 early A-priori prune equals the post-join prune") {
+    // The shipped shape semi-joins (p1, p2) against the frequent-pair
+    // list BEFORE extending with the third item (ProbeQ234Prune:
+    // Catalyst does not push a left-semi below the basket join, so the
+    // placement is load-bearing for the C(width, 3) bound). This pins
+    // that the placement is a pure optimization: the naive shape that
+    // generates every a<b<c triple first and prunes after must produce
+    // the identical (p1, p2, p3, orders_cnt) multiset. At sf0.001 the
+    // post-support-cut set is empty (the oracle's 12 rows appear at
+    // sf0.01), so this law runs at sf0.01 and asserts non-emptiness —
+    // a vacuous equality would pin nothing.
+    val sfq = "/root/testdata/sf0.01"
+    val li = graft.ops.TestData.table(spark, sfq, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val fi = li.groupBy("p").agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2).select("p")
+    val liF = li.join(fi, "p").select("o", "p")
+    val fp = liF.alias("a").join(liF.alias("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("c")).where(col("c") >= 2)
+      .select("u", "v")
+    val naive = liF.alias("a")
+      .join(liF.alias("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .join(liF.alias("c"),
+        col("b.o") === col("c.o") && col("b.p") < col("c.p"))
+      .select(col("a.p").as("p1"), col("b.p").as("p2"),
+        col("c.p").as("p3"))
+      .join(fp.select(col("u").as("p1"), col("v").as("p2")),
+        Seq("p1", "p2"), "left_semi")
+      .join(fp.select(col("u").as("p1"), col("v").as("p3")),
+        Seq("p1", "p3"), "left_semi")
+      .join(fp.select(col("u").as("p2"), col("v").as("p3")),
+        Seq("p2", "p3"), "left_semi")
+      .groupBy("p1", "p2", "p3").agg(count(lit(1)).as("orders_cnt"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val shipped = SparkEntry.queries("q234_frequent_triples")(spark, sfq)
+      .select("p1", "p2", "p3", "orders_cnt")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(shipped.nonEmpty, "law is vacuous: no frequent triples")
+    // The query keeps only orders_cnt >= 2 and the top-20 rank; apply
+    // the same cut to the naive frame before comparing. The rank cut
+    // must not bite (else set equality would compare different grains).
+    assert(naive.count(_._4 >= 2) <= 20,
+      "testdata grew past the top-20 rank; compare ranked frames instead")
+    assert(shipped == naive.filter(_._4 >= 2),
+      s"placement changed the triple multiset: ${shipped.size} vs " +
+        s"${naive.count(_._4 >= 2)}")
+  }
+
   test("q252 rendezvous growth moves keys ONLY onto the new shard") {
     // the HRW invariant its minimal-movement claim rests on: adding
     // shard 8 can only steal keys whose new argmax IS shard 8 — every

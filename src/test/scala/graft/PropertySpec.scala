@@ -425,10 +425,15 @@ class PropertySpec extends SparkSpec {
       .select(graft.functions.SimHashSig.sigCol(col("t"), 32))
       .head().getLong(0)
     assert(viaSql == viaCol)
-    // Non-literal bits is an analysis-time error, not a wrong answer.
-    intercept[Exception] {
+    // Any foldable INT works for bits, not just a bare literal.
+    assert(spark.sql("SELECT graft_simhash('a b c', 16 + 16)")
+      .head().getLong(0) == viaSql)
+    // Non-constant bits is a proper AnalysisException (NON_FOLDABLE_
+    // ARGUMENT), not an IllegalArgumentException from the builder.
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT graft_simhash('a', cast(rand() * 32 as int))")
         .collect()
     }
+    assert(e.getMessage.contains("graft_simhash"))
   }
 }
