@@ -29,10 +29,13 @@ print("### Structural counts (predict ~ factor^1.0)\n")
 print("| count | " + " | ".join(f"x{f}" for f in factors) + " | exponent |")
 print("|---|" + "---|" * (len(factors) + 1))
 for key in ("jaccard_candidates", "prefix_candidates",
-            "copurchase_edges", "repeat_edges"):
+            "copurchase_edges", "repeat_edges",
+            "apriori_triple_candidates"):
     if key not in rows[0]:  # older curves.json predate a count
         continue
     vals = [r[key] for r in rows]
+    if any(v < 0 for v in vals):  # count skipped under GROWTH_ONLY
+        continue
     print(f"| {key} | " + " | ".join(str(v) for v in vals) +
           f" | {fit(factors, vals):.2f} |")
 

@@ -158,6 +158,51 @@ object WarehouseOps {
       .select("u", "v")
   }
 
+  /** q234's A-priori candidate pipeline, shared with GrowthCurves so
+    * the measured structural count is EXACTLY the frame the query
+    * runs. Returns (li, triples): `li` is the checkpointed distinct
+    * basket frame (the caller derives n_orders from it — one read, one
+    * checkpoint), `triples` the fully-pruned (p1, p2, p3) candidate
+    * rows (one per order) BEFORE the support-cut aggregate. The
+    * (p1, p2) frequent-pair semi-join gates the third basket join —
+    * textbook A-priori placement; see the q234 comment below for the
+    * ProbeQ234Prune measurement that makes the placement load-bearing.
+    */
+  private[graft] def aprioriTripleParts(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val li = table(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    val fi = li.groupBy("p").agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2).select("p")
+    val liF = li.join(fi, "p").select("o", "p")
+      .localCheckpoint(eager = true)
+    val fp = liF.alias("a").join(liF.alias("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("c")).where(col("c") >= 2)
+      .select("u", "v")
+      .localCheckpoint(eager = true)
+    val ab = liF.alias("a")
+      .join(liF.alias("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.o").as("o"), col("a.p").as("p1"),
+        col("b.p").as("p2"))
+      .join(fp.select(col("u").as("p1"), col("v").as("p2")),
+        Seq("p1", "p2"), "left_semi")
+    val triples = ab.alias("ab")
+      .join(liF.alias("c"),
+        col("ab.o") === col("c.o") && col("ab.p2") < col("c.p"))
+      .select(col("ab.p1").as("p1"), col("ab.p2").as("p2"),
+        col("c.p").as("p3"))
+      .join(fp.select(col("u").as("p1"), col("v").as("p3")),
+        Seq("p1", "p3"), "left_semi")
+      .join(fp.select(col("u").as("p2"), col("v").as("p3")),
+        Seq("p2", "p3"), "left_semi")
+    (li, triples)
+  }
+
   /** One k-core peeling round: filter `edges(a, b)` to endpoints whose
     * degree (in `deg(a, deg)`) is >= k. The survivor list derives from
     * the checkpointed deg (no checkpoint of its own); under the default
@@ -1809,38 +1854,10 @@ object WarehouseOps {
     "q234_frequent_triples" -> Q(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val li = table(s, dir, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
-          .localCheckpoint(eager = true)
-        val fi = li.groupBy("p").agg(count(lit(1)).as("c"))
-          .where(col("c") >= 2).select("p")
-        val liF = li.join(fi, "p").select("o", "p")
-          .localCheckpoint(eager = true)
-        val fp = liF.alias("a").join(liF.alias("b"),
-            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-          .agg(count(lit(1)).as("c")).where(col("c") >= 2)
-          .select("u", "v")
-          .localCheckpoint(eager = true)
+        val (li, cand) = aprioriTripleParts(s, dir)
         val nOrders = li.select("o").distinct()
           .agg(count(lit(1)).as("n_orders"))
-        val ab = liF.alias("a")
-          .join(liF.alias("b"),
-            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .select(col("a.o").as("o"), col("a.p").as("p1"),
-            col("b.p").as("p2"))
-          .join(fp.select(col("u").as("p1"), col("v").as("p2")),
-            Seq("p1", "p2"), "left_semi")
-        val triples = ab.alias("ab")
-          .join(liF.alias("c"),
-            col("ab.o") === col("c.o") && col("ab.p2") < col("c.p"))
-          .select(col("ab.p1").as("p1"), col("ab.p2").as("p2"),
-            col("c.p").as("p3"))
-          .join(fp.select(col("u").as("p1"), col("v").as("p3")),
-            Seq("p1", "p3"), "left_semi")
-          .join(fp.select(col("u").as("p2"), col("v").as("p3")),
-            Seq("p2", "p3"), "left_semi")
+        val triples = cand
           .groupBy("p1", "p2", "p3").agg(count(lit(1)).as("orders_cnt"))
           .where(col("orders_cnt") >= 2)
         triples.crossJoin(broadcast(nOrders))

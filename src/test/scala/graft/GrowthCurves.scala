@@ -49,12 +49,18 @@ object GrowthCurves {
   // checkpoint-heavy family member without a curve). Late round 13
   // adds q139/q196 alongside q105/q151 so every query reshaped by the
   // array-grain adoption carries a curve measured on its SHIPPED shape.
+  // Round 14 adds q234: its A-priori placement was reshaped (the
+  // frequent-pair semi-join now gates the third basket join —
+  // ProbeQ234Prune), so it carries a curve measured on the SHIPPED
+  // shape, plus the structural count the bound predicts grows ~ r
+  // (apriori_triple_candidates: the fully-pruned candidate rows).
   private val AllHeavies = Seq("q110_full_dedup", "q121_entity_resolution",
     "q129_triangle_count", "q158_neighbor_similarity",
     "q275_labelprop_settle",
     "q96_curation_pipeline", "q105_keeplist_lsh", "q151_prefix_filter_join",
     "q248_basket_fanout_audit", "q198_golden_record",
-    "q139_minhash_calibration", "q196_containment_pairs")
+    "q139_minhash_calibration", "q196_containment_pairs",
+    "q234_frequent_triples")
   private val only = sys.env.get("SPARK_GRAFT_GROWTH_ONLY")
     .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
   private val Heavies = AllHeavies
@@ -150,24 +156,41 @@ object GrowthCurves {
     val sb = new StringBuilder("[\n")
     Factors.foreach { r =>
       val dir = dirs(r)
-      // Structural counts the linear-growth claim predicts ~ r.
+      // Structural counts the linear-growth claim predicts ~ r. Each
+      // count runs only when a selected heavy consumes it, so a
+      // SPARK_GRAFT_GROWTH_ONLY-focused run doesn't pay for the others
+      // (skipped counts record -1).
+      def wants(qs: String*): Boolean =
+        Heavies.exists(h => qs.exists(h.contains))
       clearState(spark)
       val docs = ops.TestData.table(spark, dir, "documents")
-      val sh = ops.DedupOps.hashedShingles(docs)
-        .localCheckpoint(eager = true)
-      val cand = ops.DedupOps.jaccardPairsFromHashed(sh).count()
+      val cand = if (wants("q110", "q105", "q96", "q198", "q139")) {
+        val sh = ops.DedupOps.hashedShingles(docs)
+          .localCheckpoint(eager = true)
+        ops.DedupOps.jaccardPairsFromHashed(sh).count()
+      } else -1L
       clearState(spark)
       // q151's structural law (round 12): prefix-collision candidate
       // pairs — the prefix-filter bound predicts ~ r (per-replica
       // disjoint shingle universes; high-df tokens pushed out of
       // prefixes), never r^2.
-      val sh2 = ops.DedupOps.hashedShingles(docs)
-        .localCheckpoint(eager = true)
-      val preCand = ops.DedupOps.prefixFilterCandidates(sh2).count()
+      val preCand = if (wants("q151", "q196")) {
+        val sh2 = ops.DedupOps.hashedShingles(docs)
+          .localCheckpoint(eager = true)
+        ops.DedupOps.prefixFilterCandidates(sh2).count()
+      } else -1L
       clearState(spark)
-      val coEdges = ops.WarehouseOps.coPurchasePairs(spark, dir).count()
+      val coEdges = if (wants("q129", "q158", "q275", "q248"))
+        ops.WarehouseOps.coPurchasePairs(spark, dir).count() else -1L
       clearState(spark)
-      val repEdges = ops.WarehouseOps.repeatCoPurchasePairs(spark, dir).count()
+      val repEdges = if (wants("q275"))
+        ops.WarehouseOps.repeatCoPurchasePairs(spark, dir).count() else -1L
+      clearState(spark)
+      // q234's structural law (round 14): fully-pruned A-priori triple
+      // candidates — the early-prune placement predicts ~ r (disjoint
+      // replica part universes keep frequent pairs within-replica).
+      val apCand = if (wants("q234"))
+        ops.WarehouseOps.aprioriTripleParts(spark, dir)._2.count() else -1L
       val walls = Heavies.map { q =>
         val s1 = timed(q, dir); val s2 = timed(q, dir)
         val best = Seq(s1, s2).minBy(_._1)
@@ -193,6 +216,7 @@ object GrowthCurves {
       sb ++= s"""{"factor":$r,"jaccard_candidates":$cand,""" +
         s""""prefix_candidates":$preCand,""" +
         s""""copurchase_edges":$coEdges,"repeat_edges":$repEdges,""" +
+        s""""apriori_triple_candidates":$apCand,""" +
         s""""default":{${wjson(walls)}},"prepartition":{${wjson(gatedWalls)}}}""" +
         (if (r == Factors.last) "\n" else ",\n")
     }
