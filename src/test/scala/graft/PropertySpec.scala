@@ -356,6 +356,48 @@ class PropertySpec extends SparkSpec {
         s"old-only=${(old -- flat).take(5)}")
   }
 
+  test("sketch A/B levers agree on a degenerate corpus (null/empty/short)") {
+    // ADVICE r13 found the ONE place where the scalar branch and its
+    // agg/explode fallback diverged — on a null text, which the shipped
+    // testdata never contains. This pins the whole lever family on the
+    // corpus that would expose that class: null, empty, 1/2/3-word,
+    // repeated-word, and unicode texts. For each lever, frame equality
+    // (same doc_ids, same values) between the default scalar branch and
+    // the flagged fallback.
+    val rows = Seq[(Long, String)](
+      (1L, null), (2L, ""), (3L, "a"), (4L, "a b"), (5L, "a b c"),
+      (6L, "a a a a"), (7L, "naïve café 日本 語 テスト"),
+      (8L, "the quick brown fox jumps over the lazy dog"))
+    val docs = rows.toDF("doc_id", "text")
+    def withFlag[A](k: String, v: String)(f: => A): A =
+      try { spark.conf.set(k, v); f } finally spark.conf.unset(k)
+
+    def sigSet(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    val mhScalar = sigSet(graft.ops.DedupOps.docSignatures(docs))
+    val mhAgg = withFlag("graft.minhash", "agg")(
+      sigSet(graft.ops.DedupOps.docSignatures(docs)))
+    assert(mhScalar == mhAgg,
+      s"minhash lever diverged: scalar=${mhScalar.map(_._1)} " +
+        s"agg=${mhAgg.map(_._1)}")
+
+    Seq(32, 60).foreach { bits =>
+      def shSet(df: org.apache.spark.sql.DataFrame) = df
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val scalar = shSet(graft.ops.DedupOps.simhashSignatures(docs, bits))
+      val agg = withFlag("graft.simhash", "agg")(
+        shSet(graft.ops.DedupOps.simhashSignatures(docs, bits)))
+      assert(scalar == agg, s"simhash($bits) lever diverged")
+    }
+
+    def rowSet(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val shScalar = rowSet(graft.ops.DedupOps.hashedShingles(docs))
+    val shExplode = withFlag("graft.shingle_hashes", "explode")(
+      rowSet(graft.ops.DedupOps.hashedShingles(docs)))
+    assert(shScalar == shExplode, "shingle-hash lever diverged")
+  }
+
   test("graft_simhash equals the exploded bit-majority aggregate") {
     // The scalar signature must be BIT-identical to explode ->
     // groupBy(doc_id) -> bits-column bit-sum -> strict-majority
