@@ -211,7 +211,7 @@ object SortedIntersect {
     */
   def interArray(s: org.apache.spark.sql.SparkSession,
                  a: Column, b: Column): Column =
-    if (s.conf.getOption("graft.sorted_inter").contains("builtin"))
+    if (graft.Levers.isSet(s, "graft.sorted_inter", "builtin"))
       org.apache.spark.sql.functions.array_intersect(a, b)
     else array(a, b)
 
@@ -228,7 +228,7 @@ object SortedIntersect {
     */
   def interCountBig(s: org.apache.spark.sql.SparkSession,
                     a: Column, b: Column): Column =
-    if (s.conf.getOption("graft.sorted_inter").contains("builtin"))
+    if (graft.Levers.isSet(s, "graft.sorted_inter", "builtin"))
       org.apache.spark.sql.functions.size(
         org.apache.spark.sql.functions.array_intersect(a, b)).cast("long")
     else count(a, b).cast("long")

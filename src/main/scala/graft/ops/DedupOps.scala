@@ -67,8 +67,8 @@ object DedupOps {
     * `graft.shingle_hashes=explode` reverts to the old shape for A/B.
     */
   private[graft] def hashedShingles(docs: DataFrame): DataFrame =
-    if (docs.sparkSession.conf.getOption("graft.shingle_hashes")
-        .contains("explode"))
+    if (graft.Levers.isSet(docs.sparkSession, "graft.shingle_hashes",
+        "explode"))
       rawShingles(docs)
         .select(col("doc_id"), md5Long60(col("s")).as("s"))
         .distinct()
@@ -390,7 +390,7 @@ object DedupOps {
     * `graft.minhash=agg` reverts to the aggregate pipeline for A/B.
     */
   private[graft] def docSignatures(docs: DataFrame): DataFrame =
-    if (docs.sparkSession.conf.getOption("graft.minhash").contains("agg"))
+    if (graft.Levers.isSet(docs.sparkSession, "graft.minhash", "agg"))
       minhashSignatures(rawShingles(docs))
     else docs
       .select(col("doc_id"),
@@ -413,7 +413,7 @@ object DedupOps {
     // (ADVICE r13).
     require(bits == 32 || bits == 60,
       s"simhashSignatures supports bits = 32 or 60, got $bits")
-    if (docs.sparkSession.conf.getOption("graft.simhash").contains("agg")) {
+    if (graft.Levers.isSet(docs.sparkSession, "graft.simhash", "agg")) {
       val hashCol =
         if (bits == 32)
           conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long")

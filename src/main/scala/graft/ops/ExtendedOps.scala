@@ -56,8 +56,8 @@ object ExtendedOps {
   private[graft] def deletionVariants(rows: DataFrame, name: String,
       carry: Seq[String]): DataFrame = {
     val cs = carry.map(col)
-    if (rows.sparkSession.conf.getOption("graft.del_variants")
-        .contains("explode")) {
+    if (graft.Levers.isSet(rows.sparkSession, "graft.del_variants",
+        "explode")) {
       val base = rows.select(cs :+ col(name).as("s0"): _*)
       val v0 = base.select(cs :+ col("s0").as("v"): _*)
       // one deletion at position i; keep (s1, i) so the second deletion

@@ -45,7 +45,7 @@ object TestData {
       java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (spark.conf.getOption("graft.table_cache").contains("off"))
+    if (graft.Levers.isSet(spark, "graft.table_cache", "off"))
       build(spark, sfDir, name)
     else {
       relationCache.forEach((session, _) =>

@@ -398,6 +398,32 @@ class PropertySpec extends SparkSpec {
     assert(shScalar == shExplode, "shingle-hash lever diverged")
   }
 
+  test("a typo'd A/B lever value is a loud error, not a silent A/A") {
+    // contains(fallback) parsing would select the shipped branch for
+    // any unrecognized value — in an A/B probe that measures A vs A
+    // and silently invalidates the result. Levers.isSet is strict.
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    def withFlag[A](k: String, v: String)(f: => A): A =
+      try { spark.conf.set(k, v); f } finally spark.conf.unset(k)
+    val e = intercept[IllegalArgumentException] {
+      withFlag("graft.minhash", "agh")(
+        graft.ops.DedupOps.docSignatures(docs).count())
+    }
+    assert(e.getMessage.contains("graft.minhash") &&
+      e.getMessage.contains("agg"))
+    // The documented value still selects the fallback branch, and the
+    // never-documented "default spelling" is an error too (unset IS
+    // the default).
+    withFlag("graft.minhash", "agg")(
+      assert(graft.ops.DedupOps.docSignatures(docs).count() == 1L))
+    intercept[IllegalArgumentException] {
+      withFlag("graft.sorted_inter", "scalar")(
+        graft.functions.SortedIntersect.interCountBig(spark,
+          org.apache.spark.sql.functions.col("a"),
+          org.apache.spark.sql.functions.col("b")))
+    }
+  }
+
   test("graft_simhash equals the exploded bit-majority aggregate") {
     // The scalar signature must be BIT-identical to explode ->
     // groupBy(doc_id) -> bits-column bit-sum -> strict-majority
