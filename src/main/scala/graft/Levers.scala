@@ -25,4 +25,29 @@ object Levers {
       case Some(v) => throw new IllegalArgumentException(
         s"$key must be unset or '$fallback', got '$v'")
     }
+
+  /** Positive-integer scale knob (graft.tiles, graft.kmeans.k, ...):
+    * unset = default; set = a named parse + range error instead of a
+    * bare NumberFormatException that doesn't say which knob was bad.
+    */
+  private[graft] def posInt(s: SparkSession, key: String,
+                            default: Int): Int =
+    s.conf.getOption(key).map { v =>
+      val parsed = scala.util.Try(v.trim.toInt).toOption
+      require(parsed.exists(_ >= 1),
+        s"$key must be a positive integer, got '$v'")
+      parsed.get
+    }.getOrElse(default)
+
+  /** Positive-long variant for row-count-scaled knobs
+    * (graft.shingle_df_cap). `default` None = the knob is optional.
+    */
+  private[graft] def posLongOpt(s: SparkSession,
+                                key: String): Option[Long] =
+    s.conf.getOption(key).map { v =>
+      val parsed = scala.util.Try(v.trim.toLong).toOption
+      require(parsed.exists(_ >= 1L),
+        s"$key must be a positive integer, got '$v'")
+      parsed.get
+    }
 }

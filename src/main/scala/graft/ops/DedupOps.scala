@@ -120,7 +120,7 @@ object DedupOps {
     * {1, 3, 5, 8}).
     */
   private[graft] def tileCount(s: SparkSession): Int =
-    s.conf.getOption("graft.tiles").map(_.toInt).getOrElse(8)
+    graft.Levers.posInt(s, "graft.tiles", 8)
 
   /** Exact cosine near-dup pairs above `threshold` via a TILED
     * self-join: block g = vec_id mod B; side A owns tiles (g, j) for
@@ -192,7 +192,7 @@ object DedupOps {
     * `graft.etl.replication` overrides.
     */
   private[graft] def shingleDfCap(s: SparkSession): Option[Long] =
-    s.conf.getOption("graft.shingle_df_cap").map(_.toLong)
+    graft.Levers.posLongOpt(s, "graft.shingle_df_cap")
 
   /** Drop shingles whose document frequency exceeds `cap`. The hub set
     * is tiny by construction (df > cap), so it broadcasts into an

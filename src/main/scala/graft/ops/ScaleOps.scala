@@ -42,8 +42,7 @@ object ScaleOps {
   private val DefaultEtlReplication = 700
 
   private[graft] def etlReplication(s: org.apache.spark.sql.SparkSession): Int =
-    s.conf.getOption("graft.etl.replication").map(_.toInt)
-      .getOrElse(DefaultEtlReplication)
+    graft.Levers.posInt(s, "graft.etl.replication", DefaultEtlReplication)
 
   def all: Map[String, Q] = Map(
 

@@ -348,7 +348,7 @@ object TrainDataOps {
     * change — the oracle replays whatever k the session declares.
     */
   private[graft] def kmeansK(s: SparkSession): Int =
-    s.conf.getOption("graft.kmeans.k").map(_.toInt).getOrElse(8)
+    graft.Levers.posInt(s, "graft.kmeans.k", 8)
 
   /** The IVF probe assignment shared by q199, q274 and the hot-cell
     * measurement probe (ProbeQ274Cells): each query's 2 nearest cells

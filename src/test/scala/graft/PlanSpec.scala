@@ -286,6 +286,27 @@ class PlanSpec extends SparkSpec {
       s"variant generation shuffles (the shape the r12 adoption removed):\n$plan")
   }
 
+  test("q234's frequent-pair semi-join sits BELOW the third basket join") {
+    // The r14 A-priori placement (ProbeQ234Prune): the (p1, p2)
+    // left-semi must gate the third basket join's input, not prune
+    // after the full a<b<c fanout. Catalyst does not move it either
+    // way, so the logical shape is load-bearing — this pins it: some
+    // inner join in the optimized plan must carry a LeftSemi join in
+    // its LEFT subtree (the pruned ab frame being extended).
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+    val plan = SparkEntry.queries("q234_frequent_triples")(spark, sf)
+      .queryExecution.optimizedPlan
+    val earlyPruned = plan.collect {
+      case j: LJoin if j.joinType == Inner =>
+        j.left.collectFirst {
+          case s: LJoin if s.joinType == LeftSemi => true
+        }.isDefined
+    }.exists(identity)
+    assert(earlyPruned,
+      s"no inner join extends a semi-pruned left side in:\n$plan")
+  }
+
   test("q158 similarity scores via the sorted-intersect expression") {
     // r12 adoption: the per-edge common-neighbor count must run through
     // graft_sorted_inter_count (allocation-free two-pointer merge), not

@@ -422,6 +422,17 @@ class PropertySpec extends SparkSpec {
           org.apache.spark.sql.functions.col("a"),
           org.apache.spark.sql.functions.col("b")))
     }
+    // Numeric knobs get the same named-error discipline (a bare
+    // NumberFormatException doesn't say which knob was bad).
+    val e2 = intercept[IllegalArgumentException] {
+      withFlag("graft.tiles", "eight")(graft.ops.DedupOps.tileCount(spark))
+    }
+    assert(e2.getMessage.contains("graft.tiles"))
+    val e3 = intercept[IllegalArgumentException] {
+      withFlag("graft.shingle_df_cap", "0")(
+        graft.ops.DedupOps.shingleDfCap(spark))
+    }
+    assert(e3.getMessage.contains("graft.shingle_df_cap"))
   }
 
   test("graft_simhash equals the exploded bit-majority aggregate") {
