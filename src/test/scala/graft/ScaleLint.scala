@@ -146,4 +146,77 @@ object ScaleLint {
       case w: Window if constantKey(w, bounded) && !reduced(w.child) =>
         (s"$name[${signatureKey(w)}]", w)
     }
+
+  /** True when the subtree provably emits O(1) rows regardless of
+    * corpus size: a global aggregate (one row), a literal relation, a
+    * literal LIMIT, or compositions of those. This is what makes a
+    * condition-less join harmless — `corpus x scalar` is a map, while
+    * `corpus x corpus` is the N^2 the cartesian lint exists to catch.
+    */
+  def boundedRows(p: LogicalPlan): Boolean = p match {
+    case a: Aggregate => a.groupingExpressions.isEmpty
+    case l: LocalRelation => l.data.length <= 8
+    case _: OneRowRelation => true
+    case _: Range => true // literal element count (spark.range(k))
+    case g: GlobalLimit => true // literal k by construction in this API
+    case l: LocalLimit => true
+    case j: Join => boundedRows(j.left) && boundedRows(j.right)
+    case other if other.children.nonEmpty =>
+      other match {
+        case _: Union => other.children.forall(boundedRows)
+        // Unary pass-throughs (Project/Filter/SubqueryAlias/Sort/...)
+        case u if u.children.size == 1 => boundedRows(u.children.head)
+        case _ => false
+      }
+    case _ => false
+  }
+
+  /** Catalog-wide cartesian lint: every condition-less inner/cross
+    * join where NEITHER side is provably O(1) rows is a corpus x
+    * corpus product — the plan shape that cannot ship at any scale.
+    */
+  def cartesianFlagged(name: String, plan: LogicalPlan)
+  : Seq[(String, Join)] =
+    plan.collect {
+      case j: Join if j.condition.isEmpty &&
+          (j.joinType == org.apache.spark.sql.catalyst.plans.Inner ||
+            j.joinType == org.apache.spark.sql.catalyst.plans.Cross) &&
+          !boundedRows(j.left) && !boundedRows(j.right) =>
+        (name, j)
+    }
+
+  /** Cartesians the structural predicate cannot prove bounded but whose
+    * small side is bounded by DATA or CONFIG, not the corpus. Every
+    * entry except q199 carries a measured bound (below) asserted at two
+    * SFs by ScaleLintSpec, so the justification is a measurement, not
+    * prose (the window-allowlist discipline, VERDICT r9 #1).
+    */
+  val cartesianAllow: Map[String, String] = Map(
+    "q40_ann_ivf_topk" ->
+      "bench/seed side is `vec_id < 16` — 16 rows at every SF (literal key predicate)",
+    "q119_pq_adc_topk" ->
+      "checkpointed PQ codebook — rows fixed by the operator's k, not the corpus",
+    "q161_ivm_audit" ->
+      "checkpointed one-row day-midpoint bounds frame",
+    "q241_ks_drift" ->
+      "KS grid: ~20-source enum x token-length domain, both value-bounded",
+    "q251_discount_lift" ->
+      "one-row disc_pct=0 base from the 11-value discount-band aggregate",
+    "q199_ivf_topk" ->
+      ("the EXACT-RECALL AUDIT is quadratic by construction (the query's " +
+        "contract; the oracle states the same CROSS JOIN) — the scale " +
+        "path is the IVF probe itself, and q274 is the broadcast-free " +
+        "production shape"))
+
+  /** Max rows allowed on the SMALLER side of each allowlisted
+    * cartesian, asserted at sf0.001 AND sf0.01 (a corpus-growing side
+    * would blow through the bound at the larger SF). q199 is absent:
+    * its audit side is a 1/250 corpus sample by design.
+    */
+  val cartesianBound: Map[String, Long] = Map(
+    "q40_ann_ivf_topk" -> 16L,
+    "q119_pq_adc_topk" -> 256L,
+    "q161_ivm_audit" -> 1L,
+    "q241_ks_drift" -> 64L,
+    "q251_discount_lift" -> 1L)
 }

@@ -47,6 +47,53 @@ class ScaleLintSpec extends SparkSpec {
         s"two-pass bucket or count-per-value pattern): ${offenders.mkString("; ")}")
   }
 
+  test("no condition-less join multiplies two unbounded frames") {
+    // corpus x corpus cartesian products cannot ship at any scale; a
+    // condition-less join is only sane when one side is provably O(1)
+    // rows (a global aggregate, a literal frame, a literal limit) —
+    // the crossJoin(broadcast(scalarAgg)) pattern the catalog uses for
+    // anchors and denominators. Walks every query's optimized plan.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .flatMap { case (name, fn) =>
+        ScaleLint.cartesianFlagged(name,
+          fn(spark, sf).queryExecution.optimizedPlan).map(_._1)
+      }.distinct.filterNot(ScaleLint.cartesianAllow.contains)
+    assert(offenders.isEmpty,
+      s"unbounded cartesian product in: ${offenders.mkString(", ")}")
+  }
+
+  test("allowlisted cartesians keep a bounded small side (measured)") {
+    // The window-allowlist discipline (VERDICT r9 #1) applied to the
+    // cartesian allowlist: each entry's justification is a COUNT at two
+    // SFs, not prose. The smaller side of every flagged join must stay
+    // under its declared bound at sf0.001 AND sf0.01 — a side that
+    // grows with the corpus blows the bound at the larger SF.
+    ScaleLint.cartesianBound.foreach { case (name, bound) =>
+      Seq(sf, "/root/testdata/sf0.01").foreach { dir =>
+        val plan = SparkEntry.queries(name)(spark, dir)
+          .queryExecution.optimizedPlan
+        val joins = ScaleLint.cartesianFlagged(name, plan).map(_._2)
+        assert(joins.nonEmpty,
+          s"$name: allowlisted but nothing flagged at $dir — stale entry")
+        joins.foreach { j =>
+          val minSide = math.min(
+            org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, j.left)
+              .count(),
+            org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, j.right)
+              .count())
+          assert(minSide <= bound,
+            s"$name at $dir: smaller cartesian side has $minSide rows " +
+              s"(bound $bound)")
+        }
+      }
+    }
+    // q199 is justification-only (the exact-recall audit is quadratic
+    // by construction); every other allowlisted entry must be measured.
+    assert(ScaleLint.cartesianAllow.keySet --
+      ScaleLint.cartesianBound.keySet == Set("q199_ivf_topk"),
+      "every cartesianAllow entry except the q199 audit needs a bound")
+  }
+
   test("derived bounded-domain set sees the testdata enums") {
     // Guard the derivation itself: the known enums must be discovered
     // from data (not just hand-listed), and corpus-growing key/text
