@@ -127,20 +127,8 @@ object StreamingGate {
     * fixtures. The lever is output-invariant, so unlike q280's
     * grouping it is safe as a runtime conf (loud on a bad value).
     */
-  /** Positive-int conf lever, loud on a bad value: a typo'd probe must
-    * not silently measure the default (shared by graft.q278_group and
-    * graft.stream_parts).
-    */
-  private def posIntConf(s: SparkSession, key: String, default: Int): Int =
-    s.conf.getOption(key).map { v =>
-      val parsed = scala.util.Try(v.trim.toInt).toOption
-      require(parsed.exists(_ >= 1),
-        s"$key must be a positive int, got '$v'")
-      parsed.get
-    }.getOrElse(default)
-
   private def streamParts(s: SparkSession): Int =
-    posIntConf(s, "graft.stream_parts", 4)
+    graft.Levers.posInt(s, "graft.stream_parts", 4)
 
   private def withStreamParts[A](s: SparkSession)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
@@ -193,7 +181,7 @@ object StreamingGate {
     * and witness health stays real (13/126 carry witnesses, all users
     * multi-session at sf0.001/sf0.01).
     */
-  private val SessionGroup = 3
+  private[graft] val SessionGroup = 3
 
   /** The q280 replay body, grouping parameterized for the probe (the
     * shipped gate pins [[SessionGroup]]; changing it requires the
@@ -340,7 +328,7 @@ object StreamingGate {
         // and three batches still advance the watermark twice
         // mid-stream — the multi-batch progression the gate exists to
         // prove.
-        val group = posIntConf(s, "graft.q278_group", 3)
+        val group = graft.Levers.posInt(s, "graft.q278_group", 3)
         val root = replayFixture(s"q278g$group", dir) { tmp =>
           val bucketed = batch.withColumn("bucket",
             expr("unix_timestamp(ts) div 432000"))
@@ -491,10 +479,10 @@ object StreamingGate {
     "q280_streaming_session_gate" -> Q(
       (s, dir) => sessionReplay(s, dir, SessionGroup),
       Some(
-        """WITH raw AS (SELECT event_id, epoch_ms(ts) AS ems, user_id,
+        s"""WITH raw AS (SELECT event_id, epoch_ms(ts) AS ems, user_id,
           |   CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v,
           |   CAST(floor(epoch(ts)) AS BIGINT) // 432000 AS bucket FROM events),
-          | bi AS (SELECT bucket, (ROW_NUMBER() OVER (ORDER BY bucket) - 1) // 3 AS batch
+          | bi AS (SELECT bucket, (ROW_NUMBER() OVER (ORDER BY bucket) - 1) // $SessionGroup AS batch
           |   FROM (SELECT DISTINCT bucket FROM raw)),
           | e AS (SELECT raw.*, bi.batch FROM raw JOIN bi USING (bucket)),
           | seq AS (SELECT *, CASE WHEN ems - lag(ems) OVER

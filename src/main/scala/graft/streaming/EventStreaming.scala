@@ -345,7 +345,18 @@ object EventStreaming {
               if (t - st.lastTs > gapMs)
                 SessionState(t, t, 1L, e.value) // gap exceeded: new session
               else
-                st.copy(lastTs = t, nEvents = st.nEvents + 1,
+                // min/max clamps: a cross-batch LATE event (t below the
+                // state's span — possible under out-of-order delivery)
+                // must widen the session, never drag lastTs backwards;
+                // an unclamped lastTs = t makes the NEXT event measure
+                // its gap against the late straggler and spuriously
+                // split one real session in two (r14 review). For
+                // in-order delivery t >= lastTs and the clamps are
+                // identities — the q280 gate's pinned replay is
+                // bit-unchanged.
+                st.copy(sessionStart = math.min(st.sessionStart, t),
+                  lastTs = math.max(st.lastTs, t),
+                  nEvents = st.nEvents + 1,
                   valueSum = st.valueSum + e.value)
           }
           state.update(st)
@@ -406,7 +417,18 @@ object EventStreaming {
                   closed ::= emit(st)
                   Some(SessionState(t, t, 1L, e.value))
                 case Some(st) =>
-                  Some(st.copy(lastTs = t, nEvents = st.nEvents + 1,
+                  // Same min/max clamps as sessionize: a late event
+                  // above the watermark widens the live session instead
+                  // of regressing lastTs (which would make the next
+                  // event's gap test split the session — r14 review).
+                  // A late event older than sessionStart - gap strictly
+                  // belongs to an already-closed earlier session; with
+                  // one state per user it merges here, the standard
+                  // single-pass approximation, and the watermark bounds
+                  // how old such a straggler can be.
+                  Some(st.copy(sessionStart = math.min(st.sessionStart, t),
+                    lastTs = math.max(st.lastTs, t),
+                    nEvents = st.nEvents + 1,
                     valueSum = st.valueSum + e.value))
                 case None =>
                   Some(SessionState(t, t, 1L, e.value))

@@ -193,6 +193,48 @@ class AsofStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("closed sessionization: a late event widens the session, " +
+    "never splits it") {
+    // r14 review: an unclamped `lastTs = t` let a cross-batch late
+    // event (above the watermark, below the state's span) drag lastTs
+    // backwards, so the NEXT event measured its gap against the
+    // straggler and spuriously split one real session in two. The
+    // clamped fold must produce exactly ONE session covering all four
+    // events.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = EventStreaming.sessionizeClosed(
+        mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+          .as[EventStreaming.Event],
+        gapMs = 30 * 60000L, watermark = "6 hours")
+      .writeStream.format("memory").queryName("late_sess")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      // batch 1: two in-order events; state span [600, 615].
+      mem.addData((1L, ts(600), 1L, "click", 1.0),
+        (2L, ts(615), 1L, "click", 2.0))
+      q.processAllAvailable()
+      // batch 2: a LATE event at 590 (within gap of the span, above
+      // the 6 h watermark) plus an in-order event at 640. Unclamped
+      // fold: lastTs regresses to 590, then 640 - 590 = 50 min > 30 min
+      // gap -> spurious close. Clamped: one live session [590, 640].
+      mem.addData((3L, ts(590), 1L, "click", 4.0),
+        (4L, ts(640), 1L, "click", 8.0))
+      q.processAllAvailable()
+      assert(spark.table("late_sess").collect().isEmpty,
+        "the late event must merge, not close the session")
+      // batch 3: advance the watermark far past the session tail so the
+      // single widened session closes by timeout.
+      mem.addData((5L, ts(3000), 2L, "view", 0.5))
+      q.processAllAvailable()
+      val got = spark.table("late_sess").collect()
+        .map(s => (s.getLong(0), s.getTimestamp(1), s.getTimestamp(2),
+          s.getLong(3), s.getDouble(4))).toSet
+      assert(got == Set((1L, ts(590), ts(640), 4L, 15.0)),
+        s"expected one widened session, got: $got")
+    } finally q.stop()
+  }
+
   test("multimodal decode seam: deterministic stub features over binary") {
     val docs = Seq((1L, "hello world", "en", "src1", 11L),
       (2L, "hello world", "en", "src2", 11L))

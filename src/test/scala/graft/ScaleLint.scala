@@ -158,8 +158,16 @@ object ScaleLint {
     case l: LocalRelation => l.data.length <= 8
     case _: OneRowRelation => true
     case _: Range => true // literal element count (spark.range(k))
-    case g: GlobalLimit => true // literal k by construction in this API
-    case l: LocalLimit => true
+    // Limits are bounded only when the literal is actually small — a
+    // limit(10_000_000) is not O(1) (r14 review).
+    case g: GlobalLimit => g.maxRows.exists(_ <= 100000L)
+    case l: LocalLimit => l.maxRows.exists(_ <= 100000L)
+    // Row-MULTIPLYING unary nodes must not ride the pass-through: an
+    // explode over a global collect_list re-emits corpus-many rows
+    // from a one-row frame (r14 review). Expand multiplies by a
+    // literal projection count, so bounded-in stays bounded-out.
+    case _: Generate => false
+    case e: Expand => boundedRows(e.child)
     case j: Join => boundedRows(j.left) && boundedRows(j.right)
     case other if other.children.nonEmpty =>
       other match {

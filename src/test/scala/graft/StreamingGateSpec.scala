@@ -134,7 +134,8 @@ class StreamingGateSpec extends SparkSpec {
         expr("unix_timestamp(ts) div 432000").as("bucket"))
     val bi = ev.select("bucket").distinct()
       .withColumn("batch",
-        ((row_number().over(Window.orderBy("bucket")) - 1) / 3).cast("long"))
+        ((row_number().over(Window.orderBy("bucket")) - 1) /
+          ops.StreamingGate.SessionGroup).cast("long"))
     val wu = Window.partitionBy("user_id").orderBy("ems")
     val sess = ev.join(bi, "bucket")
       .withColumn("brk",
