@@ -41,6 +41,7 @@ object StreamingGate {
   private val AppendSinkName = "graft_q278_hourly_append_sink"
   private val LateSinkName = "graft_q279_hourly_late_sink"
   private val SessionSinkName = "graft_q280_session_sink"
+  private val SessionCloseSinkName = "graft_q281_session_close_sink"
 
   /** Events with ts normalized to TIMESTAMP (handles the generator's
     * nanos-as-long variant) and value quantized to DECIMAL(18,4) —
@@ -183,12 +184,32 @@ object StreamingGate {
     */
   private[graft] val SessionGroup = 3
 
-  /** The q280 replay body, grouping parameterized for the probe (the
-    * shipped gate pins [[SessionGroup]]; changing it requires the
-    * matching oracle `// N` + spec-twin edit — see SessionGroup's doc).
+  /** The session gates' gaps, each picked from the measured per-user
+    * inter-event gap distribution (median ~7.4 h, p99 ~55 h) to make
+    * its OWN gate's witness class non-vacuous:
+    *  - q280 (open sessions, Update) uses 36 h so sessions survive a
+    *    whole multi-day batch as its tail — the state-CARRY witness
+    *    (13/126 carried at the gate SFs; at 8 h carry is 0-1).
+    *  - q281 (closed sessions, Append + EventTimeTimeout) uses 8 h so
+    *    enough users' LAST sessions end more than gap+delay before the
+    *    stream's end — the state-EVICTION witness (measured per gap in
+    *    DuckDB: 5/53 timeout-closed last islands at sf0.001/sf0.01 at
+    *    8 h vs 0/2 at 36 h, with 10/97 still-open tails suppressed —
+    *    all three paths non-vacuous at BOTH gate SFs).
+    * The q281 watermark delay is 2 h, the family's q277-q279 value.
     */
-  private[graft] def sessionReplay(s: SparkSession, dir: String,
-                                   group: Int): DataFrame = {
+  private[graft] val SessionGapMs = 36L * 3600 * 1000
+  private[graft] val SessionCloseGapMs = 8L * 3600 * 1000
+  private[graft] val SessionDelayMs = 2L * 3600 * 1000
+
+  /** The session gates' shared stream input: events with `value` on the
+    * DECIMAL(18,4) -> e4-integer-double seam (exact in a Double, so the
+    * keepers' sequential fold is order-free) — plus the shared on-disk
+    * replay fixture (q280 and q281 replay IDENTICAL files, so the
+    * content-keyed fixture is built once per (source, grouping)).
+    */
+  private def sessionStream(s: SparkSession, dir: String, group: Int)
+  : org.apache.spark.sql.Dataset[graft.streaming.EventStreaming.Event] = {
     import s.implicits._
     val batch = normalizedBatch(s, dir)
       .select(col("event_id"), col("ts"), col("user_id"),
@@ -208,24 +229,31 @@ object StreamingGate {
           tmp, i)
       }
     }
-    s.catalog.dropTempView(SessionSinkName)
-    val stream = s.readStream.schema(batch.schema)
+    s.readStream.schema(batch.schema)
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "replay_*.parquet")
       .parquet(root.getPath)
       .as[graft.streaming.EventStreaming.Event]
+  }
+
+  /** Run a session-gate stream to completion and project the sink in
+    * the gates' canonical (user, start_ms, end_ms, n, value_e4) shape.
+    */
+  private def runSessionSink(
+      s: SparkSession, sinkName: String, mode: OutputMode,
+      sessions: org.apache.spark.sql.Dataset[
+        graft.streaming.EventStreaming.Session]): DataFrame = {
+    s.catalog.dropTempView(sinkName)
     val q = withStreamParts(s) {
-      graft.streaming.EventStreaming
-        .sessionize(stream, gapMs = 36L * 3600 * 1000)
-        .writeStream
+      sessions.writeStream
         .format("memory")
-        .queryName(SessionSinkName)
-        .outputMode(OutputMode.Update())
+        .queryName(sinkName)
+        .outputMode(mode)
         .trigger(Trigger.AvailableNow())
         .start()
     }
     q.awaitTermination()
-    s.table(SessionSinkName)
+    s.table(sinkName)
       .select(col("user_id"),
         unix_millis(col("session_start")).as("session_start_ms"),
         unix_millis(col("session_end")).as("session_end_ms"),
@@ -234,6 +262,31 @@ object StreamingGate {
       .orderBy("user_id", "session_start_ms", "session_end_ms",
         "n_events")
   }
+
+  /** The q280 replay body, grouping parameterized for the probe (the
+    * shipped gate pins [[SessionGroup]]; changing it requires the
+    * matching oracle `// N` + spec-twin edit — see SessionGroup's doc).
+    */
+  private[graft] def sessionReplay(s: SparkSession, dir: String,
+                                   group: Int): DataFrame =
+    runSessionSink(s, SessionSinkName, OutputMode.Update(),
+      graft.streaming.EventStreaming
+        .sessionize(sessionStream(s, dir, group), gapMs = SessionGapMs))
+
+  /** The q281 replay body: [[graft.streaming.EventStreaming
+    * .sessionizeClosed]] (EventTimeTimeout + Append) over the SAME
+    * fixture as q280. Grouping still parameterized for probes, but —
+    * unlike q280 — the emitted multiset is grouping-INDEPENDENT (see
+    * the q281 entry comment), so the oracle carries no `// N`.
+    */
+  private[graft] def sessionCloseReplay(s: SparkSession, dir: String,
+                                        group: Int,
+                                        gapMs: Long = SessionCloseGapMs)
+  : DataFrame =
+    runSessionSink(s, SessionCloseSinkName, OutputMode.Append(),
+      graft.streaming.EventStreaming.sessionizeClosed(
+        sessionStream(s, dir, group), gapMs = gapMs,
+        watermark = "2 hours"))
 
   private def normalizedBatch(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -501,6 +554,74 @@ object StreamingGate {
           |     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
           | SELECT user_id, session_start_ms, session_end_ms, n_events, value_sum_e4
           | FROM cum WHERE rn = 1
+          | ORDER BY user_id, session_start_ms, session_end_ms, n_events"""
+          .stripMargin.replace("\n", ""))),
+
+    // CLOSED-session gate (VERDICT r14 "Next round" #2: the last
+    // spec-only streaming operator, and the code path that carried
+    // r14's late-event clamp bug). Drives
+    // [[graft.streaming.EventStreaming.sessionizeClosed]] BY REFERENCE
+    // — flatMapGroupsWithState + EventTimeTimeout + Append, the
+    // PRODUCTION sessionizer (state evicted at the watermark horizon,
+    // each finished session appended exactly once) — over the SAME
+    // pinned replay fixture as q280 (the fixture is gap-independent),
+    // with gap 8 h / watermark delay 2 h: the gap is deliberately NOT
+    // q280's 36 h — see SessionCloseGapMs — because each gate's gap is
+    // picked to make its own witness class non-vacuous (36 h maximizes
+    // cross-batch CARRY for q280; 8 h gives q281 measured timeout
+    // EVICTIONS and suppressed open tails at both gate SFs).
+    //
+    // Why the emitted multiset is deterministic AND
+    // grouping-independent (simpler than q280, which must truncate per
+    // batch): a session record is identical through either close path
+    // (the fold emits the same (start, end, n, sum) whether a
+    // beyond-gap successor closes it in-batch or the watermark evicts
+    // it), and under the in-order replay no event is ever late and no
+    // session times out while a within-gap continuation is still
+    // pending (a continuation's ts <= lastTs + gap bounds every
+    // earlier batch's max ts, hence every earlier watermark, below the
+    // timeout). So:
+    //  - every NON-LAST island of a user is emitted exactly once
+    //    (in-batch when the successor shares its batch or no watermark
+    //    crossed end+gap first; timeout otherwise — same record);
+    //  - the LAST island is emitted iff end + gap < final watermark
+    //    (global max ts - 2 h, reached in the trailing no-data batch —
+    //    the q278-proven mechanism), else it is still open and
+    //    withheld: the append-only contract.
+    // The DuckDB oracle states exactly that: global lag/cumsum gap
+    // islands per user, keep non-last islands plus watermark-closed
+    // last islands. Both engines compare end + gap < wm strictly and
+    // on the same ms grain (epoch_ms == Timestamp.getTime for positive
+    // epochs), and StreamingGateSpec pins that no island sits ON the
+    // boundary, so the strictness convention is not load-bearing.
+    // Value rides the q280 e4-integer seam — hash-exact, no tolerance.
+    //
+    // 100 TB posture: THIS is the variant that runs forever — state is
+    // O(1) per ACTIVE user and idle users are evicted at the watermark
+    // horizon, so an unbounded user population cannot grow the state
+    // store, and the Append emission is what an append-only session
+    // table ingests. q280 proves state CARRY; q281 proves state
+    // EVICTION and the exactly-once close contract.
+    "q281_streaming_session_close_gate" -> Q(
+      (s, dir) => sessionCloseReplay(s, dir, SessionGroup),
+      Some(
+        """WITH raw AS (SELECT epoch_ms(ts) AS ems, user_id,
+          |   CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v FROM events),
+          | wm AS (SELECT max(ems) - 7200000 AS w FROM raw),
+          | seq AS (SELECT *, CASE WHEN ems - lag(ems) OVER
+          |     (PARTITION BY user_id ORDER BY ems) > 28800000
+          |   THEN 1 ELSE 0 END AS brk FROM raw),
+          | sess AS (SELECT *, SUM(brk) OVER
+          |   (PARTITION BY user_id ORDER BY ems) AS sid FROM seq),
+          | isl AS (SELECT user_id, sid, min(ems) AS session_start_ms,
+          |     max(ems) AS session_end_ms, count(*) AS n_events,
+          |     CAST(sum(v) AS BIGINT) AS value_sum_e4
+          |   FROM sess GROUP BY user_id, sid),
+          | lst AS (SELECT *, max(session_end_ms) OVER
+          |   (PARTITION BY user_id) AS last_end FROM isl)
+          | SELECT user_id, session_start_ms, session_end_ms, n_events, value_sum_e4
+          | FROM lst, wm
+          | WHERE session_end_ms < last_end OR session_end_ms + 28800000 < w
           | ORDER BY user_id, session_start_ms, session_end_ms, n_events"""
           .stripMargin.replace("\n", "")))
   )

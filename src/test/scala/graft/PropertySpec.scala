@@ -514,5 +514,14 @@ class PropertySpec extends SparkSpec {
         .collect()
     }
     assert(e.getMessage.contains("graft_simhash"))
+    assert(e.getCondition == "NON_FOLDABLE_ARGUMENT")
+    // A foldable-but-NULL bits (CAST(NULL AS INT)) IS foldable, so it
+    // must get the null-value error class, not the misleading
+    // non-foldable one (ADVICE r14 #1).
+    val en = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_simhash('a', cast(null as int))").collect()
+    }
+    assert(en.getCondition == "DATATYPE_MISMATCH.UNEXPECTED_NULL",
+      s"null bits raised ${en.getCondition}")
   }
 }

@@ -167,4 +167,85 @@ class StreamingGateSpec extends SparkSpec {
     assert(spark.streams.active.isEmpty,
       "session gate left a streaming query running")
   }
+
+  test("closed-session gate emits each finished session once, evicts at the watermark") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val gap = ops.StreamingGate.SessionCloseGapMs
+    val rows = SparkEntry.queries("q281_streaming_session_close_gate")(
+      spark, dir).collect().map(_.toSeq).toSeq
+    assert(rows.nonEmpty)
+    // Exactly-once: Append output must contain no duplicate records
+    // (each island closes through exactly one path — in-batch gap or
+    // timeout eviction — and both paths emit the same record once).
+    assert(rows.distinct.size == rows.size,
+      "a session record was emitted more than once")
+    // Spark-side twin of the DuckDB oracle: global gap islands, keep
+    // every NON-LAST island plus last islands closed by the final
+    // watermark (max ts - 2h); still-open tails withheld.
+    val ev = ops.TestData.table(spark, dir, "events")
+      .select(col("user_id"), unix_millis(col("ts")).as("ems"),
+        (col("value").cast(DecimalType(18, 4)) * 10000).cast("long").as("v"))
+    val wmMs = ev.agg(max("ems")).head().getLong(0) -
+      ops.StreamingGate.SessionDelayMs
+    val wu = Window.partitionBy("user_id").orderBy("ems")
+    val isl = ev
+      .withColumn("brk",
+        when(col("ems") - lag("ems", 1).over(wu) > gap, 1).otherwise(0))
+      .withColumn("sid", sum("brk").over(
+        wu.rangeBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min("ems").as("session_start_ms"),
+        max("ems").as("session_end_ms"),
+        count(lit(1)).as("n_events"), sum("v").as("value_sum_e4"))
+      .withColumn("last_end",
+        max("session_end_ms").over(Window.partitionBy("user_id")))
+    val expected = isl
+      .where(col("session_end_ms") < col("last_end") ||
+        col("session_end_ms") + gap < wmMs)
+      .select("user_id", "session_start_ms", "session_end_ms",
+        "n_events", "value_sum_e4")
+      .orderBy("user_id", "session_start_ms", "session_end_ms", "n_events")
+      .collect().map(_.toSeq).toSeq
+    assert(rows == expected,
+      s"closed-session gate diverged from the batch twin: " +
+        s"${rows.take(3)} vs ${expected.take(3)}")
+    // Witness health (measured, all three paths non-vacuous — the gap
+    // was picked for exactly this, see StreamingGate.SessionCloseGapMs):
+    //  - timeout EVICTION: an emitted LAST island can only arrive via
+    //    the hasTimedOut branch (no successor event ever closes it);
+    //  - in-batch close: any emitted non-last island;
+    //  - watermark SUPPRESSION: a still-open tail that must NOT appear.
+    val timeoutClosed = isl.where(col("session_end_ms") === col("last_end")
+      && col("session_end_ms") + gap < wmMs).count()
+    val suppressed = isl.where(col("session_end_ms") === col("last_end")
+      && col("session_end_ms") + gap >= wmMs).count()
+    assert(timeoutClosed >= 1,
+      "fixture degenerate: no session closes via timeout eviction")
+    assert(suppressed >= 1,
+      "fixture degenerate: no open tail for the watermark to suppress")
+    assert(rows.size > timeoutClosed,
+      "fixture degenerate: no session closes via the in-batch gap path")
+    // Boundary margin: no last island sits ON end + gap == watermark,
+    // so both engines' strict-< convention is not load-bearing.
+    val tieDist = isl.where(col("session_end_ms") === col("last_end"))
+      .agg(min(abs(col("session_end_ms") + gap - wmMs))).head().getLong(0)
+    assert(tieDist > 0, "a session ends exactly on the timeout boundary")
+    // Replay determinism + clean shutdown.
+    val again = SparkEntry.queries("q281_streaming_session_close_gate")(
+      spark, dir).collect().map(_.toSeq).toSeq
+    assert(again == rows, "second replay diverged")
+    // Grouping-INDEPENDENCE — the claim that lets q281's oracle carry
+    // no batch arithmetic (unlike q280's `// N`): a different replay
+    // partition (grouped(2): 4 batches instead of 3) must emit the
+    // identical multiset, because both close paths produce the same
+    // record and tail suppression depends only on the final watermark.
+    val regrouped = ops.StreamingGate.sessionCloseReplay(spark, dir, 2)
+      .collect().map(_.toSeq).toSeq
+    assert(regrouped == rows,
+      "closed-session emission depends on the batch grouping")
+    assert(spark.streams.active.isEmpty,
+      "closed-session gate left a streaming query running")
+  }
 }
