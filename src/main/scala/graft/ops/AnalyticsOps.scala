@@ -328,11 +328,15 @@ object AnalyticsOps {
     // ABC / Pareto inventory classification: parts ranked by revenue,
     // class A = first 80% of cumulative revenue share, B to 95%, C the
     // tail. Revenue per part sums in exact scale-4 DECIMAL; the
-    // cumulative window also sums DECIMAL (exact), and only the share
-    // — one double division of exact sums — decides the class, so both
-    // engines agree on every boundary. The ranking window sorts the
-    // PART-level aggregate (dimension-sized, ≪ facts — the q168 rank
-    // argument), never the fact table.
+    // cumulative sum is DECIMAL (exact), and only the share — one
+    // double division of exact sums — decides the class, so both
+    // engines agree on every boundary. The cumulative rides
+    // OrderStat.scanCumSum chunked by inverted revenue cents div 2^20
+    // (monotone along the DESC order; global-window lint r15: the part
+    // frame is dimension-sized but CORPUS-GROWING — 200 -> 2000 rows
+    // at sf0.001 -> sf0.01 — so a single-partition cumulative window
+    // over it serializes at 100x exactly like a fact-grain one); the
+    // grand total is the sanctioned one-row broadcast anchor.
     "q181_abc_classes" -> Q(
       (s, dir) => {
         val rev = (col("l_extendedprice").cast(d18_2) *
@@ -340,13 +344,11 @@ object AnalyticsOps {
         val perPart = table(s, dir, "lineitem")
           .groupBy(col("l_partkey"))
           .agg(sum(rev).as("rev_d"))
-        val w = Window.orderBy(col("rev_d").desc, col("l_partkey"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wAll = Window
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        perPart
-          .withColumn("cum_d", sum("rev_d").over(w))
-          .withColumn("tot_d", sum("rev_d").over(wAll))
+        val tot = perPart.agg(sum("rev_d").as("tot_d"))
+        OrderStat.scanCumSum(perPart, Seq.empty, col("rev_d"),
+            Seq(col("rev_d").desc, col("l_partkey")),
+            expr("(-CAST(rev_d * 100 AS BIGINT)) div 1048576"), "cum_d")
+          .crossJoin(broadcast(tot))
           .withColumn("share",
             col("cum_d").cast("double") / col("tot_d").cast("double"))
           .withColumn("abc_class",
@@ -377,10 +379,14 @@ object AnalyticsOps {
     // cheaper-or-equal AND bigger-or-equal with one strict. The classic
     // skyline needs a quadratic dominance join; in 2D it collapses to
     // sort-by-price + running-max-size — computed on the DISTINCT-price
-    // frame (dimension-sized) and joined back per part, so no window
-    // ever sees the full fact grain and nothing is quadratic. A part is
-    // dominated iff a strictly-cheaper price level reaches its size, or
-    // its own price level holds a strictly larger size.
+    // frame and joined back per part, so no window ever sees the full
+    // fact grain and nothing is quadratic. The exclusive running max
+    // rides OrderStat.scanCumMinExcl on the NEGATED size (the q272
+    // skyline pattern — distinct prices grow with the corpus, 200 ->
+    // 1000 per decade, so a single global window over them serializes
+    // at 100x; global-window lint r15), chunked by price cents. A part
+    // is dominated iff a strictly-cheaper price level reaches its
+    // size, or its own price level holds a strictly larger size.
     "q186_skyline_parts" -> Q(
       (s, dir) => {
         val p = table(s, dir, "part")
@@ -388,10 +394,13 @@ object AnalyticsOps {
             col("p_retailprice").as("price"), col("p_size").as("size"))
         val perPrice = p.groupBy("price")
           .agg(max("size").as("max_size_here"))
-        val wPrev = Window.orderBy("price")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val levels = perPrice.withColumn("max_size_cheaper",
-          max("max_size_here").over(wPrev))
+        val levels = OrderStat.scanCumMinExcl(
+            perPrice.withColumn("__neg", -col("max_size_here")),
+            Seq.empty, col("__neg"), Seq(col("price")),
+            expr("CAST(floor(price * 100 + 0.5) AS BIGINT) div 1024"),
+            "__negprev")
+          .withColumn("max_size_cheaper", -col("__negprev"))
+          .drop("__neg", "__negprev")
         p.join(levels, "price")
           .where(
             (col("max_size_cheaper").isNull ||
@@ -689,9 +698,14 @@ object AnalyticsOps {
           .groupBy(col("o_custkey"))
           .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
             .as("cents"))
-        val ranked = perCust.withColumn("i",
-          row_number().over(Window.orderBy("cents", "o_custkey"))
-            .cast("bigint"))
+        // Lorenz rank via the two-level distributed scan (global-window
+        // lint r15: the customer frame grows 10x per corpus decade, so
+        // a single-partition global row_number over it is the one-task
+        // sort the lint exists to kill). Chunk = cents div 2^20, a
+        // value-domain coarsening monotone along the rank order.
+        val ranked = OrderStat.scanRank(perCust, Seq.empty,
+            Seq(col("cents"), col("o_custkey")),
+            expr("cents div 1048576"), "i")
         ranked.agg(count(lit(1)).as("n_customers"),
             sum("cents").as("total_cents"),
             sum(col("i") * col("cents")).as("swx"))

@@ -190,12 +190,17 @@ object EventFlowOps {
           .select(col("user_id"),
             expr("(unix_micros(t3) - unix_micros(t1)) div 1000000")
               .as("lat_s"))
-        val wRank = Window.orderBy("lat_s", "user_id")
-        val wN = Window
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        conv
-          .withColumn("rn", row_number().over(wRank))
-          .withColumn("n", count(lit(1)).over(wN))
+        // Percentile ranks via the two-level distributed scan
+        // (global-window lint r15: the converted-user frame grows with
+        // the corpus — 14 -> 126 per decade — so a single-partition
+        // global row_number over it serializes at scale). Chunk =
+        // lat_s div 2^14: latency is domain-bounded by the 7-day
+        // horizon (<= 604800 s, ~37 chunks), monotone along the order.
+        val nDf = conv.agg(count(lit(1)).as("n"))
+        OrderStat.scanRank(conv, Seq.empty,
+            Seq(col("lat_s"), col("user_id")),
+            expr("lat_s div 16384"), "rn")
+          .crossJoin(broadcast(nDf))
           .agg(
             max("n").as("n_converted"),
             max(when(col("rn") === expr("(n + 1) div 2"), col("lat_s")))

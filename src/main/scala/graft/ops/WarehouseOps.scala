@@ -1999,11 +1999,13 @@ object WarehouseOps {
     // X/Y/Z cut (t = 1/4, 1) never touches a float. Zero-demand weeks
     // count (W is the corpus week span; absent rows contribute zero to
     // both moments), which is what makes sporadic movers land in Z.
-    // Two part-key rollups + bounded windows over the part frame;
+    // Two part-key rollups; the ABC cumulative rides
+    // OrderStat.scanCumSum chunked by inverted revenue cents (the part
+    // frame GROWS with the corpus — global-window lint r15, same
+    // re-plan as q181) and the grand total is a one-row broadcast;
     // output is the 3x3 planning matrix.
     "q240_abc_xyz" -> Q(
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val li = table(s, dir, "lineitem")
           .select(col("l_partkey"),
             to_date(col("l_shipdate")).as("d"),
@@ -2021,13 +2023,11 @@ object WarehouseOps {
         val perPart = weekly.groupBy("l_partkey", "n_weeks")
           .agg(sum("u").as("sx"), sum(col("u") * col("u")).as("sxx"),
             sum("rc").as("rev"))
-        val wCum = Window.orderBy(col("rev").desc, col("l_partkey"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wAll = Window.rowsBetween(
-          Window.unboundedPreceding, Window.unboundedFollowing)
-        perPart
-          .withColumn("cum", sum("rev").over(wCum))
-          .withColumn("tot", sum("rev").over(wAll))
+        val tot = perPart.agg(sum("rev").as("tot"))
+        OrderStat.scanCumSum(perPart, Seq.empty, col("rev"),
+            Seq(col("rev").desc, col("l_partkey")),
+            expr("(-rev) div 1048576"), "cum")
+          .crossJoin(broadcast(tot))
           .select(col("l_partkey"), col("sx"), col("sxx"),
             col("n_weeks"), col("rev"),
             when((col("cum") * 100) <= (col("tot") * 80), "A")

@@ -147,6 +147,18 @@ object ScaleLint {
         (s"$name[${signatureKey(w)}]", w)
     }
 
+  /** The lint's single notion of "small": the row count under which a
+    * LITERAL frame (LocalRelation, limit) counts as provably O(1). One
+    * shared constant for every boundedRows leaf (ADVICE r14 #4: the
+    * previous split — LocalRelation <= 8 vs limit <= 100000 — spanned
+    * five orders of magnitude, so "provably O(1)" meant different
+    * things per node type). 1024 covers every literal in the catalog
+    * (largest shipped limit is 200) while still bounding the join
+    * multiplier a "bounded" side may impose at scale; allowlist
+    * entries reference the same scale.
+    */
+  val SmallRows = 1024L
+
   /** True when the subtree provably emits O(1) rows regardless of
     * corpus size: a global aggregate (one row), a literal relation, a
     * literal LIMIT, or compositions of those. This is what makes a
@@ -155,13 +167,13 @@ object ScaleLint {
     */
   def boundedRows(p: LogicalPlan): Boolean = p match {
     case a: Aggregate => a.groupingExpressions.isEmpty
-    case l: LocalRelation => l.data.length <= 8
+    case l: LocalRelation => l.data.length <= SmallRows
     case _: OneRowRelation => true
     case _: Range => true // literal element count (spark.range(k))
     // Limits are bounded only when the literal is actually small — a
     // limit(10_000_000) is not O(1) (r14 review).
-    case g: GlobalLimit => g.maxRows.exists(_ <= 100000L)
-    case l: LocalLimit => l.maxRows.exists(_ <= 100000L)
+    case g: GlobalLimit => g.maxRows.exists(_ <= SmallRows)
+    case l: LocalLimit => l.maxRows.exists(_ <= SmallRows)
     // Row-MULTIPLYING unary nodes must not ride the pass-through: an
     // explode over a global collect_list re-emits corpus-many rows
     // from a one-row frame (r14 review). Expand multiplies by a
@@ -178,6 +190,131 @@ object ScaleLint {
       }
     case _ => false
   }
+
+  /** True when the subtree's output GRAIN is provably bounded by value
+    * domains rather than corpus size: O(1)-row frames (boundedRows),
+    * aggregates/dedups whose every grouping key is drawn from the
+    * bounded-domain column set, and grain-preserving compositions of
+    * those. This is the notch `reduced` cannot see (VERDICT r14 #4):
+    * `reduced` is a signature match that accepts ANY Aggregate, but an
+    * Aggregate grouped by a corpus-grain key (doc_id, user_id) emits
+    * corpus-many rows — fine under a corpus-partitioned window, fatal
+    * under a GLOBAL one, where every row funnels through one task.
+    */
+  def boundedGrain(p: LogicalPlan, bounded: Set[String]): Boolean = p match {
+    case _ if boundedRows(p) => true
+    case a: Aggregate => a.groupingExpressions.forall(
+      _.references.map(_.name.toLowerCase).forall(bounded.contains))
+    case d: Deduplicate => d.keys.forall(
+      _.references.map(_.name.toLowerCase).forall(bounded.contains))
+    // Bounded x bounded stays bounded (domain product); corpus on
+    // either side makes the join corpus-grain.
+    case j: Join =>
+      boundedGrain(j.left, bounded) && boundedGrain(j.right, bounded)
+    case u: Union => u.children.forall(boundedGrain(_, bounded))
+    // Row multipliers: Generate re-expands (possibly corpus-many
+    // elements from a collected array); Expand multiplies by a literal
+    // projection count, so bounded-in stays bounded-out.
+    case _: Generate => false
+    case e: Expand => boundedGrain(e.child, bounded)
+    case o if o.children.size == 1 => boundedGrain(o.children.head, bounded)
+    case _ => false
+  }
+
+  /** The OrderStat two-level scan's internal chunk/bucket aliases,
+    * bounded BY CONTRACT rather than by data: OrderStat's chunk-key
+    * contract (OrderStat.scala header) requires an integer COARSENING
+    * OF A VALUE DOMAIN (cents div 2^k, price-cent buckets, inverted
+    * score bands) — never a corpus key — so the Aggregate-by-chunk
+    * offset frame each scan's global window runs over is domain-
+    * bounded. Admitted only inside the GLOBAL-window grain test (a
+    * per-chunk window partitioned by __ck is corpus-partitioned work
+    * and needs no exemption); the contract itself is what callers are
+    * trusted on, same trust model as the hand alias list.
+    */
+  val chunkContractCols: Set[String] = Set("__ck", "__bkt")
+
+  /** Allowlisted global-window offender signatures ("query[<global>]"
+    * reusing signatureKey): windows with NO partition spec whose input
+    * the grain test cannot prove bounded, but which IS bounded by a
+    * value domain, the calendar span, or query config — each entry's
+    * justification is backed by a MEASURED input bound in
+    * globalWindowBound (same discipline as cartesianBound). Inputs
+    * measured by ProbeGlobalWindow at sf0.001/sf0.01.
+    */
+  val globalWindowAllow: Map[String, String] = Map(
+    "q141_filter_funnel[<global>]" ->
+      "per-stage drop ladder — rows = the query's literal filter list (5)",
+    "q155_reshard_plan[<global>]" ->
+      "shard-residue frame, config-bounded (lcm(16,20) = 80 residues)",
+    "q166_decile_lift[<global>]" ->
+      "fixed score-band frame (duration div 120 -> 10 bands)",
+    "q168_zipf_slope[<global>]" ->
+      "floor(log2 rank) ladder — log-bounded in vocabulary (31)",
+    "q169_heaps_curve[<global>]" ->
+      "dyadic corpus-prefix buckets — log-bounded in docs (9)",
+    "q192_seasonal_index[<global>]" -> "12 calendar months",
+    "q197_acf_daily[<global>]" ->
+      "gap-filled daily calendar, span-bounded (~2.4k days)",
+    "q201_weekday_seasonality[<global>]" ->
+      "gap-filled daily calendar, span-bounded (~2.4k days)",
+    "q216_decayed_value[<global>]" ->
+      "30-day half-life age bands over the order-date span (20)",
+    "q221_cusum_changepoint[<global>]" ->
+      "monthly revenue series, span-bounded (~80 months)",
+    "q229_systematic_resample[<global>]" ->
+      "resample-grid offset frame, config-bounded (measured flat: 8)",
+    "q233_rolling_correlation[<global>]" ->
+      "14-day rolling moment frame over the shared-activity day span",
+    "q244_volume_outliers[<global>]" ->
+      "daily volume series over the events span (30 days)",
+    "q246_hourweek_heatmap[<global>]" -> "hour-of-week grid (<= 168)",
+    "q250_revenue_drawdown[<global>]" ->
+      "daily revenue calendar — saturates at the order-date span",
+    "q257_two_pass_median[<global>]" ->
+      "2^20-cent bucket histogram (value-domain-bounded)")
+
+  /** Max input rows allowed for each allowlisted global window,
+    * asserted at sf0.001 AND sf0.01 by ScaleLintSpec (a corpus-growing
+    * input blows the bound at the larger SF). Bounds are 2-4x the
+    * measured sf0.01 inputs.
+    */
+  val globalWindowBound: Map[String, Long] = Map(
+    "q141_filter_funnel[<global>]" -> 64L,
+    "q155_reshard_plan[<global>]" -> 256L,
+    "q166_decile_lift[<global>]" -> 16L,
+    "q168_zipf_slope[<global>]" -> 64L,
+    "q169_heaps_curve[<global>]" -> 32L,
+    "q192_seasonal_index[<global>]" -> 16L,
+    "q197_acf_daily[<global>]" -> 4096L,
+    "q201_weekday_seasonality[<global>]" -> 4096L,
+    "q216_decayed_value[<global>]" -> 64L,
+    "q221_cusum_changepoint[<global>]" -> 256L,
+    "q229_systematic_resample[<global>]" -> 32L,
+    "q233_rolling_correlation[<global>]" -> 64L,
+    "q244_volume_outliers[<global>]" -> 64L,
+    "q246_hourweek_heatmap[<global>]" -> 256L,
+    "q250_revenue_drawdown[<global>]" -> 4096L,
+    "q257_two_pass_median[<global>]" -> 128L)
+
+  /** Catalog-wide GLOBAL-window grain lint (VERDICT r14 #4): every
+    * Window with an empty partition spec whose input frame is not
+    * provably bounded-grain funnels the whole frame through ONE task's
+    * sort at any scale. The constant-key window lint (`flagged`)
+    * accepts ANY Aggregate as reduction, so a global window over a
+    * corpus-keyed Aggregate (per-part revenue, per-customer rank —
+    * dimension-sized but corpus-GROWING) passed it; this closes that
+    * gap. Offender sigs already in `allow` are exempt here: those are
+    * located bucket slices measured by ScaleLintMeasureSpec under the
+    * STRONGER share-plus-growth discipline.
+    */
+  def globalWindowFlagged(name: String, plan: LogicalPlan,
+                          bounded: Set[String]): Seq[(String, Window)] =
+    plan.collect {
+      case w: Window if w.partitionSpec.isEmpty &&
+          !boundedGrain(w.child, bounded ++ chunkContractCols) =>
+        (s"$name[${signatureKey(w)}]", w)
+    }
 
   /** Catalog-wide cartesian lint: every condition-less inner/cross
     * join where NEITHER side is provably O(1) rows is a corpus x

@@ -94,6 +94,56 @@ class ScaleLintSpec extends SparkSpec {
       "every cartesianAllow entry except the q199 audit needs a bound")
   }
 
+  test("no global window runs over a corpus-grain frame") {
+    // VERDICT r14 #4: the constant-key lint accepts ANY Aggregate as
+    // reduction, so a global (no-partition) window above a CORPUS-KEYED
+    // Aggregate — per-part revenue, per-customer rank: dimension-sized
+    // but corpus-GROWING — funneled a growing frame through one task
+    // unseen. The grain test proves the window input bounded by value
+    // domains (or the OrderStat chunk contract); everything else is
+    // either allowlisted with a measured bound below or exempt via
+    // `allow` (located slices under the share-plus-growth discipline).
+    val bounded = ScaleLint.boundedDomainCols(spark)
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.optimizedPlan
+        ScaleLint.globalWindowFlagged(name, plan, bounded).map(_._1)
+      }.distinct
+      .filterNot(ScaleLint.globalWindowAllow.contains)
+      .filterNot(ScaleLint.allow.contains)
+    assert(offenders.isEmpty,
+      "global window over a corpus-grain frame (one task sorts the " +
+        "whole frame at 100x — re-plan on OrderStat's two-level scan " +
+        s"or the q257 bucket pattern): ${offenders.mkString("; ")}")
+  }
+
+  test("allowlisted global windows keep a bounded input (measured)") {
+    // Same discipline as the cartesian allowlist: each entry's
+    // justification is a COUNT at two SFs, not prose — a corpus-
+    // growing input blows its bound at the larger SF.
+    val bounded = ScaleLint.boundedDomainCols(spark)
+    ScaleLint.globalWindowBound.foreach { case (sig, bound) =>
+      val qname = sig.takeWhile(_ != '[')
+      Seq(sf, "/root/testdata/sf0.01").foreach { dir =>
+        val plan = SparkEntry.queries(qname)(spark, dir)
+          .queryExecution.optimizedPlan
+        val ws = ScaleLint.globalWindowFlagged(qname, plan, bounded)
+          .filter(_._1 == sig).map(_._2)
+        assert(ws.nonEmpty,
+          s"$sig: allowlisted but nothing flagged at $dir — stale entry")
+        ws.foreach { w =>
+          val in = org.apache.spark.sql.graftbridge.Bridge
+            .ofRows(spark, w.child).count()
+          assert(in <= bound,
+            s"$sig at $dir: global-window input has $in rows (bound $bound)")
+        }
+      }
+    }
+    assert(ScaleLint.globalWindowAllow.keySet ==
+      ScaleLint.globalWindowBound.keySet,
+      "every globalWindowAllow entry needs a measured bound")
+  }
+
   test("derived bounded-domain set sees the testdata enums") {
     // Guard the derivation itself: the known enums must be discovered
     // from data (not just hand-listed), and corpus-growing key/text
