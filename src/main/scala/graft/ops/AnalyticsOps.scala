@@ -690,8 +690,7 @@ object AnalyticsOps {
     // G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) on exact cents —
     // every sum a BIGINT (bounds documented in-line: rank*cents stays
     // under 2^55 here; DECIMAL(38,0) at warehouse scale), one IEEE
-    // division at the end. The rank window sorts the customer
-    // aggregate (dimension-sized — the q168/q181 argument).
+    // division at the end.
     "q195_gini_revenue" -> Q(
       (s, dir) => {
         val perCust = table(s, dir, "orders")

@@ -286,7 +286,7 @@ object StreamingGate {
     runSessionSink(s, SessionCloseSinkName, OutputMode.Append(),
       graft.streaming.EventStreaming.sessionizeClosed(
         sessionStream(s, dir, group), gapMs = gapMs,
-        watermark = "2 hours"))
+        watermark = s"${SessionDelayMs / 60000} minutes"))
 
   private def normalizedBatch(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -605,11 +605,11 @@ object StreamingGate {
     "q281_streaming_session_close_gate" -> Q(
       (s, dir) => sessionCloseReplay(s, dir, SessionGroup),
       Some(
-        """WITH raw AS (SELECT epoch_ms(ts) AS ems, user_id,
+        s"""WITH raw AS (SELECT epoch_ms(ts) AS ems, user_id,
           |   CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v FROM events),
-          | wm AS (SELECT max(ems) - 7200000 AS w FROM raw),
+          | wm AS (SELECT max(ems) - $SessionDelayMs AS w FROM raw),
           | seq AS (SELECT *, CASE WHEN ems - lag(ems) OVER
-          |     (PARTITION BY user_id ORDER BY ems) > 28800000
+          |     (PARTITION BY user_id ORDER BY ems) > $SessionCloseGapMs
           |   THEN 1 ELSE 0 END AS brk FROM raw),
           | sess AS (SELECT *, SUM(brk) OVER
           |   (PARTITION BY user_id ORDER BY ems) AS sid FROM seq),
@@ -621,7 +621,7 @@ object StreamingGate {
           |   (PARTITION BY user_id) AS last_end FROM isl)
           | SELECT user_id, session_start_ms, session_end_ms, n_events, value_sum_e4
           | FROM lst, wm
-          | WHERE session_end_ms < last_end OR session_end_ms + 28800000 < w
+          | WHERE session_end_ms < last_end OR session_end_ms + $SessionCloseGapMs < w
           | ORDER BY user_id, session_start_ms, session_end_ms, n_events"""
           .stripMargin.replace("\n", "")))
   )

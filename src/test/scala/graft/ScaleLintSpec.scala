@@ -31,14 +31,24 @@ package graft
 class ScaleLintSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
+  /** ONE catalog walk shared by the three catalog-wide lints (r15
+    * review: each walk rebuilds every query DataFrame, and for the
+    * five streaming gates that runs a full AvailableNow replay just to
+    * read an optimizedPlan — four independent walks paid that replay
+    * cost four times over).
+    */
+  private lazy val optimizedPlans
+  : Seq[(String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> fn(spark, sf).queryExecution.optimizedPlan
+    }
+
   test("no window partitions a corpus-scale frame by a constant-cardinality key") {
     val bounded = ScaleLint.boundedDomainCols(spark)
-    val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
-    assert(catalog.size == CatalogContract.expectedSize,
-      s"catalog is ${catalog.size} entries, expected " +
+    assert(optimizedPlans.size == CatalogContract.expectedSize,
+      s"catalog is ${optimizedPlans.size} entries, expected " +
         s"${CatalogContract.expectedSize} (bump CatalogContract on growth)")
-    val offenders = catalog.flatMap { case (name, fn) =>
-      val plan = fn(spark, sf).queryExecution.optimizedPlan
+    val offenders = optimizedPlans.flatMap { case (name, plan) =>
       ScaleLint.flagged(name, plan, bounded).map(_._1)
     }.distinct.filterNot(ScaleLint.allow.contains)
     assert(offenders.isEmpty,
@@ -53,10 +63,8 @@ class ScaleLintSpec extends SparkSpec {
     // rows (a global aggregate, a literal frame, a literal limit) —
     // the crossJoin(broadcast(scalarAgg)) pattern the catalog uses for
     // anchors and denominators. Walks every query's optimized plan.
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
-      .flatMap { case (name, fn) =>
-        ScaleLint.cartesianFlagged(name,
-          fn(spark, sf).queryExecution.optimizedPlan).map(_._1)
+    val offenders = optimizedPlans.flatMap { case (name, plan) =>
+        ScaleLint.cartesianFlagged(name, plan).map(_._1)
       }.distinct.filterNot(ScaleLint.cartesianAllow.contains)
     assert(offenders.isEmpty,
       s"unbounded cartesian product in: ${offenders.mkString(", ")}")
@@ -104,9 +112,7 @@ class ScaleLintSpec extends SparkSpec {
     // either allowlisted with a measured bound below or exempt via
     // `allow` (located slices under the share-plus-growth discipline).
     val bounded = ScaleLint.boundedDomainCols(spark)
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
-      .flatMap { case (name, fn) =>
-        val plan = fn(spark, sf).queryExecution.optimizedPlan
+    val offenders = optimizedPlans.flatMap { case (name, plan) =>
         ScaleLint.globalWindowFlagged(name, plan, bounded).map(_._1)
       }.distinct
       .filterNot(ScaleLint.globalWindowAllow.contains)

@@ -215,7 +215,12 @@ class StreamingGateSpec extends SparkSpec {
     // was picked for exactly this, see StreamingGate.SessionCloseGapMs):
     //  - timeout EVICTION: an emitted LAST island can only arrive via
     //    the hasTimedOut branch (no successor event ever closes it);
-    //  - in-batch close: any emitted non-last island;
+    //  - in-batch close: a non-last island whose SUCCESSOR island
+    //    starts in the SAME replay batch its end falls in — no batch
+    //    boundary between them means no timeout could have fired, so
+    //    the close can only be the data-branch gap break (a non-last
+    //    island alone is NOT a witness: with a cross-batch successor
+    //    it may also close via timeout — r15 review);
     //  - watermark SUPPRESSION: a still-open tail that must NOT appear.
     val timeoutClosed = isl.where(col("session_end_ms") === col("last_end")
       && col("session_end_ms") + gap < wmMs).count()
@@ -225,8 +230,27 @@ class StreamingGateSpec extends SparkSpec {
       "fixture degenerate: no session closes via timeout eviction")
     assert(suppressed >= 1,
       "fixture degenerate: no open tail for the watermark to suppress")
-    assert(rows.size > timeoutClosed,
-      "fixture degenerate: no session closes via the in-batch gap path")
+    // ems div 432000000 == unix_timestamp(ts) div 432000 (positive
+    // epochs): the fixture's bucket key; batches group 3 buckets.
+    val bucketBatch = ev.select(expr("ems div 432000000").as("bucket"))
+      .distinct().orderBy("bucket").collect().map(_.getLong(0))
+      .zipWithIndex
+      .map { case (b, i) => b -> i / ops.StreamingGate.SessionGroup }
+      .toMap
+    val islandSpans = isl
+      .select("user_id", "sid", "session_start_ms", "session_end_ms")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val inBatchClose = islandSpans.groupBy(_._1).values.exists { us =>
+      us.sortBy(_._2).toSeq.sliding(2).exists {
+        case Seq(a, b) =>
+          bucketBatch(a._4 / 432000000L) == bucketBatch(b._3 / 432000000L)
+        case _ => false
+      }
+    }
+    assert(inBatchClose,
+      "fixture degenerate: no session provably closes via the in-batch " +
+        "gap path (every successor crosses a batch boundary)")
     // Boundary margin: no last island sits ON end + gap == watermark,
     // so both engines' strict-< convention is not load-bearing.
     val tieDist = isl.where(col("session_end_ms") === col("last_end"))
