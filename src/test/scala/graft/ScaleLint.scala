@@ -364,4 +364,28 @@ object ScaleLint {
     "q161_ivm_audit" -> 1L,
     "q241_ks_drift" -> 64L,
     "q251_discount_lift" -> 1L)
+
+  /** (shuffle, broadcast) exchange counts of a query's pre-execution
+    * physical plan — the AQE initial plan, before any runtime re-plan
+    * or exchange reuse. Counts only the main plan tree (subquery plans
+    * hang off expressions, not children; the catalog's scalar anchors
+    * are crossJoin(broadcast(agg)), which IS in the tree). Every
+    * shuffle here is a real cluster-wide data movement at 100 TB, so
+    * the per-query count is the single cheapest structural cost model
+    * of the whole catalog — pinned by the exchange ledger
+    * (`exchange_ledger.tsv` + the ScaleLintSpec ratchet) so a
+    * refactor that silently grows one fails loudly.
+    */
+  def exchangeCounts(qe: org.apache.spark.sql.execution.QueryExecution)
+  : (Int, Int) = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.{
+      BroadcastExchangeLike, ShuffleExchangeLike}
+    val root = qe.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    (root.collect { case e: ShuffleExchangeLike => e }.size,
+      root.collect { case e: BroadcastExchangeLike => e }.size)
+  }
 }

@@ -31,17 +31,23 @@ package graft
 class ScaleLintSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
-  /** ONE catalog walk shared by the three catalog-wide lints (r15
-    * review: each walk rebuilds every query DataFrame, and for the
-    * five streaming gates that runs a full AvailableNow replay just to
-    * read an optimizedPlan — four independent walks paid that replay
-    * cost four times over).
+  /** ONE catalog walk shared by the catalog-wide lints (r15 review:
+    * each walk rebuilds every query DataFrame, and for the five
+    * streaming gates that runs a full AvailableNow replay just to read
+    * a plan — independent walks paid that replay cost once per lint).
+    * The QueryExecution caches both the optimized logical plan (the
+    * window/cartesian lints) and the physical plan (the exchange
+    * ledger), so every lint reads the same planning pass.
     */
-  private lazy val optimizedPlans
-  : Seq[(String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] =
+  private lazy val catalogQEs
+  : Seq[(String, org.apache.spark.sql.execution.QueryExecution)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> fn(spark, sf).queryExecution.optimizedPlan
+      name -> fn(spark, sf).queryExecution
     }
+
+  private def optimizedPlans
+  : Seq[(String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] =
+    catalogQEs.map { case (name, qe) => name -> qe.optimizedPlan }
 
   test("no window partitions a corpus-scale frame by a constant-cardinality key") {
     val bounded = ScaleLint.boundedDomainCols(spark)
@@ -148,6 +154,39 @@ class ScaleLintSpec extends SparkSpec {
     assert(ScaleLint.globalWindowAllow.keySet ==
       ScaleLint.globalWindowBound.keySet,
       "every globalWindowAllow entry needs a measured bound")
+  }
+
+  test("exchange ledger: no query grows a shuffle or broadcast") {
+    // The cheapest structural cost model of the whole catalog: each
+    // query's (shuffle, broadcast) exchange counts from the
+    // pre-execution physical plan, pinned exactly against
+    // src/test/resources/exchange_ledger.tsv (generated by
+    // ProbeExchangeLedger under this spec's session config). Every
+    // shuffle is a cluster-wide data movement at 100 TB; a refactor
+    // that silently adds one — or trades a broadcast for a shuffle —
+    // fails here with the per-query delta, and a DELIBERATE re-plan
+    // updates the TSV, making the diff the reviewable record of where
+    // the shuffles moved.
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/exchange_ledger.tsv"), "UTF-8")
+    val pinned = try src.getLines().filter(_.nonEmpty).map { l =>
+      val Array(n, s, b) = l.split("\t")
+      n -> (s.toInt, b.toInt)
+    }.toMap finally src.close()
+    val actual = catalogQEs.map { case (name, qe) =>
+      name -> ScaleLint.exchangeCounts(qe)
+    }.toMap
+    assert(pinned.keySet == actual.keySet,
+      s"ledger/catalog key drift: only-ledger=${pinned.keySet -- actual.keySet} " +
+        s"only-catalog=${actual.keySet -- pinned.keySet} " +
+        "(regenerate via ProbeExchangeLedger)")
+    val drift = actual.toSeq.sorted.collect {
+      case (n, a) if a != pinned(n) =>
+        s"$n: shuffles ${pinned(n)._1}->${a._1}, broadcasts ${pinned(n)._2}->${a._2}"
+    }
+    assert(drift.isEmpty,
+      s"exchange counts drifted (deliberate re-plan? regenerate the " +
+        s"TSV via ProbeExchangeLedger):\n${drift.mkString("\n")}")
   }
 
   test("derived bounded-domain set sees the testdata enums") {
