@@ -218,7 +218,24 @@ object DedupOps {
     val sh = shingleDfCap(sh0.sparkSession)
       .map(capHubShingles(sh0, _)).getOrElse(sh0)
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = sh.as("a").join(sh.as("b"),
+    // REPARTITION_BY_NUM on the join key before the self-join (r15):
+    // the join's INPUT is a few MB of fixed-width longs, so AQE's
+    // byte-based reducer coalescing serializes it onto 1-4 tasks —
+    // but its OUTPUT explodes Sum df^2 per key, work the input-byte
+    // cost model cannot see (guide §8: use what you know that the
+    // optimizer does not). Pinning the exchange at
+    // spark.sql.shuffle.partitions (the cluster-scaled conf, exempt
+    // from AQE coalescing by contract) spreads the explosion across
+    // the configured parallelism: ProbeR15Par 3/3 pairwise, 1.22 ->
+    // 0.97 s at sf0.1, identical pair sets. At corpus scale the
+    // exchange is above the coalescing floor anyway, so the pin is
+    // neutral there. (The same treatment on coPurchasePairs' order
+    // self-join was probed and REJECTED 0/3 — its per-key fanout is
+    // bounded by order width, no explosion to spread.)
+    val parts = sh.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val shP = sh.repartition(parts, col("s"))
+    val pairs = shP.as("a").join(shP.as("b"),
       col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))
@@ -239,8 +256,9 @@ object DedupOps {
     * the logical plan still GROWS per round and Catalyst re-optimizes
     * the whole accumulated lineage every iteration — measured 60s+ at
     * sf0.1 before truncation, ~3s after. Two rounds per convergence
-    * check halves the count() actions; pointer jumping makes
-    * rounds-to-converge O(log diameter). The loop stays PARTITIONED
+    * check halves the count() actions; pointer jumping (on the second
+    * round of each iteration) keeps rounds-to-converge O(log diameter)
+    * at half the jump-join cost. The loop stays PARTITIONED
     * throughout — every round is joins + a min-agg hash-partitioned by
     * v / d1, exactly the shape that runs on a 1000-executor cluster;
     * AQE coalesces the tiny contracted graph's partitions at this SF
@@ -259,35 +277,57 @@ object DedupOps {
       pairs.toDF("d1", "d2").unionByName(
         pairs.toDF("d2", "d1").select(col("d1"), col("d2"))),
       "d2")
-    var comp = edges.select(col("d1").as("v")).distinct()
-      .withColumn("c", col("v"))
+    // SEEDED init (round 15): c0(v) = min(v, min direct neighbor) — the
+    // first flooding round fused into the init aggregate. The old
+    // `select(d1).distinct` paid the same single exchange to produce
+    // c = v; the min-aggregate costs the same exchange and starts every
+    // label one hop ahead, so shallow graphs (the near-dup clusters the
+    // dedup family feeds in) converge a whole iteration earlier
+    // (ProbeR15CC: q64's graph 2 iters -> 1).
+    var comp = edges.groupBy(col("d1").as("v"))
+      .agg(least(min(col("d2")), col("d1")).as("c"))
+      .select(col("v"), col("c"))
       .localCheckpoint(eager = true)
     var changed = 1L
     var iters = 0
     while (changed > 0 && iters < 12) {
-      // The iteration-start label rides along as c0, so convergence is
-      // an `observe` aggregate collected DURING the checkpoint job — no
-      // extra action per iteration at all — and the two propagation
-      // rounds share that one job (the intermediate plan is only two
-      // joins deep, no need to truncate mid-iteration).
+      // Two flooding rounds per checkpoint; each round is ONE
+      // keyed aggregate over (neighbor messages UNION self rows) —
+      // the r15 union formulation drops the old per-round left-join
+      // (message frame -> groupBy -> join-back was 2 joins + 1
+      // aggregate; this is 1 join + 1 aggregate for the same labels,
+      // measured q121's CC 2.50 -> 1.99 s alone, ProbeR15CC C).
+      // The SECOND round also path-halves (pointer jump). Jumping
+      // every other round keeps the O(log d) chain guard at half the
+      // per-round join cost (ProbeR15CC2 H: q121 1.99 -> 1.68 s,
+      // identical labels; flooding-only needs O(d) rounds and loses
+      // at depth — 6 iters vs 4 on q121's graph — so the jump stays).
+      // `cL` carries the label ENTERING the final round, so the
+      // convergence observe reads the LAST ROUND's delta during the
+      // checkpoint job: a no-change final round certifies neighbor-min
+      // closure (propagate and jump are both monotone decreasing, so
+      // an unchanged composition means propagation alone was a no-op)
+      // — the fixpoint needs no confirm iteration re-run.
       val obs = org.apache.spark.sql.Observation(s"cc_changed_$iters")
-      val next = (0 until 2).foldLeft(comp.withColumn("c0", col("c"))) {
-        case (cur, _) =>
-          val nbrMin = edges.join(cur, col("d2") === col("v"))
-            .groupBy(col("d1")).agg(min("c").as("nc"))
-          val prop = cur.join(nbrMin, col("v") === col("d1"), "left")
-            .select(col("v"),
-              least(col("c"), coalesce(col("nc"), col("c"))).as("c"),
-              col("c0"))
-          prop.as("p").join(
-              prop.select(col("v").as("jv"), col("c").as("jc")),
-              col("p.c") === col("jv"), "left")
-            .select(col("p.v").as("v"),
-              least(col("p.c"), coalesce(col("jc"), col("p.c"))).as("c"),
-              col("p.c0").as("c0"))
-      }
+      val round1 = edges.join(comp, col("d2") === col("v"))
+        .select(col("d1").as("v"), col("c"))
+        .unionByName(comp.select(col("v"), col("c")))
+        .groupBy("v").agg(min("c").as("c"))
+      val prop2 = edges.join(round1, col("d2") === col("v"))
+        .select(col("d1").as("v"), col("c"),
+          lit(null).cast("long").as("cL"))
+        .unionByName(round1.select(col("v"), col("c"),
+          col("c").as("cL")))
+        .groupBy("v")
+        .agg(min("c").as("c"), max("cL").as("cL"))
+      val next = prop2.as("p").join(
+          prop2.select(col("v").as("jv"), col("c").as("jc")),
+          col("p.c") === col("jv"), "left")
+        .select(col("p.v").as("v"),
+          least(col("p.c"), coalesce(col("jc"), col("p.c"))).as("c"),
+          col("p.cL").as("cL"))
         .observe(obs, coalesce(
-          sum((col("c") =!= col("c0")).cast("long")), lit(0L))
+          sum((col("c") =!= col("cL")).cast("long")), lit(0L))
           .as("changed"))
         .localCheckpoint(eager = true)
       changed = obs.get("changed").asInstanceOf[Long]
@@ -862,7 +902,11 @@ object DedupOps {
       (s, dir) => {
         val sh = hashedShingles(table(s, dir, "documents"))
           .localCheckpoint(eager = true)
-        val e = sh.as("a").join(sh.as("b"),
+        // Same REPARTITION_BY_NUM-before-the-exploding-self-join as
+        // jaccardPairsFromHashed (r15) — see the comment there.
+        val shP = sh.repartition(
+          s.conf.get("spark.sql.shuffle.partitions").toInt, col("s"))
+        val e = shP.as("a").join(shP.as("b"),
             col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
           .agg(count(lit(1)).as("inter"))

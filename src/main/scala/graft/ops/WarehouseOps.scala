@@ -98,34 +98,54 @@ object WarehouseOps {
     var lbl = edges.select(col("a").as("nd")).distinct()
       .select(col("nd"), col("nd").as("l"), lit(0).as("settle"))
       .localCheckpoint(eager = true)
+    // One flooding round as a UNION-formulated single aggregate (r15):
+    // neighbor messages union the self rows, one min-keyed groupBy —
+    // the old shape paid a join + aggregate + join-back per round.
+    // l0/settle ride the self rows only (max() ignores the messages'
+    // nulls; every nd has exactly one self row), so the round's label
+    // AND its settle update come out of the same aggregate. NO label
+    // seeding and NO pointer jumping here, same as before: settle must
+    // stay the hop distance from the component's min-id node.
+    def flood(cur: DataFrame, r: Int): DataFrame =
+      edges.join(cur, col("a") === col("nd"))
+        .select(col("b").as("nd"), col("l"),
+          lit(null).cast("long").as("l0"),
+          lit(null).cast("int").as("settle"))
+        .unionByName(cur.select(col("nd"), col("l"),
+          col("l").as("l0"), col("settle")))
+        .groupBy("nd")
+        .agg(min("l").as("l"), max("l0").as("l0"),
+          max("settle").as("settle0"))
+        .select(col("nd"), col("l"),
+          when(col("l") < col("l0"), lit(r))
+            .otherwise(col("settle0")).as("settle"),
+          (col("l") < col("l0")).as("chg"))
     var changed = 1L
     var round = 0
     while (changed > 0) {
-      round += 1
+      // TWO rounds per checkpoint (r15): the convergence observe reads
+      // only the SECOND round's delta — flooding is monotone
+      // decreasing, so a no-change final round certifies neighbor-min
+      // closure and no confirm round re-runs after the fixpoint. A
+      // radius-R graph pays ceil((R+1)/2) checkpoint jobs instead of
+      // R+1 (q275 at sf0.1: 5 -> 3), and settle stays exact because
+      // each round updates it with its own round number.
+      val r1 = round + 1
+      val r2 = round + 2
+      round += 2
       val obs = org.apache.spark.sql.Observation(s"lp_changed_$round")
-      val nbrMin = edges.join(lbl, col("a") === col("nd"))
-        .groupBy(col("b")).agg(min("l").as("nl"))
-      // observe sits ABOVE the 4-column frame (it reads l vs l0) but
-      // the checkpoint stores only the projected 3 columns — l0 never
-      // occupies storage memory.
-      val next = lbl.join(nbrMin, col("nd") === col("b"), "left")
-        .select(col("nd"), col("l").as("l0"), col("settle"),
-          least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
-        .select(col("nd"), col("l"),
-          when(col("l") < col("l0"), lit(round))
-            .otherwise(col("settle")).as("settle"),
-          col("l0"))
+      val s1 = flood(lbl, r1).drop("chg")
+      val next = flood(s1, r2)
         .observe(obs, coalesce(
-          sum((col("l") < col("l0")).cast("long")), lit(0L))
-          .as("changed"))
+          sum(col("chg").cast("long")), lit(0L)).as("changed"))
         .select("nd", "l", "settle")
         .localCheckpoint(eager = true)
       changed = obs.get("changed").asInstanceOf[Long]
-      // maxRounds bounds the label-CHANGING rounds; the confirming
-      // round (changed == 0) is always allowed, so a radius-R graph
-      // needs maxRounds >= R — not R+1 (the off-by-one a radius-=-cap
-      // graph would otherwise hit despite having converged).
-      require(changed == 0 || round <= maxRounds,
+      // maxRounds bounds the label-CHANGING rounds; confirming rounds
+      // (changed == 0) are always allowed, so a radius-R graph needs
+      // maxRounds >= R — the two-round batch can overshoot the cap by
+      // at most the batch's trailing no-change round.
+      require(changed == 0 || round <= maxRounds + 1,
         s"label propagation failed to converge in $maxRounds rounds")
       // Round N's blocks are dead once round N+1 is materialized —
       // release instead of letting superseded node frames stack up in
@@ -309,6 +329,12 @@ object WarehouseOps {
           w2.select(col("u").as("a"), col("v").as("b"))
             .unionAll(w2.select(col("v").as("a"), col("u").as("b"))),
           "a")
+        // One checkpoint per BFS round (r15): only the new FRONTIER is
+        // materialized; `visited` stays a lazy union of the <= 5
+        // checkpointed frontiers (each a LogicalRDD leaf, so the union
+        // plan is shallow and never recomputes a round). The old shape
+        // checkpointed BOTH the frontier and the growing visited union
+        // — two blocking jobs per round for the same set.
         var visited = edges.agg(min("a").as("node"))
           .select(col("node"), lit(0).as("dist"))
           .localCheckpoint(eager = true)
@@ -319,7 +345,7 @@ object WarehouseOps {
             .join(visited, Seq("node"), "left_anti")
             .select(col("node"), lit(d).as("dist"))
             .localCheckpoint(eager = true)
-          visited = visited.unionByName(next).localCheckpoint(eager = true)
+          visited = visited.unionByName(next)
           frontier = next.select("node")
         }
         visited.groupBy("dist")
@@ -983,14 +1009,23 @@ object WarehouseOps {
     "q152_kcore" -> Q(
       (s, dir) => {
         val pairs0 = coPurchasePairs(s, dir)
-        var edges = pairs0.select(col("u").as("a"), col("v").as("b"))
+        val edges0 = pairs0.select(col("u").as("a"), col("v").as("b"))
           .unionAll(pairs0.select(col("v").as("a"), col("u").as("b")))
           .localCheckpoint(eager = true)
-        var deg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
+        var deg = edges0.groupBy("a").agg(count(lit(1)).as("deg"))
           .localCheckpoint(eager = true)
+        // FLAT peeling (r15): every round filters the ONE checkpointed
+        // edge list by the current alive set instead of threading a
+        // lazily nested semi-join chain — alive shrinks monotonically
+        // (deg only decreases), so e0 filtered by alive_r IS round r's
+        // edge set, and round r no longer recomputes rounds 1..r-1
+        // (the old lazy chain made round r's degree aggregate replay r
+        // semi-join layers: 1+2+3+4 = 10 passes over e0 where this
+        // shape pays exactly 4). Same kcorePeel operator, same
+        // 4-round fixpoint, identical d4 output.
         for (_ <- 1 to 4) {
-          edges = kcorePeel(edges, deg, 3)
-          deg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
+          deg = kcorePeel(edges0, deg, 3)
+            .groupBy("a").agg(count(lit(1)).as("deg"))
             .localCheckpoint(eager = true)
         }
         deg.select(col("a").as("part"), col("deg").as("core_deg"))
@@ -1242,9 +1277,16 @@ object WarehouseOps {
             .as("sh"))
           .select(col("source"), DedupOps.md5Long60(col("sh")).as("h"))
           .distinct()
+          .localCheckpoint(eager = true)
         val cnt = ss.groupBy("source").agg(count(lit(1)).as("n"))
-        val shared = ss.as("a")
-          .join(ss.as("b"),
+        // Checkpoint once (the distinct fed both join sides and cnt —
+        // three recomputes of the shingle scan) and REPARTITION_BY_NUM
+        // on the join key before the exploding self-join, as in
+        // jaccardPairsFromHashed (r15).
+        val ssP = ss.repartition(
+          s.conf.get("spark.sql.shuffle.partitions").toInt, col("h"))
+        val shared = ssP.as("a")
+          .join(ssP.as("b"),
             col("a.h") === col("b.h") && col("a.source") < col("b.source"))
           .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
           .agg(count(lit(1)).as("shared_shingles"))
