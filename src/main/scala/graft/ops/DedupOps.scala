@@ -232,9 +232,7 @@ object DedupOps {
     // neutral there. (The same treatment on coPurchasePairs' order
     // self-join was probed and REJECTED 0/3 — its per-key fanout is
     // bounded by order width, no explosion to spread.)
-    val parts = sh.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt
-    val shP = sh.repartition(parts, col("s"))
+    val shP = PartitionedCheckpoint.repartitionByConf(sh, col("s"))
     val pairs = shP.as("a").join(shP.as("b"),
       col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
@@ -329,14 +327,15 @@ object DedupOps {
         .observe(obs, coalesce(
           sum((col("c") =!= col("cL")).cast("long")), lit(0L))
           .as("changed"))
-        .localCheckpoint(eager = true)
+      PartitionedCheckpoint.dumpRoundPlan(next, "cc_round")
+      val nextCk = next.localCheckpoint(eager = true)
       changed = obs.get("changed").asInstanceOf[Long]
       // The superseded iteration's checkpoint blocks are dead once
       // `next` is materialized — release them instead of stacking up
       // to 12 node-frame copies in storage memory per invocation
       // (the same accumulation class Bench.clearState documents).
       org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoints(comp)
-      comp = next.select("v", "c")
+      comp = nextCk.select("v", "c")
       iters += 1
     }
     // A wrong clustering must never be silently indistinguishable from
@@ -397,11 +396,18 @@ object DedupOps {
           lit(null).cast("long").as("dg"))
         .unionByName(deg.select(col("src").as("v"),
           lit(null).cast("long").as("c"), col("deg").as("dg")))
-      ranks = msgs.groupBy("v")
-        .agg(sum("c").as("m"), max("dg").as("deg"))
+      // coalesce (ADVICE r15): the symmetric graph guarantees every
+      // deg >= 1 vertex receives >= 1 contribution, so sum("c") is
+      // never null today — but that invariant lives in the graph
+      // construction, not this aggregate. If it ever breaks, an
+      // isolated-in-degree vertex now degrades to the base rank
+      // instead of a silently null rank.
+      val round = msgs.groupBy("v")
+        .agg(coalesce(sum("c"), lit(0L)).as("m"), max("dg").as("deg"))
         .select(col("v"), (lit(base) + expr("(85 * m) div 100")).as("r"),
           col("deg"))
-        .localCheckpoint(eager = true)
+      PartitionedCheckpoint.dumpRoundPlan(round, "pagerank_round")
+      ranks = round.localCheckpoint(eager = true)
     }
     ranks.select(col("v").as("doc_id"), col("deg"), col("r").as("rank_fp"))
   }
@@ -914,8 +920,7 @@ object DedupOps {
           .localCheckpoint(eager = true)
         // Same REPARTITION_BY_NUM-before-the-exploding-self-join as
         // jaccardPairsFromHashed (r15) — see the comment there.
-        val shP = sh.repartition(
-          s.conf.get("spark.sql.shuffle.partitions").toInt, col("s"))
+        val shP = PartitionedCheckpoint.repartitionByConf(sh, col("s"))
         val e = shP.as("a").join(shP.as("b"),
             col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))

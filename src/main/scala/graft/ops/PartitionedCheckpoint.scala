@@ -42,6 +42,39 @@ import org.apache.spark.sql.graftbridge.Bridge
   */
 object PartitionedCheckpoint {
 
+  /** REPARTITION_BY_NUM on `keys` at `spark.sql.shuffle.partitions` —
+    * the r15 §4 recipe for exchanges whose OUTPUT explodes past what
+    * AQE's input-byte cost model can see (exploding self-joins), and
+    * for layouts a downstream aggregate/join reuses. The explicit
+    * partition count makes the exchange exempt from AQE coalescing by
+    * contract; the count itself is the cluster-scaled conf, never a
+    * local constant. Factored here (ADVICE r15) from the three
+    * hand-copied sites in DedupOps/WarehouseOps.
+    */
+  private[graft] def repartitionByConf(df: DataFrame,
+      keys: org.apache.spark.sql.Column*): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.repartition(n, keys: _*)
+  }
+
+  /** Plan-evidence hook (VERDICT r15 #1): when `graft.dump_round_plans`
+    * is set to a directory, write ONE round's `.explain("formatted")`
+    * from INSIDE an iterative operator's loop (first round only — the
+    * file-exists check makes later rounds no-ops) so the per-round plan
+    * shape is a committed artifact instead of a by-construction claim.
+    * Unset (the default, and always in the bench/driver path) this is
+    * one conf lookup per checkpoint.
+    */
+  private[graft] def dumpRoundPlan(df: DataFrame, tag: String): Unit =
+    df.sparkSession.conf.getOption("graft.dump_round_plans").foreach { d =>
+      val p = java.nio.file.Paths.get(d, s"$tag.txt")
+      if (!java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      }
+    }
+
   private[graft] def enabled(df: DataFrame): Boolean =
     df.sparkSession.conf.getOption("graft.graph_edge_prepartition")
       .exists {

@@ -36,7 +36,7 @@ object TrainDataOps {
     * contamination): any shared run of >= 8 words guarantees a shared
     * fingerprint. A scheme change here moves both operators together.
     */
-  private def winnowFingerprints(docs: org.apache.spark.sql.DataFrame)
+  private[graft] def winnowFingerprints(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val hs = expr(
       "transform(sequence(1, size(w) - 3), " +

@@ -29,10 +29,11 @@ object WarehouseOps {
     * allows, which is the decision a 1000-executor cluster should be
     * making, not a hardcoded hint.
     */
+  private[graft] def graphBroadcastOn(s: SparkSession): Boolean =
+    s.conf.getOption("graft.broadcast_graph_frames").forall(_.toBoolean)
+
   private[graft] def graphHint(df: DataFrame): DataFrame =
-    if (df.sparkSession.conf.getOption("graft.broadcast_graph_frames")
-          .forall(_.toBoolean)) broadcast(df)
-    else df
+    if (graphBroadcastOn(df.sparkSession)) broadcast(df) else df
 
   /** The co-purchase graph's undirected edge set — distinct part pairs
     * sharing an order — deduped and checkpointed ONCE. Shared base
@@ -53,8 +54,18 @@ object WarehouseOps {
     * checkpointed leaf.
     */
   private[graft] def coPurchasePairsPlan(s: SparkSession, dir: String): DataFrame = {
-    val li = table(s, dir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    // ONE exchange serves the dedup AND the self-join (r16, ProbeR16CoP
+    // 3/3 pairwise, ~-22%, identical pair sets; initial-plan Exchange
+    // 5 -> 3): repartition on `o` first — HashPartitioning(o) satisfies
+    // the distinct's ClusteredDistribution(o, p) (same o => same
+    // partition), and the self-join on `o` then reuses the same layout
+    // on both sides. The old shape paid Exchange(o, p) for the distinct
+    // and Exchange(o) for the join. REPARTITION_BY_NUM at the
+    // cluster-scaled conf, so AQE neither coalesces nor re-keys it.
+    val li = PartitionedCheckpoint.repartitionByConf(
+      table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+      col("o"))
       .distinct()
     // shuffle_hash (r11, same rationale as q121's variant self-join):
     // both sides are the same frame, so sort-merge sorts it twice for
@@ -137,21 +148,36 @@ object WarehouseOps {
       val s1 = flood(lbl, r1).drop("chg")
       val next = flood(s1, r2)
         .observe(obs, coalesce(
-          sum(col("chg").cast("long")), lit(0L)).as("changed"))
+          sum(col("chg").cast("long")), lit(0L)).as("changed"),
+          // max settle = the last round ANY label changed so far; rides
+          // the same observe so the exact convergence-bound check below
+          // costs no extra action (ADVICE r15).
+          coalesce(max(col("settle")), lit(0)).as("max_settle"))
         .select("nd", "l", "settle")
-        .localCheckpoint(eager = true)
+      PartitionedCheckpoint.dumpRoundPlan(next, "labelprop_round")
+      val nextCk = next.localCheckpoint(eager = true)
       changed = obs.get("changed").asInstanceOf[Long]
-      // maxRounds bounds the label-CHANGING rounds; confirming rounds
-      // (changed == 0) are always allowed, so a radius-R graph needs
-      // maxRounds >= R — the two-round batch can overshoot the cap by
-      // at most the batch's trailing no-change round.
+      // In-loop runaway guard only: convergence is observed on EVEN
+      // rounds, so this loose cap admits up to maxRounds + 2 (an
+      // even-round change passes the +1 check; a batch whose first
+      // round changes and second doesn't skips the check entirely).
+      // The EXACT bound — no label changed after round maxRounds — is
+      // enforced on max_settle after the loop (ADVICE r15).
       require(changed == 0 || round <= maxRounds + 1,
         s"label propagation failed to converge in $maxRounds rounds")
+      if (changed == 0) {
+        val maxSettle = obs.get("max_settle") match {
+          case i: java.lang.Integer => i.toInt
+          case l: java.lang.Long => l.toInt
+        }
+        require(maxSettle <= maxRounds,
+          s"label propagation settled at round $maxSettle > cap $maxRounds")
+      }
       // Round N's blocks are dead once round N+1 is materialized —
       // release instead of letting superseded node frames stack up in
       // storage memory for the whole fixpoint (up to maxRounds copies).
       org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoints(lbl)
-      lbl = next
+      lbl = nextCk
     }
     lbl
   }
@@ -165,8 +191,12 @@ object WarehouseOps {
     */
   private[graft] def repeatCoPurchasePairs(s: SparkSession,
       dir: String): DataFrame = {
-    val li = table(s, dir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    // Same fused single-exchange dedup+join layout as
+    // coPurchasePairsPlan (r16, ProbeR16CoP 3/3 pairwise, ~-11%).
+    val li = PartitionedCheckpoint.repartitionByConf(
+      table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+      col("o"))
       .distinct()
     // shuffle_hash: same self-join shape and measurement as
     // coPurchasePairsPlan (1.1-1.6 -> 0.9-1.1 s at sf0.1).
@@ -429,18 +459,35 @@ object WarehouseOps {
     // equi-joins AQE can skew-split.
     "q129_triangle_count" -> Q(
       (s, dir) => {
-        // pairs feeds deg AND e; e feeds all three legs of the wedge
-        // join — the shared helper checkpoints it so the order
-        // self-join runs once and the oriented edge list is a
-        // materialized leaf, not a lineage replayed three times
-        // (q110/q118 discipline).
+        // pairs feeds deg AND e — the shared helper checkpoints it so
+        // the order self-join runs once and every consumer reads a
+        // materialized leaf (q110/q118 discipline).
         val pairs = coPurchasePairs(s, dir)
+        // deg is CHECKPOINTED (r16, ProbeR16Tri B, 3/3 pairwise vs the
+        // old shape, ~2.7-3.5 -> ~2.1 s): it used to be a lazy aggregate
+        // recomputed from the pairs checkpoint inside the FINAL plan's
+        // deg join — one whole extra 2E-row exchange per invocation.
+        // It is a |V|-row long/long frame, the same node-grain size
+        // class every iterative operator here already materializes.
         val deg = pairs.select(col("u").as("n"))
           .unionAll(pairs.select(col("v").as("n")))
           .groupBy("n").agg(count(lit(1)).as("deg"))
-        val e = pairs
-          .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
-          .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+          .localCheckpoint(eager = true)
+        // The oriented edge list stays LAZY under the default gate
+        // (r16/ProbeR16Tri): its orientation joins are broadcasts of
+        // the deg checkpoint over the pairs checkpoint — pure map work
+        // — so materializing it bought nothing but a blocking barrier;
+        // its two consumers (adjacency build, probe side of the closing
+        // join) each re-run the map over the same materialized leaves.
+        // With graft.broadcast_graph_frames=false the orientation joins
+        // degrade to SHUFFLED joins, and re-running those twice is
+        // O(E) shuffle traffic — so the degraded mode checkpoints e
+        // once, exactly the trade the gate exists to make.
+        val e0 = pairs
+          .join(graphHint(deg.select(col("n").as("u"), col("deg").as("du"))),
+            "u")
+          .join(graphHint(deg.select(col("n").as("v"), col("deg").as("dv"))),
+            "v")
           .select(
             when(col("du") < col("dv") ||
               (col("du") === col("dv") && col("u") < col("v")),
@@ -448,7 +495,8 @@ object WarehouseOps {
             when(col("du") < col("dv") ||
               (col("du") === col("dv") && col("u") < col("v")),
               col("v")).otherwise(col("u")).as("dst"))
-          .localCheckpoint(eager = true)
+        val e = if (graphBroadcastOn(s)) e0
+                else e0.localCheckpoint(eager = true)
         // Close triangles by ADJACENCY INTERSECTION, not a wedge join:
         // collapse the oriented edges to per-source sorted neighbor
         // arrays (|V| rows, Σ|nbrs| = E longs — ~19 MB at sf0.1, well
@@ -472,11 +520,16 @@ object WarehouseOps {
           .select(col("src").as("ta"), col("dst").as("tb"),
             explode(graft.functions.SortedIntersect
               .interArray(s, col("nu"), col("nv"))).as("tc"))
+        // LIMIT before the deg join (r16): the join is 1:1 on part —
+        // every triangle vertex is a graph node — and the top-20 order
+        // keys (triangles, part) exist before it, so selecting the 20
+        // first turns a |V|-row join into a 20-row join.
         tri.select(explode(array(col("ta"), col("tb"), col("tc"))).as("part"))
           .groupBy("part").agg(count(lit(1)).as("triangles"))
-          .join(deg.select(col("n").as("part"), col("deg")), "part")
           .orderBy(col("triangles").desc, col("part"))
           .limit(20)
+          .join(graphHint(deg.select(col("n").as("part"), col("deg"))),
+            "part")
           .select(col("part"), col("triangles"), col("deg"))
           .orderBy(col("triangles").desc, col("part"))
       },
@@ -1283,8 +1336,7 @@ object WarehouseOps {
         // three recomputes of the shingle scan) and REPARTITION_BY_NUM
         // on the join key before the exploding self-join, as in
         // jaccardPairsFromHashed (r15).
-        val ssP = ss.repartition(
-          s.conf.get("spark.sql.shuffle.partitions").toInt, col("h"))
+        val ssP = PartitionedCheckpoint.repartitionByConf(ss, col("h"))
         val shared = ssP.as("a")
           .join(ssP.as("b"),
             col("a.h") === col("b.h") && col("a.source") < col("b.source"))

@@ -471,8 +471,19 @@ class PlanSpec extends SparkSpec {
     spark.conf.set("graft.broadcast_graph_frames", "false")
     try {
       val off = executed("q129_triangle_count")
-      assert(!off.contains("BroadcastExchange"),
-        s"flag off but a broadcast survives:\n$off")
+      // r16: the final deg join's probe side is now the top-20 LIMIT
+      // (20 rows, scale-free), which the PLANNER auto-broadcasts from
+      // its own size estimate — that one broadcast is correct at any
+      // scale and allowed in degraded mode. No GRAPH frame (adjacency,
+      // deg) may broadcast: every other BroadcastExchange is a failure.
+      val bx = "BroadcastExchange".r.findAllIn(off).size
+      assert(bx <= 1, s"flag off but $bx broadcasts survive:\n$off")
+      if (bx == 1) {
+        val after = off.substring(off.indexOf("BroadcastExchange"))
+          .take(400)
+        assert(after.contains("TakeOrderedAndProject"),
+          s"flag off and the surviving broadcast is not the top-20 limit:\n$off")
+      }
       assert(off.contains("SortMergeJoin") || off.contains("ShuffledHashJoin"),
         s"no shuffled equi-join in degraded mode:\n$off")
     } finally spark.conf.unset("graft.broadcast_graph_frames")
