@@ -371,17 +371,19 @@ object StreamingGate {
         // progression with the SAME gated output, since the final
         // watermark and row totals are grouping-independent; the lever
         // trades per-batch planning cost against batch count).
-        // Default 3 (3 files / 3 data batches at the testdata's 7-bucket
-        // span), adopted round 14 on a ProbeQ278Files A/B x3 win over
-        // the r13 default 2 (4 files): 3/3 pairwise, best 1.46 vs
-        // 1.76 s at sf0.1 with the stream_parts=4 batches, identical
-        // 3585-row gated output. (r13 had adopted 2 over 1 the same
-        // way: 3.93 vs 5.70 s at the then-6-bucket span.) The cost is
-        // per-batch planning, exactly as the r12 plan audit priced it,
-        // and three batches still advance the watermark twice
-        // mid-stream — the multi-batch progression the gate exists to
-        // prove.
-        val group = graft.Levers.posInt(s, "graft.q278_group", 3)
+        // Default 4 (2 files / 2 data batches at the testdata's 7-bucket
+        // span), adopted round 16 on a ProbeQ278Files A/B x3 win over
+        // the r14 default 3: 3/3 pairwise, best 2.09 vs 2.37 s,
+        // identical 3585-row gated output — the last rung of the
+        // ladder (r13: 1 -> 2, r14: 2 -> 3), since < 2 files is no
+        // longer a multi-batch stream at all. Witness health measured
+        // per batch (ProbeR16Wm, sink rows by micro-batch): at group=4
+        // the run is b0:0, b1:2025, b2:1560 — 2025 rows emitted
+        // MID-STREAM under a watermark advanced by batch 0, and the
+        // trailing no-data batch flushes the final-watermark remainder
+        // — so the incremental-append witness stays non-vacuous with
+        // one fewer stateful batch to plan and commit.
+        val group = graft.Levers.posInt(s, "graft.q278_group", 4)
         val root = replayFixture(s"q278g$group", dir) { tmp =>
           val bucketed = batch.withColumn("bucket",
             expr("unix_timestamp(ts) div 432000"))

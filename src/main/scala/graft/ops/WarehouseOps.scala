@@ -1603,10 +1603,21 @@ object WarehouseOps {
     // rank order agrees.
     "q174_assoc_rules" -> Q(
       (s, dir) => {
-        val li = table(s, dir, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        // Fused single-exchange dedup (r16, ProbeR16Cf 3/3 pairwise,
+        // 1.5-1.7 -> 1.2-1.5 s): repartition(conf, o) + distinct, NO
+        // checkpoint — the one pinned exchange is reused by both
+        // self-join sides (the checkpointed frame carried no
+        // partitioning, so the join re-exchanged BOTH sides and the
+        // materialization was a barrier). The same change was probed
+        // on q179 (1/3, wash — its per-item rank window reshuffles
+        // everything anyway) and q234 (1/3 — its basket frame fans
+        // into three heavier self-joins where the checkpoint still
+        // pays) and left alone there.
+        val li = PartitionedCheckpoint.repartitionByConf(
+          table(s, dir, "lineitem")
+            .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+          col("o"))
           .distinct()
-          .localCheckpoint(eager = true)
         val pairCnt = li.alias("a").join(li.alias("b"),
             col("a.o") === col("b.o") && col("a.p") < col("b.p"))
           .groupBy(col("a.p").as("u"), col("b.p").as("v"))
